@@ -1,0 +1,68 @@
+"""Unit tests for tokenizer-level extraction semantics
+(SURVEY.md §2 P2-P4, P8; main.rs:166-170, 227-262)."""
+
+from crawler_ray.html_extract import extract
+
+
+def test_basic_links_and_text():
+    pages, images, text = extract(
+        "<html><head><title>T</title></head><body>"
+        '<h1>Head</h1><a href="http://a.example/p1">one</a>'
+        '<img src="http://a.example/i.png"><p>tail</p></body></html>'
+    )
+    assert pages == ["http://a.example/p1"]
+    assert images == ["http://a.example/i.png"]
+    assert text == "THeadonetail"
+
+
+def test_start_tags_only():
+    pages, images, _ = extract(
+        '<a href="x">t</a>'
+        "<!-- <a href='in-comment'> -->"
+        '<script>var s = "<a href=\'in-script\'>";</script>'
+        "<style>a[href='in-style'] {}</style>"
+    )
+    assert pages == ["x"]
+    assert images == []
+
+
+def test_script_style_excluded_from_text():
+    _, _, text = extract("<p>A</p><script>ignored()</script><style>.x{}</style>B")
+    assert text == "AB"
+
+
+def test_self_closing_is_start_tag():
+    pages, images, _ = extract('<img src="i1"/><a href="p1"/>')
+    assert images == ["i1"]
+    assert pages == ["p1"]
+
+
+def test_duplicate_attr_keeps_first():
+    # spec tokenizer: duplicate-attribute parse error drops the later value
+    pages, _, _ = extract('<a href="first" href="second">x</a>')
+    assert pages == ["first"]
+
+
+def test_multiple_tags_in_order():
+    pages, images, _ = extract(
+        '<a href="1"></a><img src="a"><a href="2"></a><img src="b">'
+    )
+    assert pages == ["1", "2"]
+    assert images == ["a", "b"]
+
+
+def test_charref_decoded_in_attrs():
+    pages, _, _ = extract('<a href="http://a.example/?x=1&amp;y=2">z</a>')
+    assert pages == ["http://a.example/?x=1&y=2"]
+
+
+def test_bytes_input_lossy_decode():
+    pages, _, text = extract(b'<a href="p">ok\xff</a>')
+    assert pages == ["p"]
+    assert text == "ok�"
+
+
+def test_non_link_tags_ignored():
+    pages, images, _ = extract('<link href="css"><area href="m"><source src="v">')
+    assert pages == []
+    assert images == []

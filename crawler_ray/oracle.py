@@ -1,0 +1,167 @@
+"""Pure-Python oracle simulator of the reference crawl semantics.
+
+A row-at-a-time, single-process reimplementation of the reference's
+dispatcher loop (/root/reference/src/main.rs:86-147) and page/image paths
+(main.rs:150-173, 264-281), with fetching replaced by corpus lookup and the
+reference's nondeterministic intra-wave ordering replaced by the canonical
+wave order (SURVEY.md §3): within each wave, findings are processed in
+lexicographic ``(kind, url, depth)`` order ('image' < 'page'). The Ray
+engine implements the same canonical order, which makes crawl order, budget
+admission, and the image-overwrite winner deterministic and comparable.
+
+Faithful reference semantics encoded here (each has a unit/fixture test):
+
+- **Finding identity** is the full (kind, url, depth-for-pages) tuple
+  (main.rs:58-62: ``derive(Hash, Eq)`` on the enum) — images carry no depth.
+- **Seeds** enter the queue but are NOT added to the archive (main.rs:87-92);
+  a later link to a seed is genuinely re-dispatched.
+- **Politeness**: at dispatch, skip when the host's count is ``> 256``,
+  *then* increment — so up to 257 dispatches per host succeed
+  (main.rs:24, 103-107). Host-less findings are skipped without counting
+  (main.rs:100-102). Failed fetches still count (the count happens at
+  dispatch).
+- **Dedup**: per spider response, ``findings − archive`` then
+  ``archive ∪= new`` (main.rs:129-130); archive grows even for findings
+  later blocked by depth or budget.
+- **Depth**: gate is ``response_depth < limit`` on *enqueue*
+  (main.rs:132-134); faithful mode never increments depth (children inherit
+  the parent's depth, main.rs:198-200), so the gate is inert;
+  ``faithful_depth=False`` uses parent+1 (the evident intent).
+- **Image sink**: filename = last path segment (main.rs:271-275); URLs with
+  no segments are skipped silently; an empty last segment fails file
+  creation (warn-and-drop); same-filename writes silently overwrite — the
+  final file content is the canonically-last write (main.rs:276-278).
+- **Fetch miss** (URL absent from corpus) = request error: warn-and-drop
+  (main.rs:136, 142-144).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+
+from . import urlnorm as un
+from .html_extract import extract
+
+PAGE, IMAGE = "page", "image"
+
+
+def finding_key(url: str, kind: str, depth: int) -> tuple[str, str, int]:
+    """Archive/dedup key. Images carry no depth in the reference enum, so
+    their depth is pinned to 0 in the key."""
+    return (url, kind, depth if kind == PAGE else 0)
+
+
+def canonical_sort_key(item: tuple[str, str, int]) -> tuple[str, str, int]:
+    url, kind, depth = item
+    return (kind, url, depth)
+
+
+@dataclass
+class CrawlResult:
+    # (wave, rank, url, kind, depth) for every ADMITTED dispatch
+    order: list[tuple[int, int, str, str, int]] = field(default_factory=list)
+    # final URL-seen set, Finding-keyed
+    archive: set[tuple[str, str, int]] = field(default_factory=set)
+    host_counts: Counter = field(default_factory=Counter)
+    # url (with fragment) -> extracted text, for every successful page fetch
+    texts: dict[str, str] = field(default_factory=dict)
+    # every successful image write in canonical global order
+    image_writes: list[tuple[int, int, str, str]] = field(default_factory=list)
+    # filename -> url of the canonically-last write (overwrite semantics)
+    image_files: dict[str, str] = field(default_factory=dict)
+    metrics: Counter = field(default_factory=Counter)
+    n_waves: int = 0
+
+
+def simulate(
+    corpus: dict[str, bytes],
+    seeds: list[str],
+    depth_limit: int = 4,
+    host_limit: int = 256,
+    faithful_depth: bool = True,
+) -> CrawlResult:
+    res = CrawlResult()
+
+    # CLI seed parse: invalid seed is a hard error (main.rs:301-307 unwrap)
+    seed_urls = {str(un.parse(s)) for s in seeds}
+    queue: list[tuple[str, str, int]] = [(u, PAGE, 0) for u in seed_urls]
+
+    while queue:
+        wave = res.n_waves
+        res.n_waves += 1
+        queue.sort(key=canonical_sort_key)
+        current, queue = queue, []
+
+        admitted: list[tuple[str, str, int]] = []
+        rank = 0
+        for url_s, kind, depth in current:
+            u = un.parse(url_s)
+            if u.host is None:
+                res.metrics["dropped_hostless"] += 1
+                continue
+            if res.host_counts[u.host] > host_limit:
+                res.metrics["dropped_budget"] += 1
+                continue
+            res.host_counts[u.host] += 1
+            admitted.append((url_s, kind, depth))
+            res.order.append((wave, rank, url_s, kind, depth))
+            rank += 1
+
+        # barrier 1: all spiders (pages), canonical order
+        for url_s, kind, depth in admitted:
+            if kind != PAGE:
+                continue
+            u = un.parse(url_s)
+            # reqwest speaks only http/https: any other scheme is a builder
+            # error even though it passed the contains("http") filter — e.g.
+            # an "xhttpx" finding dispatches, counts, then fails here
+            if u.scheme not in ("http", "https"):
+                res.metrics["fetch_unsupported_scheme"] += 1
+                continue
+            body = corpus.get(str(u.without_fragment()))
+            if body is None:
+                res.metrics["fetch_miss_page"] += 1
+                continue
+            page_links, image_links, text = extract(body)
+            res.texts[url_s] = text
+
+            kept_pages, mal_p = un.parse_links(page_links, u)
+            kept_images, mal_i = un.parse_links(image_links, u)
+            res.metrics["malformed_links"] += mal_p + mal_i
+
+            child_depth = depth if faithful_depth else depth + 1
+            findings: set[tuple[str, str, int]] = set()
+            for cu in kept_pages:
+                findings.add(finding_key(str(cu), PAGE, child_depth))
+            for cu in kept_images:
+                findings.add(finding_key(str(cu), IMAGE, 0))
+
+            new = findings - res.archive
+            res.archive |= new
+            if depth < depth_limit:
+                queue.extend(sorted(new, key=canonical_sort_key))
+
+        # barrier 2: all fetchers (images), canonical order
+        for url_s, kind, _depth in admitted:
+            if kind != IMAGE:
+                continue
+            u = un.parse(url_s)
+            if u.scheme not in ("http", "https"):
+                res.metrics["fetch_unsupported_scheme"] += 1
+                continue
+            body = corpus.get(str(u.without_fragment()))
+            if body is None:
+                res.metrics["fetch_miss_image"] += 1
+                continue
+            seg = u.last_path_segment()
+            if seg is None:
+                res.metrics["image_no_segments"] += 1
+                continue
+            if seg == "":
+                res.metrics["image_sink_error"] += 1  # File::create("dir/") fails
+                continue
+            res.image_writes.append((wave, len(res.image_writes), url_s, seg))
+            res.image_files[seg] = url_s
+
+    return res

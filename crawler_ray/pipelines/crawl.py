@@ -1,0 +1,481 @@
+"""BFS wave driver: the reference dispatcher loop (/root/reference/src/
+main.rs:86-147) as an iterative sequence of Ray Data wave pipelines.
+
+One wave = one superstep (the reference's queue-drain + double barrier):
+
+  frontier ──politeness gate──▶ admitted ──corpus scan (pushdown join)──▶
+  fetched ──map_batches(parse/extract/project)──▶ parsed (checkpointed)
+  ──seen-probe (sharded actor pool)──▶ new findings ──depth gate──▶ frontier'
+
+Cross-wave state = the seen-set actor pool (state/seen.py) + the carried
+host-counts Counter; both are snapshotted every wave into a resumable
+layout:
+
+  out/wave=K/{admitted,archive_delta,next_frontier,host_counts,metrics}.parquet
+  out/wave=K/parsed/*.parquet      (tagged stream: findings/text/images)
+  out/wave=K/lineage.json          (row counts in/out, paths, config hash)
+  out/wave=K/_COMPLETE             (atomic completion marker)
+
+Resume = load the last _COMPLETE wave's next_frontier + host_counts and
+re-insert all archive deltas into a fresh seen pool; re-running a crawl
+that died mid-wave K reproduces the uninterrupted run bit-for-bit (tested).
+
+Determinism: the canonical wave order (kind, url, depth) replaces the
+reference's HashSet/completion-order nondeterminism (SURVEY.md §3) in
+exactly two order-sensitive places — politeness admission and the image
+overwrite winner; all other per-wave results are set-keyed. Heavy stages
+(corpus scan, HTML parse) run as streaming Ray Data ops; tiny frontier
+state ops use a driver fast-path below ``ray_state_threshold`` rows and
+shuffle-native forms above it (stages/politeness.py documents both).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from collections import Counter
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import urlnorm as un
+from ..keys import finding_keys, hash64
+from ..stages import politeness
+from ..stages.parse import (
+    PARSED_SCHEMA,
+    attach_frontier,
+    build_lookups,
+    process_wave_batch,
+)
+from ..state.seen import SeenSet
+
+FRONTIER_SCHEMA = pa.schema(
+    [("url", pa.string()), ("kind", pa.string()), ("depth", pa.int32())]
+)
+
+
+@dataclass
+class CrawlConfig:
+    depth_limit: int = 4
+    host_limit: int = 256
+    faithful_depth: bool = True
+    num_seen_shards: int = 8
+    seen_capacity_per_shard: int = 1_000_000
+    seen_fpp: float = 0.01
+    approx_seen: bool = False  # design-scale mode: bloom only, no exact set
+    batch_size: int = 256  # pages per parse batch
+    ray_state_threshold: int = 200_000  # frontier rows → Ray politeness/probe
+    max_waves: int | None = None
+
+    def fingerprint(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+
+def seeds_table(seeds: list[str]) -> pa.Table:
+    """CLI seed semantics: parse with hard error on invalid (main.rs:306
+    unwrap), HashSet dedup, canonical order, depth 0 (main.rs:87-92)."""
+    uniq = sorted({str(un.parse(s)) for s in seeds})
+    return pa.table(
+        {
+            "url": pa.array(uniq, pa.string()),
+            "kind": pa.array(["page"] * len(uniq)),
+            "depth": pa.array([0] * len(uniq), pa.int32()),
+        }
+    )
+
+
+def _empty_parsed() -> pa.Table:
+    return PARSED_SCHEMA.empty_table()
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    frontier_rows: int
+    admitted: int
+    findings: int
+    new_findings: int
+    next_frontier: int
+    metrics: dict = field(default_factory=dict)
+
+
+class CrawlRun:
+    """Handle to a (possibly finished) crawl's on-disk layout."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out = Path(out_dir)
+
+    def wave_dirs(self) -> list[Path]:
+        return sorted(
+            d for d in self.out.glob("wave=*") if (d / "_COMPLETE").exists()
+        )
+
+    def _concat(self, name: str, schema: pa.Schema | None = None) -> pa.Table:
+        parts = [
+            pq.read_table(d / name) for d in self.wave_dirs() if (d / name).exists()
+        ]
+        if not parts:
+            return schema.empty_table() if schema else pa.table({})
+        return pa.concat_tables(parts)
+
+    def order(self) -> pa.Table:
+        return self._concat("admitted.parquet")
+
+    def archive(self) -> pa.Table:
+        return self._concat("archive_delta.parquet", FRONTIER_SCHEMA)
+
+    def host_counts(self) -> Counter:
+        dirs = self.wave_dirs()
+        if not dirs:
+            return Counter()
+        t = pq.read_table(dirs[-1] / "host_counts.parquet")
+        return Counter(dict(zip(t["host"].to_pylist(), t["dispatches"].to_pylist())))
+
+    def _parsed(self, rec: str, columns: list[str]) -> pa.Table:
+        parts = []
+        for d in self.wave_dirs():
+            pdir = d / "parsed"
+            if pdir.exists() and any(pdir.glob("*.parquet")):
+                parts.append(
+                    pq.read_table(
+                        pdir, columns=["rec"] + columns, filters=[("rec", "==", rec)]
+                    ).select(columns)
+                )
+        return pa.concat_tables(parts) if parts else None
+
+    def texts(self) -> dict[str, str]:
+        t = self._parsed("t", ["url", "text"])
+        if t is None:
+            return {}
+        return dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+
+    def image_files(self) -> dict[str, str]:
+        """filename → url of the canonically-last write (overwrite wins)."""
+        out: dict[str, str] = {}
+        for d in self.wave_dirs():
+            pdir = d / "parsed"
+            if pdir.exists() and any(pdir.glob("*.parquet")):
+                t = pq.read_table(
+                    pdir,
+                    columns=["rec", "url", "filename"],
+                    filters=[("rec", "==", "i")],
+                )
+                # canonical within-wave order
+                t = t.sort_by([("url", "ascending")])
+                for u, f in zip(t["url"].to_pylist(), t["filename"].to_pylist()):
+                    out[f] = u
+        return out
+
+    def metrics(self) -> Counter:
+        out: Counter = Counter()
+        t = self._concat("metrics.parquet")
+        if t.num_rows:
+            for m, c in zip(t["metric"].to_pylist(), t["count"].to_pylist()):
+                out[m] += c
+        return out
+
+    def n_waves(self) -> int:
+        return len(self.wave_dirs())
+
+
+def _probe_new(
+    findings: pa.Table, seen: SeenSet, faithful_depth: bool
+) -> pa.Table:
+    """Wave-level dedup + archive probe. In non-faithful mode, reduce to one
+    row per Finding key first (canonical winner = min (src_url, src_depth)),
+    because the depth gate reads the discovering response's depth and the
+    canonical response order is (src_url, src_depth) — see oracle.py."""
+    if findings.num_rows == 0:
+        return findings
+    if not faithful_depth:
+        findings = findings.sort_by(
+            [
+                ("url", "ascending"),
+                ("kind", "ascending"),
+                ("depth", "ascending"),
+                ("src_url", "ascending"),
+                ("src_depth", "ascending"),
+            ]
+        )
+        keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
+        import pandas as pd
+
+        first_idx = (
+            pd.Series(range(len(keys)))
+            .groupby(pd.Series(keys.to_pylist()), sort=False)
+            .first()
+            .sort_values()
+            .to_numpy()
+        )
+        findings = findings.take(pa.array(first_idx))
+    keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
+    mask = seen.probe_and_insert(keys)
+    return findings.filter(pa.array(mask))
+
+
+def run_crawl(
+    corpus_path: str | list[str],
+    seeds: list[str],
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+    resume: bool = False,
+) -> CrawlRun:
+    import ray.data as rd
+
+    cfg = cfg or CrawlConfig()
+    out = Path(out_dir)
+    run = CrawlRun(out_dir)
+
+    seen = SeenSet(
+        cfg.num_seen_shards,
+        cfg.seen_capacity_per_shard,
+        cfg.seen_fpp,
+        cfg.approx_seen,
+    )
+    counts: Counter = Counter()
+    wave = 0
+
+    if resume and run.wave_dirs():
+        last = run.wave_dirs()[-1]
+        wave = int(last.name.split("=")[1]) + 1
+        counts = run.host_counts()
+        archive = run.archive()
+        if archive.num_rows:
+            seen.restore(
+                finding_keys(archive["url"], archive["kind"], archive["depth"])
+            )
+        frontier = pq.read_table(last / "next_frontier.parquet")
+    else:
+        if out.exists():
+            shutil.rmtree(out)
+        out.mkdir(parents=True)
+        frontier = seeds_table(seeds)
+
+    try:
+        while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
+            frontier = _run_wave(rd, corpus_path, frontier, counts, seen, out, wave, cfg)
+            wave += 1
+    finally:
+        seen.shutdown()
+    return run
+
+
+def _run_wave(
+    rd,
+    corpus_path,
+    frontier: pa.Table,
+    counts: Counter,
+    seen: SeenSet,
+    out: Path,
+    wave: int,
+    cfg: CrawlConfig,
+) -> pa.Table:
+    wave_dir = out / f"wave={wave:05d}"
+    tmp_dir = out / f".wave={wave:05d}.tmp"
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    if wave_dir.exists():
+        shutil.rmtree(wave_dir)  # incomplete leftover from a crashed run
+    tmp_dir.mkdir(parents=True)
+    wave_metrics: Counter = Counter()
+
+    # ---- politeness gate (ST2) --------------------------------------------
+    frontier = politeness.with_host(frontier)
+    if frontier.num_rows <= cfg.ray_state_threshold:
+        admitted, m = politeness.admit_local(frontier, counts, cfg.host_limit)
+    else:
+        admitted, m = politeness.admit_ray(
+            rd.from_arrow(frontier), counts, cfg.host_limit
+        )
+    wave_metrics.update(m)
+
+    order = admitted.append_column(
+        "wave", pa.array(np.full(admitted.num_rows, wave, dtype=np.int32))
+    ).append_column(
+        "rank", pa.array(np.arange(admitted.num_rows, dtype=np.int32))
+    )
+    pq.write_table(order, tmp_dir / "admitted.parquet")
+
+    # ---- fetch (corpus pushdown scan) + parse + image projection ----------
+    lookups, m = build_lookups(admitted)
+    wave_metrics.update(m)
+    parsed_dir = tmp_dir / "parsed"
+    n_pages_dispatched = sum(
+        1 for v in lookups.values() for e in v if e[1] == "page"
+    )
+    n_images_dispatched = sum(
+        1 for v in lookups.values() for e in v if e[1] == "image"
+    )
+    if lookups:
+        import ray
+
+        lookups_ref = ray.put(lookups)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            return attach_frontier(batch, ray.get(lookups_ref))
+
+        ds = rd.read_parquet(
+            corpus_path,
+            columns=["url", "html"],
+            filter=pc.field("url").isin(list(lookups.keys())),
+        )
+        parsed = ds.map_batches(
+            attach, batch_format="pyarrow", batch_size=cfg.batch_size
+        ).map_batches(
+            process_wave_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            fn_kwargs={"faithful_depth": cfg.faithful_depth},
+        )
+        parsed.write_parquet(str(parsed_dir))
+    have_parsed = parsed_dir.exists() and any(parsed_dir.glob("*.parquet"))
+
+    # ---- read back findings (pruned) + seen probe (ST1) -------------------
+    if have_parsed:
+        findings = pq.read_table(
+            parsed_dir,
+            columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+            filters=[("rec", "==", "f")],
+        ).drop_columns(["rec"])
+        n_texts = pq.read_table(
+            parsed_dir, columns=["rec"], filters=[("rec", "==", "t")]
+        ).num_rows
+        mrows = pq.read_table(
+            parsed_dir,
+            columns=["rec", "metric", "count"],
+            filters=[("rec", "==", "m")],
+        )
+        for name, c in zip(mrows["metric"].to_pylist(), mrows["count"].to_pylist()):
+            wave_metrics[name] += c
+        n_img_ok = pq.read_table(
+            parsed_dir, columns=["rec"], filters=[("rec", "==", "i")]
+        ).num_rows
+    else:
+        findings = pa.table(
+            {
+                "src_url": pa.array([], pa.string()),
+                "src_depth": pa.array([], pa.int32()),
+                "url": pa.array([], pa.string()),
+                "kind": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+            }
+        )
+        n_texts = 0
+        n_img_ok = 0
+    # fetch misses = dispatched-and-fetchable minus rows that came back
+    wave_metrics["fetch_miss_page"] += n_pages_dispatched - n_texts
+    img_attempts = (
+        n_img_ok
+        + wave_metrics.get("image_sink_error", 0)
+        + wave_metrics.get("image_no_segments", 0)
+    )
+    wave_metrics["fetch_miss_image"] += n_images_dispatched - img_attempts
+
+    new = _probe_new(findings, seen, cfg.faithful_depth)
+    pq.write_table(
+        new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),
+        tmp_dir / "archive_delta.parquet",
+    )
+
+    # ---- depth gate (on the discovering response's depth, main.rs:132-134)
+    gated = new.filter(pc.less(new["src_depth"], cfg.depth_limit))
+    next_frontier = (
+        gated.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA)
+    )
+    pq.write_table(next_frontier, tmp_dir / "next_frontier.parquet")
+
+    # ---- carried state snapshots + lineage --------------------------------
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(sorted(counts.keys()), pa.string()),
+                "dispatches": pa.array(
+                    [counts[h] for h in sorted(counts)], pa.int64()
+                ),
+            }
+        ),
+        tmp_dir / "host_counts.parquet",
+    )
+    nonzero = sorted(k for k, v in wave_metrics.items() if v)
+    pq.write_table(
+        pa.table(
+            {
+                "metric": pa.array(nonzero, pa.string()),
+                "count": pa.array([int(wave_metrics[k]) for k in nonzero], pa.int64()),
+            }
+        ),
+        tmp_dir / "metrics.parquet",
+    )
+    stats = WaveStats(
+        wave=wave,
+        frontier_rows=frontier.num_rows,
+        admitted=admitted.num_rows,
+        findings=findings.num_rows,
+        new_findings=new.num_rows,
+        next_frontier=next_frontier.num_rows,
+        metrics=dict(wave_metrics),
+    )
+    (tmp_dir / "lineage.json").write_text(
+        json.dumps(
+            {**asdict(stats), "config": cfg.fingerprint(), "dir": str(wave_dir)},
+            indent=1,
+        )
+    )
+    (tmp_dir / "_COMPLETE").touch()
+    tmp_dir.rename(wave_dir)  # atomic wave commit
+    return next_frontier
+
+
+def main() -> None:
+    import argparse
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="Ray-Data crawl over a parquet corpus")
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--seeds", nargs="+", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("-r", "--recursion-depth-limit", type=int, default=4)
+    ap.add_argument("--host-limit", type=int, default=256)
+    ap.add_argument("--increment-depth", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        cfg = CrawlConfig(
+            depth_limit=args.recursion_depth_limit,
+            host_limit=args.host_limit,
+            faithful_depth=not args.increment_depth,
+        )
+        run = run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
+        print(
+            json.dumps(
+                {
+                    "waves": run.n_waves(),
+                    "dispatched": run.order().num_rows,
+                    "archive": run.archive().num_rows,
+                    "texts": len(run.texts()),
+                    "image_files": len(run.image_files()),
+                    "metrics": dict(run.metrics()),
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Wave processing: corpus-lookup "fetch" + HTML parse/link-extract.
+
+The reference's page path (fetch → tokenize → extract → resolve,
+/root/reference/src/main.rs:150-173) and image path (fetch → filename →
+write, main.rs:264-281), re-expressed as one Ray Data pass per wave:
+
+    read_parquet(corpus, columns=[url, html], filter=url ∈ wave_lookups)
+      → map_batches(attach_frontier)        # corpus row → admitted rows
+      → map_batches(process_wave_batch)     # parse pages, project images
+
+The corpus scan IS the join: the admitted frontier (small side, bounded by
+politeness at 257/host) is broadcast as a lookup dict via ``ray.put``, and
+the ``isin`` filter prunes corpus row groups at the read (predicate
+pushdown), so only the wave's pages leave storage. At 10^10-frontier scale
+with a corpus laid out in hash(url) buckets this becomes a bucket-pruned
+scan; the broadcast-probe shape is unchanged.
+
+Output is a single tagged stream (rec ∈ {'f','t','i','m'}) so one
+write_parquet both checkpoints the wave and feeds the seen-probe read-back:
+
+    rec='f'  finding     (src_url, src_depth, url, kind, depth)
+    rec='t'  page text   (url, text)                — the byte-identity column
+    rec='i'  image write (url, filename, data, nbytes)
+    rec='m'  metric      (metric, count) per batch  — lineage accounting
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from .. import urlnorm as un
+from ..html_extract import extract
+
+PARSED_SCHEMA = pa.schema(
+    [
+        ("rec", pa.string()),
+        ("src_url", pa.string()),
+        ("src_depth", pa.int32()),
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("depth", pa.int32()),
+        ("text", pa.string()),
+        ("filename", pa.string()),
+        ("data", pa.binary()),
+        ("metric", pa.string()),
+        ("count", pa.int64()),
+    ]
+)
+
+_EMPTY = {name: None for name in PARSED_SCHEMA.names}
+
+
+def build_lookups(
+    admitted: pa.Table,
+) -> tuple[dict[str, list[tuple[str, str, int]]], Counter]:
+    """Defragmented-url → [(full_url, kind, depth)] for every fetchable
+    admitted row. Non-http/https schemes fail at the fetch layer (reqwest
+    builder error) and are dropped here with a metric — they already counted
+    against the host budget at dispatch (main.rs:103-107 precedes the
+    fetch)."""
+    metrics: Counter = Counter()
+    lookups: dict[str, list[tuple[str, str, int]]] = {}
+    for url_s, kind, depth in zip(
+        admitted["url"].to_pylist(),
+        admitted["kind"].to_pylist(),
+        admitted["depth"].to_pylist(),
+    ):
+        u = un.parse(url_s)
+        if u.scheme not in ("http", "https"):
+            metrics["fetch_unsupported_scheme"] += 1
+            continue
+        lookups.setdefault(str(u.without_fragment()), []).append(
+            (url_s, kind, int(depth))
+        )
+    return lookups, metrics
+
+
+def attach_frontier(batch: pa.Table, lookups: dict) -> pa.Table:
+    """Corpus (url, html) rows → one row per admitted frontier entry that
+    resolves to them (fragment variants and page+image dual findings each
+    get their own row, as each was a separate dispatch)."""
+    urls, kinds, depths, htmls = [], [], [], []
+    for corpus_url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        for url_s, kind, depth in lookups.get(corpus_url, ()):
+            urls.append(url_s)
+            kinds.append(kind)
+            depths.append(depth)
+            htmls.append(html)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "html": pa.array(htmls, pa.binary()),
+        }
+    )
+
+
+def process_wave_batch(batch: pa.Table, faithful_depth: bool = True) -> pa.Table:
+    """Parse fetched pages and project fetched images (vector of rows per
+    input row; tokenization is inherently per-document, the batch loop is
+    over documents, never over tokens/links)."""
+    out: list[dict] = []
+    metrics: Counter = Counter()
+    for url_s, kind, depth, html in zip(
+        batch["url"].to_pylist(),
+        batch["kind"].to_pylist(),
+        batch["depth"].to_pylist(),
+        batch["html"].to_pylist(),
+    ):
+        u = un.parse(url_s)
+        if kind == "page":
+            page_links, image_links, text = extract(html)
+            out.append({**_EMPTY, "rec": "t", "url": url_s, "text": text})
+            kept_pages, mal_p = un.parse_links(page_links, u)
+            kept_images, mal_i = un.parse_links(image_links, u)
+            metrics["malformed_links"] += mal_p + mal_i
+            child_depth = depth if faithful_depth else depth + 1
+            findings = {}
+            for cu in kept_pages:
+                findings[(str(cu), "page", child_depth)] = True
+            for cu in kept_images:
+                findings[(str(cu), "image", 0)] = True
+            for f_url, f_kind, f_depth in findings:
+                out.append(
+                    {
+                        **_EMPTY,
+                        "rec": "f",
+                        "src_url": url_s,
+                        "src_depth": depth,
+                        "url": f_url,
+                        "kind": f_kind,
+                        "depth": f_depth,
+                    }
+                )
+        else:  # image fetch succeeded; apply the sink projection
+            seg = u.last_path_segment()
+            if seg is None:
+                metrics["image_no_segments"] += 1
+            elif seg == "":
+                metrics["image_sink_error"] += 1  # File::create("…/") fails
+            else:
+                out.append(
+                    {
+                        **_EMPTY,
+                        "rec": "i",
+                        "url": url_s,
+                        "filename": seg,
+                        "data": html,
+                        "count": len(html) if html is not None else 0,
+                    }
+                )
+    for name, n in metrics.items():
+        out.append({**_EMPTY, "rec": "m", "metric": name, "count": n})
+    return pa.Table.from_pylist(out, schema=PARSED_SCHEMA)

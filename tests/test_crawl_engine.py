@@ -1,0 +1,118 @@
+"""Engine-vs-oracle equivalence: the Ray wave driver must reproduce the
+determinized reference semantics exactly (crawl order, URL-seen set, host
+counts, byte-identical texts, image overwrite winners, metrics)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawler_ray import fixtures, oracle, urlnorm as un
+from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+
+def assert_run_matches_oracle(run, res, corpus_tbl):
+    # crawl order: (wave, rank, url, kind, depth) exact
+    got = run.order()
+    got_order = list(
+        zip(
+            got["wave"].to_pylist(),
+            got["rank"].to_pylist(),
+            got["url"].to_pylist(),
+            got["kind"].to_pylist(),
+            got["depth"].to_pylist(),
+        )
+    )
+    assert got_order == res.order
+
+    # URL-seen set (Finding-keyed)
+    arch = run.archive()
+    got_archive = set(
+        zip(
+            arch["url"].to_pylist(),
+            arch["kind"].to_pylist(),
+            arch["depth"].to_pylist(),
+        )
+    )
+    assert got_archive == res.archive
+
+    assert run.host_counts() == res.host_counts
+    assert run.image_files() == res.image_files
+    assert run.metrics() == {k: v for k, v in res.metrics.items() if v}
+
+    # byte-identical extracted text per url (input_hint invariant)
+    got_texts = run.texts()
+    assert got_texts == res.texts
+    expected = dict(
+        zip(corpus_tbl["url"].to_pylist(), corpus_tbl["text"].to_pylist())
+    )
+    for u, t in got_texts.items():
+        assert expected[str(un.parse(u).without_fragment())] == t
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_t1_crawl_matches_oracle(t1_corpus, tmp_path):
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds)
+    run = run_crawl(path, seeds, str(tmp_path / "run"), CrawlConfig(num_seen_shards=4))
+    assert run.n_waves() == res.n_waves
+    assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_t1_nonfaithful_depth(t1_corpus, tmp_path):
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds, depth_limit=2, faithful_depth=False)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "runNF"),
+        CrawlConfig(num_seen_shards=4, depth_limit=2, faithful_depth=False),
+    )
+    assert run.n_waves() == res.n_waves
+    assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_reproduces_bit_identical(t1_corpus, tmp_path):
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    cfg = CrawlConfig(num_seen_shards=4)
+
+    full = run_crawl(path, seeds, str(tmp_path / "full"), cfg)
+    # kill after wave 2, then resume from checkpoint
+    partial = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "part"),
+        CrawlConfig(num_seen_shards=4, max_waves=3),
+    )
+    assert partial.n_waves() == 3 < full.n_waves()
+    resumed = run_crawl(path, seeds, str(tmp_path / "part"), cfg, resume=True)
+
+    assert resumed.n_waves() == full.n_waves()
+    assert resumed.order().equals(full.order())
+    assert resumed.archive().equals(full.archive())
+    assert resumed.host_counts() == full.host_counts()
+    assert resumed.texts() == full.texts()
+    assert resumed.image_files() == full.image_files()
+    assert resumed.metrics() == full.metrics()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineage_written_per_wave(t1_corpus, tmp_path):
+    import json
+
+    path, _ = t1_corpus
+    run = run_crawl(
+        path,
+        fixtures.default_seeds(5),
+        str(tmp_path / "lin"),
+        CrawlConfig(num_seen_shards=2, max_waves=2),
+    )
+    for d in run.wave_dirs():
+        lin = json.loads((d / "lineage.json").read_text())
+        assert lin["admitted"] <= lin["frontier_rows"]
+        assert "config" in lin and "metrics" in lin

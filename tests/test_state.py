@@ -1,0 +1,159 @@
+"""Seen-set shards, bloom/cuckoo filters, politeness dual implementations."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crawler_ray.keys import finding_keys, hash64, hash_pair
+from crawler_ray.state.filters import BloomFilter, CuckooFilter
+
+
+def test_hash64_stable_and_distinct():
+    a = hash64(["x", "y", "x"])
+    b = hash64(["x", "y", "x"])
+    assert (a == b).all()
+    assert a[0] == a[2] != a[1]
+
+
+def test_finding_keys_image_depth_pinned():
+    keys = finding_keys(
+        ["http://a/p", "http://a/p"], ["page", "image"], [3, 3]
+    ).to_pylist()
+    assert keys[0].endswith("\x1fpage\x1f3")
+    assert keys[1].endswith("\x1fimage\x1f0")
+
+
+@pytest.mark.parametrize("cls", [BloomFilter, CuckooFilter])
+def test_filter_no_false_negatives(cls):
+    f = cls(10_000)
+    keys = [f"key-{i}" for i in range(5_000)]
+    h1, h2 = hash_pair(keys)
+    f.add(h1, h2)
+    assert f.contains(h1, h2).all()  # no false negatives, ever
+
+
+@pytest.mark.parametrize("cls", [BloomFilter, CuckooFilter])
+def test_filter_fpp_reasonable(cls):
+    f = cls(10_000)
+    keys = [f"key-{i}" for i in range(10_000)]
+    h1, h2 = hash_pair(keys)
+    f.add(h1, h2)
+    other = [f"other-{i}" for i in range(10_000)]
+    o1, o2 = hash_pair(other)
+    fp_rate = f.contains(o1, o2).mean()
+    assert fp_rate < 0.03
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_set_probe_semantics():
+    from crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=4, capacity_per_shard=10_000)
+    try:
+        keys = pa.array([f"k{i}" for i in range(100)] + ["k5", "k6"])
+        mask = seen.probe_and_insert(keys)
+        # first occurrences new, intra-call duplicates not
+        assert mask[:100].all()
+        assert not mask[100] and not mask[101]
+        # second call: nothing new
+        assert not seen.probe_and_insert(pa.array(["k0", "k99", "k5"])).any()
+        # fresh keys still new
+        assert seen.probe_and_insert(pa.array(["fresh"])).all()
+        stats = seen.stats()
+        assert sum(s["n_exact"] for s in stats) == 101
+    finally:
+        seen.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_set_restore():
+    from crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=1_000)
+    try:
+        seen.restore(pa.array(["a", "b", "c"]))
+        mask = seen.probe_and_insert(pa.array(["a", "d"]))
+        assert list(mask) == [False, True]
+    finally:
+        seen.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_set_approx_only_mode():
+    from crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=100_000, approx_only=True)
+    try:
+        keys = pa.array([f"u{i}" for i in range(1_000)])
+        assert seen.probe_and_insert(keys).all()
+        assert not seen.probe_and_insert(keys).any()
+        assert seen.stats()[0]["n_exact"] is None
+    finally:
+        seen.shutdown()
+
+
+def _frontier(rows):
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "depth": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+def test_admit_local_off_by_one_and_hostless():
+    from crawler_ray.stages.politeness import admit_local, with_host
+
+    rows = [(f"http://h.test/p{i:04d}", "page", 0) for i in range(300)]
+    rows.append(("mailto:x@y", "page", 0))
+    counts = Counter()
+    admitted, metrics = admit_local(with_host(_frontier(rows)), counts)
+    assert admitted.num_rows == 257
+    assert counts["h.test"] == 257
+    assert metrics["dropped_budget"] == 43
+    assert metrics["dropped_hostless"] == 1
+    # canonical order: lexicographic urls
+    urls = admitted["url"].to_pylist()
+    assert urls == sorted(urls)
+
+
+def test_admit_local_carries_counts_across_waves():
+    from crawler_ray.stages.politeness import admit_local, with_host
+
+    counts = Counter({"h.test": 250})
+    rows = [(f"http://h.test/q{i}", "page", 0) for i in range(20)]
+    admitted, metrics = admit_local(with_host(_frontier(rows)), counts)
+    assert admitted.num_rows == 7  # 257 - 250
+    assert counts["h.test"] == 257
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_admit_ray_equivalent_to_local():
+    import ray.data as rd
+
+    from crawler_ray.stages.politeness import admit_local, admit_ray, with_host
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"http://h{rng.integers(5)}.test/p{i}", "page" if i % 3 else "image", 0)
+        for i in range(2_000)
+    ]
+    rows += [("mailto:x@y", "page", 0)] * 3
+    f = with_host(_frontier(rows))
+
+    counts_a = Counter({"h0.test": 200})
+    local, m_local = admit_local(f, counts_a, limit=256)
+
+    counts_b = Counter({"h0.test": 200})
+    ray_adm, m_ray = admit_ray(rd.from_arrow(f), counts_b, limit=256)
+
+    assert local.select(["url", "kind", "depth"]).equals(
+        ray_adm.select(["url", "kind", "depth"]).cast(
+            local.select(["url", "kind", "depth"]).schema
+        )
+    )
+    assert counts_a == counts_b
+    assert m_local == m_ray

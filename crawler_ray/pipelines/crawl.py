@@ -217,6 +217,53 @@ def _probe_new(
     return findings.filter(pa.array(mask))
 
 
+def _probe_new_ray(
+    rd, parsed_dir: Path, seen: SeenSet, cfg: "CrawlConfig"
+) -> pa.Table:
+    """Large-wave form of _probe_new: findings stream out of the wave
+    checkpoint as a Dataset, (optionally) reduce to one row per Finding key
+    via a groupby shuffle, then probe the shard actors from parallel
+    map_batches tasks. Only the (already-deduped) new findings reach the
+    driver."""
+    import ray
+
+    ds = rd.read_parquet(
+        str(parsed_dir),
+        columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+        filter=pc.field("rec") == "f",
+    ).map_batches(lambda t: t.drop_columns(["rec"]), batch_format="pyarrow")
+    if not cfg.faithful_depth:
+        # canonical winner per key = min (src_url, src_depth); see _probe_new
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "key", finding_keys(t["url"], t["kind"], t["depth"])
+            )
+
+        def reduce(df):
+            return df.sort_values(["src_url", "src_depth"]).head(1)
+
+        ds = (
+            ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("key")
+            .map_groups(reduce, batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["key"]), batch_format="pyarrow")
+        )
+    ds = ds.map_batches(seen.make_prober(), batch_format="pyarrow")
+    refs = ds.to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "src_url": pa.array([], pa.string()),
+                "src_depth": pa.array([], pa.int32()),
+                "url": pa.array([], pa.string()),
+                "kind": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+            }
+        )
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def run_crawl(
     corpus_path: str | list[str],
     seeds: list[str],
@@ -336,11 +383,16 @@ def _run_wave(
 
     # ---- read back findings (pruned) + seen probe (ST1) -------------------
     if have_parsed:
-        findings = pq.read_table(
-            parsed_dir,
-            columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-            filters=[("rec", "==", "f")],
-        ).drop_columns(["rec"])
+        total_parsed = sum(
+            pq.read_metadata(f).num_rows for f in parsed_dir.glob("*.parquet")
+        )
+        findings = None
+        if total_parsed <= cfg.ray_state_threshold:
+            findings = pq.read_table(
+                parsed_dir,
+                columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+                filters=[("rec", "==", "f")],
+            ).drop_columns(["rec"])
         n_texts = pq.read_table(
             parsed_dir, columns=["rec"], filters=[("rec", "==", "t")]
         ).num_rows
@@ -366,6 +418,8 @@ def _run_wave(
         )
         n_texts = 0
         n_img_ok = 0
+        total_parsed = 0
+        mrows = pa.table({"metric": pa.array([], pa.string())})
     # fetch misses = dispatched-and-fetchable minus rows that came back
     wave_metrics["fetch_miss_page"] += n_pages_dispatched - n_texts
     img_attempts = (
@@ -375,7 +429,12 @@ def _run_wave(
     )
     wave_metrics["fetch_miss_image"] += n_images_dispatched - img_attempts
 
-    new = _probe_new(findings, seen, cfg.faithful_depth)
+    if findings is not None:
+        n_findings = findings.num_rows
+        new = _probe_new(findings, seen, cfg.faithful_depth)
+    else:  # large wave: probe as a streaming Dataset stage
+        n_findings = total_parsed - n_texts - n_img_ok - mrows.num_rows
+        new = _probe_new_ray(rd, parsed_dir, seen, cfg)
     pq.write_table(
         new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),
         tmp_dir / "archive_delta.parquet",
@@ -414,7 +473,7 @@ def _run_wave(
         wave=wave,
         frontier_rows=frontier.num_rows,
         admitted=admitted.num_rows,
-        findings=findings.num_rows,
+        findings=n_findings,
         new_findings=new.num_rows,
         next_frontier=next_frontier.num_rows,
         metrics=dict(wave_metrics),

@@ -141,6 +141,41 @@ class SeenSet:
             ]
         )
 
+    def make_prober(self):
+        """A map_batches-ready probe stage for large waves: each task routes
+        its batch's keys to the shard actors and keeps only new findings.
+        The actor pool is the shared state; tasks are stateless and elastic,
+        so the probe parallelizes with the number of blocks while every
+        shard serializes its own partition of the key space."""
+        shards, n = self.shards, self.num_shards
+
+        def probe(batch: pa.Table) -> pa.Table:
+            from ..keys import finding_keys
+
+            if batch.num_rows == 0:
+                return batch
+            keys = finding_keys(
+                batch["url"], batch["kind"], batch["depth"]
+            )
+            shard_of = (hash64(keys) % np.uint64(n)).astype(np.int64)
+            key_list = keys.to_pylist()
+            mask = np.zeros(batch.num_rows, dtype=bool)
+            futures, positions = [], []
+            for s in range(n):
+                pos = np.nonzero(shard_of == s)[0]
+                if len(pos):
+                    futures.append(
+                        shards[s].probe_and_insert.remote(
+                            [key_list[i] for i in pos]
+                        )
+                    )
+                    positions.append(pos)
+            for pos, m in zip(positions, ray.get(futures)):
+                mask[pos] = m
+            return batch.filter(pa.array(mask))
+
+        return probe
+
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 

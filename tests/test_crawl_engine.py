@@ -76,6 +76,52 @@ def test_t1_nonfaithful_depth(t1_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_t1_budget_overflow_matches_oracle(t1_corpus, tmp_path):
+    # lowered host limit makes the politeness budget bind at t1 scale
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds, host_limit=20)
+    assert res.metrics["dropped_budget"] > 0  # the scenario must bind
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "runB"),
+        CrawlConfig(num_seen_shards=4, host_limit=20),
+    )
+    assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_state_paths_match_oracle(t1_corpus, tmp_path):
+    # threshold 0 forces the shuffle-native politeness (groupby.map_groups)
+    # and the streaming Dataset seen-probe on every wave
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "runD"),
+        CrawlConfig(num_seen_shards=4, ray_state_threshold=0, max_waves=3),
+    )
+    res3 = oracle.simulate(corpus, seeds)  # full run; compare first 3 waves
+    got = run.order()
+    want = [o for o in res3.order if o[0] < 3]
+    got_order = list(
+        zip(
+            got["wave"].to_pylist(),
+            got["rank"].to_pylist(),
+            got["url"].to_pylist(),
+            got["kind"].to_pylist(),
+            got["depth"].to_pylist(),
+        )
+    )
+    assert got_order == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_resume_reproduces_bit_identical(t1_corpus, tmp_path):
     path, tbl = t1_corpus
     seeds = fixtures.default_seeds(5)

@@ -214,7 +214,15 @@ def _probe_new(
         findings = findings.take(pa.array(first_idx))
     keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
     mask = seen.probe_and_insert(keys)
-    return findings.filter(pa.array(mask))
+    return _canonical_findings_sort(findings.filter(pa.array(mask)))
+
+
+def _canonical_findings_sort(t: pa.Table) -> pa.Table:
+    """Checkpoint determinism: new-finding sets are order-insensitive, but
+    the parquet row order must be stable for bit-identical resume/compare."""
+    return t.sort_by(
+        [("kind", "ascending"), ("url", "ascending"), ("depth", "ascending")]
+    )
 
 
 def _probe_new_ray(
@@ -261,7 +269,7 @@ def _probe_new_ray(
                 "depth": pa.array([], pa.int32()),
             }
         )
-    return pa.concat_tables(parts).combine_chunks()
+    return _canonical_findings_sort(pa.concat_tables(parts).combine_chunks())
 
 
 def run_crawl(

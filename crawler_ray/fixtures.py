@@ -249,6 +249,25 @@ def _aux_rows(seed: int, n_hosts: int, pages_per_host: int, hub_linked: int) -> 
                     "lang": "",
                 }
             )
+    # robots.txt rows (inert unless CrawlConfig.respect_robots — they are
+    # never linked, so faithful-mode crawls never fetch them)
+    robots = {
+        "http://host2.test/robots.txt": "User-agent: *\nDisallow: /dir/\n",
+        "http://hub.test/robots.txt": (
+            "# hub rate rules\nUser-agent: *\nDisallow: /h1\nDisallow: /h3\n"
+        ),
+        "https://host3.test/robots.txt": "User-agent: *\nDisallow: /\n",
+    }
+    for r_url, r_body in robots.items():
+        rows.append(
+            {
+                "url": r_url,
+                "warc_ts": _EPOCH_US,
+                "html": r_body.encode(),
+                "text": r_body,
+                "lang": "",
+            }
+        )
     # the empty-last-segment image URL exists, so the sink-error branch
     # (File::create on a directory path, main.rs:276) is reachable
     rows.append(

@@ -74,14 +74,34 @@ class CrawlResult:
     n_waves: int = 0
 
 
+def _robots_rules(corpus: dict[str, bytes], host: str) -> list[str]:
+    from .stages.robots import parse_robots
+
+    rules: list[str] = []
+    for scheme in ("http", "https"):
+        body = corpus.get(f"{scheme}://{host}/robots.txt")
+        if body is not None:
+            rules.extend(parse_robots(body))
+    return rules
+
+
 def simulate(
     corpus: dict[str, bytes],
     seeds: list[str],
     depth_limit: int = 4,
     host_limit: int = 256,
     faithful_depth: bool = True,
+    priority: str = "canonical",
+    respect_robots: bool = False,
 ) -> CrawlResult:
     res = CrawlResult()
+    robots: dict[str, list[str]] = {}
+
+    def robots_disallowed(u: un.Url) -> bool:
+        if u.host not in robots:
+            robots[u.host] = _robots_rules(corpus, u.host)
+        path = u.path + (f"?{u.query}" if u.query is not None else "")
+        return any(path.startswith(p) for p in robots[u.host])
 
     # CLI seed parse: invalid seed is a hard error (main.rs:301-307 unwrap)
     seed_urls = {str(un.parse(s)) for s in seeds}
@@ -90,16 +110,48 @@ def simulate(
     while queue:
         wave = res.n_waves
         res.n_waves += 1
-        queue.sort(key=canonical_sort_key)
         current, queue = queue, []
+
+        # robots gate (extension): before hostless/budget, uncounted
+        if respect_robots:
+            kept = []
+            for item in current:
+                u = un.parse(item[0])
+                if u.host is not None and robots_disallowed(u):
+                    res.metrics["dropped_robots"] += 1
+                else:
+                    kept.append(item)
+            current = kept
+
+        # hostless drop, then priority order over the remainder
+        valid = []
+        for item in current:
+            if un.parse(item[0]).host is None:
+                res.metrics["dropped_hostless"] += 1
+            else:
+                valid.append(item)
+        if priority == "canonical":
+            valid.sort(key=canonical_sort_key)
+        elif priority == "shallow_first":
+            valid.sort(key=lambda it: (it[2], it[1], it[0]))
+        elif priority == "hot_host_first":
+            wave_hosts = Counter(un.parse(it[0]).host for it in valid)
+            valid.sort(
+                key=lambda it: (
+                    -wave_hosts[un.parse(it[0]).host],
+                    un.parse(it[0]).host,
+                    it[1],
+                    it[0],
+                    it[2],
+                )
+            )
+        else:
+            raise ValueError(f"unknown priority mode {priority!r}")
 
         admitted: list[tuple[str, str, int]] = []
         rank = 0
-        for url_s, kind, depth in current:
+        for url_s, kind, depth in valid:
             u = un.parse(url_s)
-            if u.host is None:
-                res.metrics["dropped_hostless"] += 1
-                continue
             if res.host_counts[u.host] > host_limit:
                 res.metrics["dropped_budget"] += 1
                 continue
@@ -108,7 +160,11 @@ def simulate(
             res.order.append((wave, rank, url_s, kind, depth))
             rank += 1
 
-        # barrier 1: all spiders (pages), canonical order
+        # barrier 1: all spiders (pages). Response processing stays in
+        # CANONICAL order even under priority admission modes (priority
+        # governs dispatch/budget rank only) so archive/queue winners and
+        # image overwrites stay order-deterministic across both engines.
+        admitted = sorted(admitted, key=canonical_sort_key)
         for url_s, kind, depth in admitted:
             if kind != PAGE:
                 continue

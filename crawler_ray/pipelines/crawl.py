@@ -51,6 +51,7 @@ from ..stages.parse import (
     build_lookups,
     process_wave_batch,
 )
+from ..stages.robots import RobotsCache
 from ..state.seen import SeenSet
 
 FRONTIER_SCHEMA = pa.schema(
@@ -70,6 +71,8 @@ class CrawlConfig:
     batch_size: int = 256  # pages per parse batch
     ray_state_threshold: int = 200_000  # frontier rows → Ray politeness/probe
     max_waves: int | None = None
+    priority: str = "canonical"  # | shallow_first | hot_host_first
+    respect_robots: bool = False  # robots.txt gate (extension; off = faithful)
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -310,9 +313,12 @@ def run_crawl(
         out.mkdir(parents=True)
         frontier = seeds_table(seeds)
 
+    robots = RobotsCache(corpus_path) if cfg.respect_robots else None
     try:
         while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
-            frontier = _run_wave(rd, corpus_path, frontier, counts, seen, out, wave, cfg)
+            frontier = _run_wave(
+                rd, corpus_path, frontier, counts, seen, out, wave, cfg, robots
+            )
             wave += 1
     finally:
         seen.shutdown()
@@ -328,6 +334,7 @@ def _run_wave(
     out: Path,
     wave: int,
     cfg: CrawlConfig,
+    robots: "RobotsCache | None" = None,
 ) -> pa.Table:
     wave_dir = out / f"wave={wave:05d}"
     tmp_dir = out / f".wave={wave:05d}.tmp"
@@ -338,13 +345,19 @@ def _run_wave(
     tmp_dir.mkdir(parents=True)
     wave_metrics: Counter = Counter()
 
-    # ---- politeness gate (ST2) --------------------------------------------
+    # ---- robots gate (extension) then politeness gate (ST2) ---------------
     frontier = politeness.with_host(frontier)
+    if robots is not None:
+        frontier, n_robots = robots.filter_frontier(frontier)
+        if n_robots:
+            wave_metrics["dropped_robots"] = n_robots
     if frontier.num_rows <= cfg.ray_state_threshold:
-        admitted, m = politeness.admit_local(frontier, counts, cfg.host_limit)
+        admitted, m = politeness.admit_local(
+            frontier, counts, cfg.host_limit, cfg.priority
+        )
     else:
         admitted, m = politeness.admit_ray(
-            rd.from_arrow(frontier), counts, cfg.host_limit
+            rd.from_arrow(frontier), counts, cfg.host_limit, cfg.priority
         )
     wave_metrics.update(m)
 

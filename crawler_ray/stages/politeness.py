@@ -44,23 +44,66 @@ def with_host(frontier: pa.Table) -> pa.Table:
     return frontier.append_column("host", pa.array(hosts, type=pa.string()))
 
 
-def canonical_sort(tbl: pa.Table) -> pa.Table:
+#: priority modes → (pandas sort columns, ascending flags). The priority
+#: frontier (north_rule) is realized as the wave's admission ORDER: which
+#: findings win the per-host budget and in what rank they dispatch.
+#: "canonical" is the determinized reference order; "shallow_first" drains
+#: low depths first (real frontier-priority behavior); "hot_host_first"
+#: ranks hosts by their pending-finding count this wave (computed by a
+#: per-wave groupby(host) aggregate — the groupby-aggregate-sort shuffle
+#: shape at scale) so dense hosts drain their budget early.
+PRIORITY_MODES = {
+    "canonical": (["kind", "url", "depth"], [True, True, True]),
+    "shallow_first": (["depth", "kind", "url"], [True, True, True]),
+    "hot_host_first": (
+        ["host_wave_rows", "host", "kind", "url", "depth"],
+        [False, True, True, True, True],
+    ),
+}
+
+
+def attach_priority_columns(tbl: pa.Table, priority: str) -> pa.Table:
+    """Attach any computed columns a priority mode sorts on (per-wave
+    aggregates). For hot_host_first this is the wave's per-host row count."""
+    if priority == "hot_host_first" and "host_wave_rows" not in tbl.column_names:
+        counts = Counter(h for h in tbl["host"].to_pylist() if h is not None)
+        tbl = tbl.append_column(
+            "host_wave_rows",
+            pa.array(
+                [counts.get(h, 0) for h in tbl["host"].to_pylist()], pa.int64()
+            ),
+        )
+    return tbl
+
+
+def priority_sort(tbl: pa.Table, priority: str = "canonical") -> pa.Table:
+    cols, asc = PRIORITY_MODES[priority]
+    tbl = attach_priority_columns(tbl, priority)
     return tbl.sort_by(
-        [("kind", "ascending"), ("url", "ascending"), ("depth", "ascending")]
+        [(c, "ascending" if a else "descending") for c, a in zip(cols, asc)]
     )
 
 
-def _admit_group(df: pd.DataFrame, prior: int, limit: int) -> pd.DataFrame:
-    """Within one host group, canonical order: admit while prior+rank <= limit."""
-    df = df.sort_values(["kind", "url", "depth"], kind="mergesort")
+def canonical_sort(tbl: pa.Table) -> pa.Table:
+    return priority_sort(tbl, "canonical")
+
+
+def _admit_group(
+    df: pd.DataFrame, prior: int, limit: int, priority: str = "canonical"
+) -> pd.DataFrame:
+    """Within one host group, priority order: admit while prior+rank <= limit."""
+    pairs = [(c, a) for c, a in zip(*PRIORITY_MODES[priority]) if c in df.columns]
+    df = df.sort_values(
+        [c for c, _ in pairs], ascending=[a for _, a in pairs], kind="mergesort"
+    )
     n_admit = max(0, min(len(df), limit + 1 - prior))
     return df.iloc[:n_admit]
 
 
 def admit_local(
-    frontier: pa.Table, counts: Counter, limit: int = 256
+    frontier: pa.Table, counts: Counter, limit: int = 256, priority: str = "canonical"
 ) -> tuple[pa.Table, Counter]:
-    """Driver-side vectorized admission. Returns (admitted table in canonical
+    """Driver-side vectorized admission. Returns (admitted table in priority
     order, metrics). Mutates ``counts`` with the admitted increments and
     records drops in the returned metrics Counter."""
     metrics: Counter = Counter()
@@ -73,7 +116,7 @@ def admit_local(
     if n_hostless:
         metrics["dropped_hostless"] = n_hostless
         frontier = frontier.filter(pc.invert(hostless))
-    frontier = canonical_sort(frontier)
+    frontier = priority_sort(frontier, priority)
 
     hosts = frontier["host"].to_pylist()
     keep = np.zeros(len(hosts), dtype=bool)
@@ -83,13 +126,17 @@ def admit_local(
         counts[h] += 1
         keep[i] = True
     metrics["dropped_budget"] = int((~keep).sum())
-    return frontier.filter(pa.array(keep)), metrics
+    admitted = frontier.filter(pa.array(keep))
+    if "host_wave_rows" in admitted.column_names:
+        admitted = admitted.drop_columns(["host_wave_rows"])
+    return admitted, metrics
 
 
 def admit_ray(
     frontier_ds,
     counts: Counter,
     limit: int = 256,
+    priority: str = "canonical",
 ) -> tuple[pa.Table, Counter]:
     """Shuffle-native admission over a Dataset of frontier rows (url, kind,
     depth, host). Broadcasts the prior counts once (ray.put); each host
@@ -106,7 +153,7 @@ def admit_ray(
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         prior = ray.get(counts_ref).get(df["host"].iloc[0], 0)
-        return _admit_group(df, prior, limit)
+        return _admit_group(df, prior, limit, priority)
 
     mat = frontier_ds.materialize()  # wave frontier: bounded, reused twice
     n_total = mat.count()
@@ -114,14 +161,32 @@ def admit_ray(
         lambda t: t.filter(pc.is_valid(t["host"])), batch_format="pyarrow"
     ).materialize()
     n_valid_in = valid.count()
+    if priority == "hot_host_first":
+        # per-wave groupby(host) count → priority column (the aggregate-sort
+        # shuffle; counts computed distributed, joined back by host)
+        hc = {
+            r["host"]: r["count()"]
+            for r in valid.groupby("host").count().take_all()
+        }
+        valid = valid.map_batches(
+            lambda t: t.append_column(
+                "host_wave_rows",
+                pa.array([hc[h] for h in t["host"].to_pylist()], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        ).materialize()
     admitted_df = (
         valid.groupby("host").map_groups(gate, batch_format="pandas").to_pandas()
     )
-    admitted = canonical_sort(
+    admitted = priority_sort(
         pa.Table.from_pandas(admitted_df, preserve_index=False).select(
             ["url", "kind", "depth", "host"]
-        )
+            + (["host_wave_rows"] if "host_wave_rows" in admitted_df else [])
+        ),
+        priority,
     )
+    if "host_wave_rows" in admitted.column_names:
+        admitted = admitted.drop_columns(["host_wave_rows"])
 
     metrics: Counter = Counter()
     for h in admitted["host"].to_pylist():

@@ -1,0 +1,89 @@
+"""robots.txt politeness gate (engine extension; the reference has none).
+
+The north-star design keeps per-host robots rules cached next to the
+politeness state. Here the cache is a driver/broadcast dict populated
+lazily per wave: for every not-yet-seen host in the frontier, the corpus is
+probed (pushdown ``isin`` scan, both schemes) for ``{scheme}://host/robots.txt``
+and the body parsed with the stdlib's protocol rules restricted to
+``User-agent: *`` groups and ``Disallow:`` prefix lines (the original 1994
+robots.txt convention; no wildcards/Allow precedence, documented subset).
+
+Gate placement: at dispatch, before the budget counter — a robots-blocked
+URL is dropped with a ``dropped_robots`` metric and does NOT consume host
+budget; robots lookups themselves are out-of-band metadata reads (not
+archived, not budget-counted). Off by default (``CrawlConfig.respect_robots``)
+so the faithful-reference mode is unaffected.
+
+Scale note: the cache is an ordinary dict here (hosts ≪ frontier); on a
+cluster it is either broadcast per wave (ray.put) or held in the fetcher
+actors keyed by host partition — same probe interface.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import urlnorm as un
+
+
+def parse_robots(body: bytes | str) -> list[str]:
+    """Disallow prefixes for User-agent: * (conservative subset)."""
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", errors="replace")
+    prefixes: list[str] = []
+    applies = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip()
+        if field == "user-agent":
+            applies = value == "*"
+        elif field == "disallow" and applies and value:
+            prefixes.append(value)
+    return prefixes
+
+
+class RobotsCache:
+    def __init__(self, corpus_path: str | list[str]) -> None:
+        self.corpus_path = corpus_path
+        self.rules: dict[str, list[str]] = {}
+
+    def ensure_hosts(self, hosts: set[str]) -> None:
+        missing = sorted(h for h in hosts if h not in self.rules)
+        if not missing:
+            return
+        lookups = [f"{s}://{h}/robots.txt" for h in missing for s in ("http", "https")]
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(self.corpus_path, format="parquet")
+        t = dset.to_table(
+            columns=["url", "html"], filter=pc.field("url").isin(lookups)
+        )
+        found: dict[str, list[str]] = {}
+        for u, body in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            host = un.parse(u).host
+            found.setdefault(host, []).extend(parse_robots(body))
+        for h in missing:
+            self.rules[h] = found.get(h, [])
+
+    def disallowed(self, url_s: str) -> bool:
+        u = un.parse(url_s)
+        if u.host is None:
+            return False
+        prefixes = self.rules.get(u.host, ())
+        path = u.path + (f"?{u.query}" if u.query is not None else "")
+        return any(path.startswith(p) for p in prefixes)
+
+    def filter_frontier(self, frontier: pa.Table) -> tuple[pa.Table, int]:
+        """Drop disallowed rows; returns (kept, n_dropped)."""
+        hosts = {h for h in frontier["host"].to_pylist() if h is not None}
+        self.ensure_hosts(hosts)
+        keep = pa.array(
+            [not self.disallowed(u) for u in frontier["url"].to_pylist()]
+        )
+        kept = frontier.filter(keep)
+        return kept, frontier.num_rows - kept.num_rows

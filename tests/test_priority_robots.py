@@ -1,0 +1,60 @@
+"""Priority-frontier admission modes and the robots.txt gate: engine must
+match the oracle under every mode; robots parsing unit-tested directly."""
+
+import pytest
+
+from crawler_ray import fixtures, oracle
+from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from crawler_ray.stages.robots import parse_robots
+from tests.test_crawl_engine import assert_run_matches_oracle
+
+
+def test_parse_robots_subset():
+    body = b"""
+# comment
+User-agent: googlebot
+Disallow: /only-google
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+Disallow:
+User-agent: other
+Disallow: /other
+"""
+    assert parse_robots(body) == ["/private/", "/tmp"]
+
+
+@pytest.mark.parametrize("priority", ["shallow_first", "hot_host_first"])
+@pytest.mark.usefixtures("ray_session")
+def test_priority_modes_match_oracle(t1_corpus, tmp_path, priority):
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    # host_limit low enough that admission order changes outcomes
+    res = oracle.simulate(corpus, seeds, host_limit=15, priority=priority)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / f"run_{priority}"),
+        CrawlConfig(num_seen_shards=4, host_limit=15, priority=priority),
+    )
+    assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_gate_matches_oracle(t1_corpus, tmp_path):
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds, respect_robots=True)
+    assert res.metrics["dropped_robots"] > 0  # fixture rules must bind
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_robots"),
+        CrawlConfig(num_seen_shards=4, respect_robots=True),
+    )
+    assert_run_matches_oracle(run, res, tbl)
+    # robots-blocked hub pages consumed no budget
+    base = oracle.simulate(corpus, seeds)
+    assert run.host_counts()["hub.test"] < base.host_counts["hub.test"]

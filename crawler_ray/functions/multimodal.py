@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata columns
+alongside (the crawl engine's image path already produces exactly this:
+``url, filename, data, nbytes``). The decode / feature-extract / resize /
+frame-sample stages are actor-pool ``map_batches`` stages whose Ray-side
+shape — schema, batch sizing for large payloads, per-actor codec setup,
+output layout — is real and tested; the codec call itself is STUBBED
+because no image/audio library ships in this container:
+
+- ``DecodeImage(strict=True)`` raises NotImplementedError at the codec
+  boundary (the honest production stub);
+- ``DecodeImage(strict=False)`` substitutes a deterministic fake decode
+  (dimensions/features derived from the bytes) so pipelines and tests can
+  exercise the full path end-to-end.
+
+Batch-size guidance encoded here: media batches are sized by BYTES not
+rows (`suggest_batch_size`), because a 4k image row is ~10^4× a text row;
+the object store spills whole blocks, so blocks must stay ≪ worker heap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # image | audio | video
+        ("data", pa.binary()),
+        ("nbytes", pa.int64()),
+        ("content_sha", pa.string()),
+    ]
+)
+
+
+def suggest_batch_size(mean_payload_bytes: int, budget_bytes: int = 64 << 20) -> int:
+    """Rows per batch so one batch stays under the per-task byte budget."""
+    return max(1, budget_bytes // max(1, mean_payload_bytes))
+
+
+def wrap_binary(batch: pa.Table, data_col: str, kind: str) -> pa.Table:
+    """Lift an arbitrary binary column into the MEDIA_SCHEMA shape."""
+    data = batch[data_col].to_pylist()
+    return pa.table(
+        {
+            "media_id": pa.array(range(len(data)), pa.int64()),
+            "kind": pa.array([kind] * len(data)),
+            "data": pa.array(data, pa.binary()),
+            "nbytes": pa.array([len(d or b"") for d in data], pa.int64()),
+            "content_sha": pa.array(
+                [hashlib.sha256(d or b"").hexdigest() for d in data]
+            ),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor-pool decode stage. __init__ loads the codec once per actor
+    (stubbed); __call__ decodes a batch and appends width/height/channels
+    plus a small feature vector."""
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+        self.codec = None  # a real build would load PIL/turbojpeg here
+
+    def _decode(self, data: bytes) -> tuple[int, int, int, np.ndarray]:
+        if self.strict:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install pillow/turbojpeg and load it in __init__"
+            )
+        # deterministic fake decode: dims + features derived from content
+        h = hashlib.blake2b(data or b"", digest_size=16).digest()
+        width = 64 + h[0] * 4
+        height = 64 + h[1] * 4
+        feats = (
+            np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
+        )
+        return width, height, 3, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, cs, fs = [], [], [], []
+        for data in batch["data"].to_pylist():
+            w, h, c, f = self._decode(data)
+            ws.append(w)
+            hs.append(h)
+            cs.append(c)
+            fs.append(f.tolist())
+        return (
+            batch.drop_columns(["data"])  # decoded stages drop the payload
+            .append_column("width", pa.array(ws, pa.int32()))
+            .append_column("height", pa.array(hs, pa.int32()))
+            .append_column("channels", pa.array(cs, pa.int32()))
+            .append_column("features", pa.array(fs, pa.list_(pa.float32())))
+        )
+
+
+class SampleFrames:
+    """Video frame-sampling stage shape: emits ``n_frames`` rows per input
+    row (flat-map inside map_batches), each tagged (media_id, frame_idx)
+    with a deterministic fake frame payload when not strict."""
+
+    def __init__(self, n_frames: int = 4, strict: bool = False) -> None:
+        self.n = n_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, data in zip(
+            batch["media_id"].to_pylist(), batch["data"].to_pylist()
+        ):
+            if self.strict:
+                raise NotImplementedError("video codec not available")
+            for i in range(self.n):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(
+                    hashlib.blake2b(
+                        (data or b"") + i.to_bytes(4, "big"), digest_size=32
+                    ).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )

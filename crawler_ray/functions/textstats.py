@@ -1,0 +1,157 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized batch transforms over a ``text`` column
+(documents table / crawl text output), designed for ``map_batches``:
+stateless ones are plain functions (elastic tasks); the language-ID model
+is a callable class (actor pool) because it builds its n-gram profile
+tables once per actor.
+
+Scale notes: every function is per-row independent — no shuffle, no state,
+linear scaling with blocks. Regexes are compiled at module import (once per
+worker process); pandas/pyarrow kernels do the per-batch work.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: word pieces, numbers, punctuation runs — the common
+# GPT-2-style pre-split shape (public pattern family), ASCII-safe.
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+_WS_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens + BPE-ish subword-piece counts per document."""
+    texts = batch["text"].to_pandas().fillna("")
+    ws = texts.map(lambda t: len(_WS_RE.findall(t)))
+    bpe = texts.map(lambda t: len(_BPE_RE.findall(t)))
+    return batch.append_column(
+        "ws_tokens", pa.array(ws.to_numpy(), pa.int64())
+    ).append_column("bpe_tokens", pa.array(bpe.to_numpy(), pa.int64()))
+
+
+def quality_scores(batch: pa.Table) -> pa.Table:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean word length — the standard cheap pre-filters for web text
+    (C4/Gopher-style rule families)."""
+    texts = batch["text"].to_pandas().fillna("")
+    n_chars = texts.str.len().to_numpy(dtype=np.int64)
+    n_punct = texts.map(lambda t: len(_PUNCT_RE.findall(t))).to_numpy(np.int64)
+    words = texts.map(lambda t: t.lower().split())
+    n_words = words.map(len).to_numpy(np.int64)
+    n_stop = words.map(lambda ws: sum(w in _STOPWORDS for w in ws)).to_numpy(
+        np.int64
+    )
+    mean_wl = np.where(
+        n_words > 0,
+        words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0),
+        0.0,
+    ).astype(np.float64)
+    safe_chars = np.maximum(n_chars, 1)
+    safe_words = np.maximum(n_words, 1)
+    out = batch
+    out = out.append_column("n_chars_txt", pa.array(n_chars))
+    out = out.append_column("n_words", pa.array(n_words))
+    out = out.append_column(
+        "punct_ratio", pa.array(n_punct / safe_chars, pa.float64())
+    )
+    out = out.append_column(
+        "stopword_ratio", pa.array(n_stop / safe_words, pa.float64())
+    )
+    out = out.append_column("mean_word_len", pa.array(mean_wl, pa.float64()))
+    return out
+
+
+def fingerprints(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Deterministic document fingerprint: 64-bit polynomial rolling hash of
+    the whole text plus a winnowed min-hash over ``window``-gram rolling
+    hashes (Karp-Rabin / winnowing family) — stable content identity that
+    survives re-chunking."""
+    texts = batch["text"].to_pylist()
+    MOD = (1 << 61) - 1
+    BASE = 257
+    full = np.empty(len(texts), dtype=np.uint64)
+    winnow = np.empty(len(texts), dtype=np.uint64)
+    pow_w = pow(BASE, window - 1, MOD)
+    for i, t in enumerate(texts):
+        t = t or ""
+        h = 0
+        for ch in t.encode("utf-8", "replace"):
+            h = (h * BASE + ch) % MOD
+        full[i] = h
+        data = t.encode("utf-8", "replace")
+        if len(data) < window:
+            winnow[i] = full[i]
+            continue
+        roll = 0
+        best = MOD
+        for j, ch in enumerate(data):
+            roll = (roll * BASE + ch) % MOD
+            if j >= window:
+                roll = (roll - data[j - window] * pow_w * BASE) % MOD
+            if j >= window - 1 and roll < best:
+                best = roll
+        winnow[i] = best
+    return batch.append_column(
+        "fingerprint", pa.array(full, pa.uint64())
+    ).append_column("min_gram_hash", pa.array(winnow, pa.uint64()))
+
+
+class LangId:
+    """Character-n-gram language identifier (Cavnar & Trenkle-style rank
+    profiles over a tiny built-in seed corpus). Actor-pool stage: profiles
+    built once per actor in __init__, batches scored vectorized-ish in
+    __call__. A deterministic heuristic, not a trained model — the point is
+    the Ray plumbing shape (stateful setup amortized across batches)."""
+
+    SEEDS = {
+        "en": "the quick brown fox jumps over the lazy dog and then it runs "
+        "away with this that have from they will would there what when",
+        "de": "der die das und ist nicht ich sie wir ihr ein eine zu von mit "
+        "auf für über aber auch nach bei durch wenn dann haben werden",
+        "fr": "le la les et est ne pas je vous nous ils une des du au aux "
+        "avec pour sur dans par mais aussi être avoir fait comme plus",
+    }
+
+    def __init__(self, n: int = 3, top: int = 300) -> None:
+        self.n = n
+        self.profiles = {
+            lang: self._profile(text, top) for lang, text in self.SEEDS.items()
+        }
+
+    def _grams(self, text: str):
+        text = f" {text.lower()} "
+        return (text[i : i + self.n] for i in range(max(0, len(text) - self.n + 1)))
+
+    def _profile(self, text: str, top: int) -> dict[str, int]:
+        from collections import Counter
+
+        common = Counter(self._grams(text)).most_common(top)
+        return {g: rank for rank, (g, _) in enumerate(common)}
+
+    def _score_one(self, text: str) -> str:
+        from collections import Counter
+
+        grams = Counter(self._grams(text or "")).most_common(300)
+        best_lang, best_dist = "und", float("inf")
+        for lang, prof in self.profiles.items():
+            out_of_place = sum(
+                abs(prof.get(g, len(prof)) - rank) for rank, (g, _) in enumerate(grams)
+            )
+            if out_of_place < best_dist:
+                best_dist, best_lang = out_of_place, lang
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self._score_one(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("pred_lang", pa.array(langs, pa.string()))

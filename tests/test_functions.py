@@ -1,0 +1,226 @@
+"""Training-data operator family over the driver testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_counts(docs_ds):
+    from crawler_ray.functions.textstats import token_counts
+
+    out = docs_ds.map_batches(token_counts, batch_format="pyarrow").to_pandas()
+    assert (out["ws_tokens"] >= 0).all()
+    assert (out["bpe_tokens"] >= out["ws_tokens"]).all()  # subwords ≥ words
+    row = out.iloc[0]
+    assert row["ws_tokens"] == len(row["text"].split())
+
+
+def test_quality_scores(docs_ds):
+    from crawler_ray.functions.textstats import quality_scores
+
+    out = docs_ds.map_batches(quality_scores, batch_format="pyarrow").to_pandas()
+    assert ((out["punct_ratio"] >= 0) & (out["punct_ratio"] <= 1)).all()
+    assert ((out["stopword_ratio"] >= 0) & (out["stopword_ratio"] <= 1)).all()
+    assert (out["n_chars_txt"] == out["text"].str.len()).all()
+
+
+def test_fingerprints_deterministic(docs_ds):
+    from crawler_ray.functions.textstats import fingerprints
+
+    a = docs_ds.map_batches(fingerprints, batch_format="pyarrow").to_pandas()
+    b = docs_ds.map_batches(fingerprints, batch_format="pyarrow").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["fingerprint"] == b["fingerprint"]).all()
+    # identical text ⇒ identical fingerprint
+    dup = a.groupby("text")["fingerprint"].nunique()
+    assert (dup == 1).all()
+
+
+def test_langid_separates_languages(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.textstats import LangId
+
+    ds = rd.from_items(
+        [
+            {"text": "the cat and the dog went to the house with them"},
+            {"text": "der hund und die katze sind nicht in dem haus mit ihnen"},
+            {"text": "le chat et le chien sont dans la maison avec vous"},
+        ]
+    )
+    out = ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    langs = out["pred_lang"].tolist()
+    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "fr"
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+            {"doc_id": 7, "text": "bbb"},
+            {"doc_id": 5, "text": "ccc"},
+        ]
+    )
+    kept = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert kept["doc_id"].tolist() == [1, 2, 5]  # min id per content
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import minhash_lsh_dedup, ngram_jaccard
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green meadow near the old stone bridge"
+    )
+    near = base.replace("quiet", "silent")  # high jaccard
+    far = "completely different content about spaceships and quantum physics"
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": far},
+            {"doc_id": 3, "text": base},  # exact dup
+        ]
+    )
+    assert ngram_jaccard(base, near) > 0.8
+    clusters, pairs = minhash_lsh_dedup(ds, threshold=0.8)
+    comp = dict(zip(clusters["doc_id"], clusters["rep_id"]))
+    assert comp.get(1) == 0 and comp.get(3) == 0
+    assert 2 not in comp  # far doc untouched
+    assert ((pairs["a"] != 2) & (pairs["b"] != 2)).all()
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import simhash_pairs
+
+    words = [f"word{i}" for i in range(120)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])  # deterministic hamming 3
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": near},
+            {"doc_id": 2, "text": "unrelated words entirely different topic set"},
+        ]
+    )
+    pairs = simhash_pairs(ds, max_hamming=6)
+    assert pairs[["a", "b"]].values.tolist() == [[0, 1]]
+    assert pairs["hamming"].tolist() == [3]
+
+
+def test_brute_force_topk_matches_numpy(emb_ds):
+    from crawler_ray.functions.similarity import brute_force_topk
+
+    full = emb_ds.to_pandas()
+    m = np.asarray(list(full["embedding"]), dtype=np.float32)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    q = m[:2]
+    got = brute_force_topk(emb_ds, q, k=5)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = mn @ qn.T
+    ids = full["vec_id"].to_numpy()
+    for qi in range(2):
+        order = np.lexsort((ids, -sims[:, qi]))[:5]
+        want = ids[order].tolist()
+        have = got[got["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert have == want
+
+
+def test_lsh_topk_overlaps_exact(emb_ds):
+    from crawler_ray.functions.similarity import brute_force_topk, lsh_topk
+
+    full = emb_ds.to_pandas()
+    q = np.asarray(list(full["embedding"][:3]), dtype=np.float32)
+    exact = brute_force_topk(emb_ds, q, k=10)
+    approx = lsh_topk(emb_ds, q, k=10, n_planes=6)
+    # the query vector itself must be found (it shares its own bucket)
+    for qi in range(3):
+        got = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        assert full["vec_id"][qi] in got
+        # and overlap with the exact top-10 is nontrivial
+        inter = set(got) & set(exact[exact["query_id"] == qi]["vec_id"])
+        assert len(inter) >= 1
+
+
+def test_cosine_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import cosine_near_dup_pairs
+
+    v = np.random.default_rng(3).standard_normal(16).astype(np.float32)
+    items = [
+        {"vec_id": 0, "embedding": v.tolist()},
+        {"vec_id": 1, "embedding": (v * 2.0).tolist()},  # same direction
+        {"vec_id": 2, "embedding": (-v).tolist()},  # opposite
+    ]
+    pairs = cosine_near_dup_pairs(rd.from_items(items), threshold=0.99)
+    assert pairs[["a", "b"]].values.tolist() == [[0, 1]]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.multimodal import (
+        DecodeImage,
+        SampleFrames,
+        suggest_batch_size,
+        wrap_binary,
+    )
+
+    ds = rd.from_items(
+        [{"payload": bytes([i]) * (100 + i)} for i in range(10)]
+    ).map_batches(
+        wrap_binary,
+        batch_format="pyarrow",
+        fn_kwargs={"data_col": "payload", "kind": "image"},
+    )
+    decoded = ds.map_batches(
+        DecodeImage, batch_format="pyarrow", concurrency=1, batch_size=4
+    ).to_pandas()
+    assert len(decoded) == 10
+    assert (decoded["width"] >= 64).all()
+    assert decoded["features"].map(len).eq(16).all()
+    assert "data" not in decoded.columns  # payload dropped after decode
+
+    frames = (
+        rd.from_items([{"media_id": 1, "data": b"xyz"}])
+        .map_batches(SampleFrames, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert len(frames) == 4
+    assert frames["frame"].nunique() == 4  # deterministic but distinct
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(strict=True)._decode(b"")
+
+    assert suggest_batch_size(1 << 20) == 64

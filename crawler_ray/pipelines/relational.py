@@ -1,0 +1,616 @@
+"""Relational operator building blocks + conformance pipelines over the
+driver testdata tables (TPC-H-ish star schema, events, documents,
+embeddings). These back the SQL-checked ``queries()`` in __ray_entry__.py.
+
+Patterns (each used by several pipelines):
+- **partial aggregation**: per-batch pandas groupby inside ``map_batches``
+  emits one partial row per key per batch, then a small ``groupby`` over
+  partials — rows crossing the shuffle = keys×blocks, not input rows.
+- **broadcast join**: the small side is ``ray.put`` once and merged per
+  batch; no shuffle. Used for all dimension joins (region/nation/customer)
+  and for semi/anti joins via broadcast key sets.
+- **top-k**: per-batch partial top-k, then a driver merge of k×blocks
+  rows; ordering keys always include a unique tiebreaker and any float
+  sort key is rounded identically in the SQL oracle so the k-boundary is
+  deterministic.
+
+Float policy for oracle comparison: every aggregated double is rounded
+(2dp money, 6dp ratios, 4dp cosine) in BOTH the Ray pipeline and the SQL
+text, so double-summation-order differences can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _read_pd(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns).to_pandas()
+
+
+def bjoin(ds, small: pd.DataFrame, on, how: str = "inner"):
+    """Broadcast hash join: small side shipped once via the object store."""
+    import ray
+
+    ref = ray.put(small)
+
+    def j(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(j, batch_format="pandas")
+
+
+def partial_sum_count(ds, keys: list[str], sum_cols: dict[str, str], count_name: str | None = None):
+    """Two-phase grouped sums: map_batches partials → groupby final sums.
+    sum_cols: {output_name: input_column}. Returns a pandas DataFrame."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        out = g[list(sum_cols.values())].sum().reset_index()
+        out.columns = keys + list(sum_cols)
+        if count_name:
+            out[count_name] = g.size().to_numpy()
+        return out
+
+    aggs = [Sum(name, alias_name=name) for name in sum_cols]
+    if count_name:
+        aggs.append(Sum(count_name, alias_name=count_name))
+    final = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys[0] if len(keys) == 1 else keys)
+        .aggregate(*aggs)
+    )
+    return final.to_pandas()
+
+
+# ------------------------------------------------------------------ TPC-Hish
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00", "us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        # per-row money rounding BEFORE summation (mirrored in the SQL):
+        # keeps both engines' sums on the cent grid so the final 2dp round
+        # can't flip on double summation-order differences
+        disc_price = pc.round(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            ndigits=2,
+            round_mode="half_towards_infinity",
+        )
+        charge = pc.round(
+            pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"])),
+            ndigits=2,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "l_discount": t["l_discount"],
+                "disc_price": disc_price,
+                "charge": charge,
+            }
+        )
+
+    df = partial_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": "l_quantity",
+            "sum_base_price": "l_extendedprice",
+            "sum_disc_price": "disc_price",
+            "sum_charge": "charge",
+            "sum_disc": "l_discount",
+        },
+        count_name="count_order",
+    )
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(6)
+    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(6)
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]:
+        df[c] = df[c].round(2)
+    df = df.drop(columns=["sum_disc"])
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2)      AS sum_disc_price,
+       round(sum(round(round(l_extendedprice * (1 - l_discount), 2) * (1 + l_tax), 2)), 2) AS sum_charge,
+       count(*)                                                         AS count_order,
+       round(sum(l_quantity) / count(*), 6)                             AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 6)                        AS avg_price,
+       round(sum(l_discount) / count(*), 6)                             AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
+    orders = _read_pd(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "o_orderdate"]
+    ]
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["revenue"] = np.floor(rev * 100 + 0.5) / 100  # cent grid, half-up
+        return df[["l_orderkey", "revenue"]]
+
+    joined = bjoin(
+        li.map_batches(prep, batch_format="pandas"),
+        orders.rename(columns={"o_orderkey": "l_orderkey"}),
+        on="l_orderkey",
+    )
+    agg = partial_sum_count(joined, ["l_orderkey", "o_orderdate"], {"revenue": "revenue"})
+    agg["revenue"] = agg["revenue"].round(2)
+    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
+    return (
+        agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    reg = _read_pd(sf_dir, "region")
+    nat = _read_pd(sf_dir, "nation")
+    dims = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dims = dims[dims["r_name"] == region][["n_nationkey", "n_name"]]
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.merge(dims, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    orders = _read_pd(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["o_orderkey", "n_name"]
+    ]
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["revenue"] = np.floor(rev * 100 + 0.5) / 100  # cent grid, half-up
+        return df[["l_orderkey", "revenue"]]
+
+    joined = bjoin(
+        li.map_batches(prep, batch_format="pandas"),
+        orders.rename(columns={"o_orderkey": "l_orderkey"}),
+        on="l_orderkey",
+    )
+    agg = partial_sum_count(joined, ["n_name"], {"revenue": "revenue"})
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg.sort_values("n_name").reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS revenue
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type", sort=False)
+        out = g.agg(
+            sum_price=("p_retailprice", "sum"),
+            n_parts=("p_retailprice", "size"),
+            max_size=("p_size", "max"),
+        ).reset_index()
+        return out
+
+    df = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_type")
+        .aggregate(
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("n_parts", alias_name="n_parts"),
+            Max("max_size", alias_name="max_size"),
+        )
+        .to_pandas()
+    )
+    df["avg_retail"] = (df["sum_price"] / df["n_parts"]).round(6)
+    df = df.drop(columns=["sum_price"])
+    return df.sort_values("p_type").reset_index(drop=True)
+
+
+PART_TYPE_SQL = """
+SELECT p_type, count(*) AS n_parts, max(p_size) AS max_size,
+       round(sum(p_retailprice) / count(*), 6) AS avg_retail
+FROM part GROUP BY p_type
+"""
+
+
+# ------------------------------------------------------------------- events
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    df = partial_sum_count(
+        _rp(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"],
+        {"total_value": "value"},
+        count_name="n",
+    )
+    df["total_value"] = df["total_value"].round(2)
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df["ts"].dt.floor("h").value_counts().rename_axis("hour").reset_index(name="n")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return df.sort_values("hour").reset_index(drop=True)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def events_first3_per_user(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def first3(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["ts", "event_id"]).head(3)
+
+    # the politeness-budget shape: groupby(key) → ordered head(k) per group
+    df = ds.groupby("user_id").map_groups(first3, batch_format="pandas").to_pandas()
+    return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
+EVENTS_FIRST3_SQL = """
+SELECT user_id, event_id, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 3
+"""
+
+
+def events_user_value_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    df = partial_sum_count(
+        _rp(sf_dir, "events", ["user_id", "value"]),
+        ["user_id"],
+        {"total_value": "value"},
+    )
+    df["total_value"] = df["total_value"].round(2)
+    return (
+        df.sort_values(["total_value", "user_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+EVENTS_TOPK_SQL = """
+SELECT user_id, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+# -------------------------------------------------------------- joins (set)
+
+
+def customers_without_orders(sf_dir: str, min_total: float = 250_000.0) -> pd.DataFrame:
+    """Broadcast anti join: customers with no order above ``min_total``
+    (the key set of qualifying orders is shipped once, filtered in-batch)."""
+    import ray
+
+    orders = _read_pd(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = set(orders.loc[orders["o_totalprice"] > min_total, "o_custkey"])
+    ref = ray.put(keys)
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        return df[~df["c_custkey"].isin(ks)]
+
+    out = ds.map_batches(anti, batch_format="pandas").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+"""
+
+
+def order_status_with_lineitems(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi join (lineitem orderkey set) then grouped count."""
+    import ray
+
+    keys = set(_read_pd(sf_dir, "lineitem", ["l_orderkey"])["l_orderkey"])
+    ref = ray.put(keys)
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["o_orderkey"].isin(ray.get(ref))]
+
+    df = partial_sum_count(
+        ds.map_batches(semi, batch_format="pandas").map_batches(
+            lambda d: d.assign(one=1), batch_format="pandas"
+        ),
+        ["o_orderstatus"],
+        {"n_orders": "one"},
+    )
+    return df.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderstatus
+"""
+
+
+def customer_nation(sf_dir: str) -> pd.DataFrame:
+    nat = _read_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = bjoin(
+        ds, nat.rename(columns={"n_nationkey": "c_nationkey"}), on="c_nationkey"
+    ).to_pandas()
+    return (
+        out[["c_custkey", "c_name", "n_name"]]
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+CUSTOMER_NATION_SQL = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def top_suppliers(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True]).head(k)
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out["s_acctbal"] = out["s_acctbal"].round(2)
+    return (
+        out.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+TOP_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier ORDER BY round(s_acctbal, 2) DESC, s_suppkey LIMIT 5
+"""
+
+
+def orders_priority_counts(sf_dir: str, min_total: float = 100_000.0) -> pd.DataFrame:
+    ds = _rp(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], pa.scalar(min_total)))
+        return t.select(["o_orderpriority"]).append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+        )
+
+    df = partial_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"n": "one"},
+    )
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n FROM orders
+WHERE o_totalprice > 100000 GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------- documents
+
+
+def lang_stats(sf_dir: str) -> pd.DataFrame:
+    df = partial_sum_count(
+        _rp(sf_dir, "documents", ["lang", "n_chars"]),
+        ["lang"],
+        {"total_chars": "n_chars"},
+        count_name="n_docs",
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+LANG_STATS_SQL = """
+SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def docs_exact_dedup_ids(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    from ..functions.dedup import exact_dedup
+
+    kept = exact_dedup(ds).to_pandas()[["doc_id"]]
+    return kept.sort_values("doc_id").reset_index(drop=True)
+
+
+DEDUP_IDS_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def docs_token_totals(sf_dir: str) -> pd.DataFrame:
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(ws_tokens=df["text"].fillna("").map(lambda t: len(t.split())))
+        return (
+            df.groupby("lang", sort=False)["ws_tokens"].sum().reset_index()
+        )
+
+    from ray.data.aggregate import Sum
+
+    df = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Sum("ws_tokens", alias_name="ws_tokens"))
+        .to_pandas()
+    )
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+TOKEN_TOTALS_SQL = r"""
+SELECT lang,
+       sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS ws_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def docs_punct_ratio(sf_dir: str) -> pd.DataFrame:
+    """ASCII-explicit punct class so Python and RE2 agree on non-ASCII text."""
+    import re
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    punct = re.compile(r"[^0-9A-Za-z_ \t\n\r]")
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        n_punct = texts.map(lambda t: len(punct.findall(t)))
+        n_chars = texts.str.len().clip(lower=1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "punct_ratio": (n_punct / n_chars).round(6),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+PUNCT_RATIO_SQL = r"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[0-9A-Za-z_ \t\n\r]', '', 'g'))
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def ann_cosine_topk_sql_compat(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataFrame:
+    """Brute-force cosine top-k in float64 with duckdb-compatible rounding
+    (sim to 4dp; order by rounded sim desc then vec_id)."""
+    import ray
+
+    full = _read_pd(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.asarray(
+        full.loc[full["vec_id"] == query_vec_id, "embedding"].iloc[0], dtype=np.float64
+    )
+    ref = ray.put(q)
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        sims = (m @ qv) / (
+            np.linalg.norm(m, axis=1) * np.linalg.norm(qv) + 0.0
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "sim": pa.array(np.round(sims, 4), pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        out.sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+ANN_TOPK_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id LIMIT 10
+"""

@@ -178,4 +178,12 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95) -> pd.DataFrame:
         )
 
     got = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    if got.empty:
+        return pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
     return got.sort_values(["a", "b"]).reset_index(drop=True)

@@ -40,15 +40,12 @@ def _corpus_for(sf_dir: str) -> tuple[str, list[str], int]:
 
     tag = Path(sf_dir).name
     hosts, pages = _CORPUS_SIZES.get(tag, (5, 20))
-    out = Path(f"/tmp/crawler_ray/corpus_{hosts}x{pages}")
+    out = Path(f"/tmp/crawler_ray/corpusdir_{hosts}x{pages}")
     marker = out / "_DONE"
     if not marker.exists():
-        import pyarrow.parquet as pq
-
-        out.mkdir(parents=True, exist_ok=True)
-        pq.write_table(fixtures.gen_corpus(hosts, pages), out / "corpus.parquet")
+        fixtures.write_corpus_dir(fixtures.gen_corpus(hosts, pages), str(out))
         marker.touch()
-    return str(out / "corpus.parquet"), fixtures.default_seeds(hosts), hosts
+    return str(out), fixtures.default_seeds(hosts), hosts
 
 
 def _crawl_run(sf_dir: str):

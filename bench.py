@@ -1,0 +1,199 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "crawl_pages_per_sec": ..., "parse_pages_per_sec": ..., ...}
+
+Headline value = flagship crawl wall time (BFS waves over the bench
+corpus). Also timed: single-pass parse/link-extract throughput (pages/s
+without wave barriers), the relational conformance queries, dedup and ANN.
+
+``--scaling``: runs this script twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and =32 on the same (pre-generated, page-cache-warm)
+input and reports both throughputs plus efficiency = (t8/t32)/4 — the
+sandbox evidence for the north-rule's N→4N cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: bench corpus size by sf tag (hosts, pages/host)
+CORPUS_SIZES = {"sf0.001": (5, 20), "sf0.01": (20, 60), "sf0.1": (60, 150)}
+
+
+def ensure_corpus(tag: str) -> tuple[str, list[str], int]:
+    """Generate (once, cached) the deterministic bench corpus; generation is
+    outside all timed sections and shared by every parallelism level."""
+    from crawler_ray import fixtures
+
+    hosts, pages = CORPUS_SIZES.get(tag, CORPUS_SIZES["sf0.1"])
+    out = Path(f"/tmp/crawler_ray/corpusdir_{hosts}x{pages}")
+    if not (out / "_DONE").exists():
+        fixtures.write_corpus_dir(fixtures.gen_corpus(hosts, pages), str(out))
+        (out / "_DONE").touch()
+    n_pages = hosts * pages
+    return str(out), fixtures.default_seeds(hosts), n_pages
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.pipelines import relational as R
+    from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from crawler_ray.stages.parse import process_wave_batch
+
+    tag = Path(SF_DIR).name
+    corpus, seeds, n_corpus_pages = ensure_corpus(tag)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the page cache so both parallelism levels measure compute
+    rd.read_parquet(corpus).count()
+
+    # ---- single-pass parse/link-extract (pure pipeline throughput) --------
+    def to_wave(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "kind": pa.array(["page"] * t.num_rows),
+                "depth": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "html": t["html"],
+            }
+        )
+
+    t0 = time.perf_counter()
+    n_findings = (
+        rd.read_parquet(corpus, columns=["url", "html"])
+        .map_batches(to_wave, batch_format="pyarrow", batch_size=256)
+        .map_batches(process_wave_batch, batch_format="pyarrow", batch_size=256)
+        .map_batches(
+            lambda t: t.filter(pa.compute.equal(t["rec"], "f")).select(["url"]),
+            batch_format="pyarrow",
+        )
+        .count()
+    )
+    timings["parse_extract"] = time.perf_counter() - t0
+    extras["parse_pages_per_sec"] = round(
+        n_corpus_pages / timings["parse_extract"], 1
+    )
+    extras["parse_findings"] = n_findings
+
+    # ---- flagship crawl (headline) ----------------------------------------
+    out_dir = f"/tmp/crawler_ray/bench_run_{tag}_{NUM_CPUS}"
+    t0 = time.perf_counter()
+    run = run_crawl(corpus, seeds, out_dir, CrawlConfig(num_seen_shards=8))
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl"] = crawl_sec
+    dispatched = run.order().num_rows
+    n_texts = len(run.texts())
+    extras["crawl_waves"] = run.n_waves()
+    extras["crawl_dispatched"] = dispatched
+    extras["crawl_pages_per_sec"] = round(n_texts / crawl_sec, 1)
+    extras["crawl_frontier_urls_per_sec"] = round(
+        run.archive().num_rows / crawl_sec, 1
+    )
+
+    # ---- relational + training-data operators -----------------------------
+    for name, fn in [
+        ("q1_pricing_summary", R.q1_pricing_summary),
+        ("q3_segment_top_orders", R.q3_segment_top_orders),
+        ("q5_region_nation_revenue", R.q5_region_nation_revenue),
+        ("events_by_type", R.events_by_type),
+        ("events_first3_per_user", R.events_first3_per_user),
+        ("docs_exact_dedup_ids", R.docs_exact_dedup_ids),
+        ("ann_cosine_topk", R.ann_cosine_topk_sql_compat),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        timings[name] = time.perf_counter() - t0
+
+    from crawler_ray.functions.dedup import minhash_lsh_dedup
+
+    t0 = time.perf_counter()
+    minhash_lsh_dedup(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.8,
+    )
+    timings["dedup_minhash"] = time.perf_counter() - t0
+
+    ray.shutdown()
+
+    result = {
+        "metric": "flagship crawl wall time (bench corpus, BFS waves) + per-pipeline sec",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": tag,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    return result
+
+
+def run_scaling() -> dict:
+    """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency."""
+    # pre-generate + warm cache once, untimed
+    ensure_corpus(Path(SF_DIR).name)
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    p8 = results[8]["crawl_pages_per_sec"]
+    p32 = results[32]["crawl_pages_per_sec"]
+    pp8 = results[8]["parse_pages_per_sec"]
+    pp32 = results[32]["parse_pages_per_sec"]
+    return {
+        "metric": "scaling efficiency, fresh ray.init(num_cpus=8) vs 32, same input",
+        "crawl_sec_8": t8,
+        "crawl_sec_32": t32,
+        "crawl_pages_per_sec_8": p8,
+        "crawl_pages_per_sec_32": p32,
+        "parse_pages_per_sec_8": pp8,
+        "parse_pages_per_sec_32": pp32,
+        "crawl_scaling_efficiency": round((t8 / t32) / 4, 3),
+        "parse_scaling_efficiency": round((pp32 / pp8) / 4, 3),
+        "sf": Path(SF_DIR).name,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
@@ -333,6 +334,30 @@ def gen_corpus(
     ]
     rows += _aux_rows(seed, n_hosts, pages_per_host, hub)
     return _rows_to_table(rows)
+
+
+def write_corpus_dir(
+    tbl: pa.Table, out_dir: str, n_files: int = 32, row_group_size: int = 2048
+) -> str:
+    """Partitioned corpus layout: N part files with small row groups, so
+    (a) Ray reads parallelize across files and (b) the crawl's per-wave
+    ``isin`` pushdown can prune at row-group granularity. This is the
+    shape the 100 TB corpus would have (one file per shard)."""
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = tbl.num_rows
+    per = max(1, (n + n_files - 1) // n_files)
+    for i in range(0, n_files):
+        lo = i * per
+        if lo >= n:
+            break
+        part = tbl.slice(lo, min(per, n - lo))
+        pq.write_table(
+            part, out / f"part-{i:05d}.parquet", row_group_size=row_group_size
+        )
+    return str(out)
 
 
 def gen_corpus_ray(

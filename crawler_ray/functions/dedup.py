@@ -47,31 +47,42 @@ def add_content_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the minimum-id row per identical content. Returns a Dataset of
-    survivors (all original columns)."""
+    survivors (all original columns). Shuffle = one bucketed hash exchange
+    on the content hash; the per-bucket survivor pick is one vectorized
+    sort + drop_duplicates, never per-key Python."""
+    from ..stages.shuffle import bucketed_group_map
 
     def keep_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).head(1)
+        return df.sort_values(id_col).drop_duplicates("content_hash", keep="first")
 
-    return (
-        ds.map_batches(add_content_hash, batch_format="pyarrow", fn_kwargs={"col": col})
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["content_hash"])
-    )
+    return bucketed_group_map(
+        ds.map_batches(
+            add_content_hash, batch_format="pyarrow", fn_kwargs={"col": col}
+        ),
+        bucket_on="content_hash",
+        fn=keep_first,
+    ).drop_columns(["content_hash"])
 
 
 # ---------------------------------------------------------------- MinHash
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the doc's character k-shingles (vectorized via polars)."""
-    import polars as pl
+_SHINGLE_BASE = np.uint64(1_099_511_628_211)  # FNV prime, wrapping uint64
 
-    if len(text) < k:
-        shingles = [text]
-    else:
-        shingles = [text[i : i + k] for i in range(len(text) - k + 1)]
-    return pl.Series(shingles).hash(seed=0x51A9).to_numpy().astype(np.uint64)
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Polynomial hashes of the doc's character k-shingles over Z/2^64,
+    fully vectorized: one (n_shingles × k) elementwise multiply against the
+    base-power vector — no per-shingle Python objects."""
+    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    if len(data) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if len(data) < k:
+        k = len(data)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = _SHINGLE_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        return (windows * powers).sum(axis=1, dtype=np.uint64)
 
 
 class MinHasher:
@@ -86,7 +97,7 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text or "", self.k)
+        h = np.unique(_shingle_hashes(text or "", self.k))  # set semantics
         # (a*h + b) over Z/2^64 (wrapping uint64) per permutation, min over
         # shingles — one vectorized (num_perm × n_shingles) op per doc
         with np.errstate(over="ignore"):
@@ -127,19 +138,29 @@ def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """All (a<b) pairs within one LSH bucket. Buckets are capped upstream by
-    signature width; a pathological giant bucket means the docs are all
-    near-identical, and its pair list is clipped to a star (min-id hub) to
-    stay linear — the connected component is unchanged."""
-    ids = sorted(df["doc_id"].unique())
+def _pairs_for_ids(ids: np.ndarray) -> tuple[list, list]:
+    """(a<b) pairs for one LSH bucket's member ids. A pathological giant
+    bucket means the docs are all near-identical; its pair list is clipped
+    to a star (min-id hub) to stay linear — the component is unchanged."""
+    ids = np.unique(ids)
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        return [], []
     if len(ids) > 200:  # star clip: same component, O(n) pairs
-        hub = ids[0]
-        return pd.DataFrame({"a": [hub] * (len(ids) - 1), "b": ids[1:]})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-    return pd.DataFrame({"a": list(a), "b": list(b)})
+        return [int(ids[0])] * (len(ids) - 1), [int(x) for x in ids[1:]]
+    iu = np.triu_indices(len(ids), k=1)
+    return ids[iu[0]].tolist(), ids[iu[1]].tolist()
+
+
+def _bucket_pairs_vec(df: pd.DataFrame) -> pd.DataFrame:
+    """All LSH-bucket pairs within one hash bucket: pandas groupby over the
+    real (band, band_hash) buckets, vectorized pair generation per bucket."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for _, g in df.groupby(["band", "band_hash"], sort=False):
+        a, b = _pairs_for_ids(g["doc_id"].to_numpy())
+        out_a.extend(a)
+        out_b.extend(b)
+    return pd.DataFrame({"a": out_a, "b": out_b}, dtype="int64")
 
 
 def _estimated_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
@@ -195,7 +216,8 @@ def minhash_lsh_dedup(
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pyarrow",
-        concurrency=2,
+        batch_size=256,
+        concurrency=4,
         fn_constructor_kwargs={
             "num_perm": num_perm,
             "shingle_k": shingle_k,
@@ -203,47 +225,67 @@ def minhash_lsh_dedup(
         },
     ).materialize()  # reused: banding + verification lookups
 
-    pairs_ds = (
-        sigs.map_batches(_band_rows, batch_format="pyarrow", fn_kwargs={"bands": bands})
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+    from ..stages.shuffle import bucketed_group_map
+
+    pairs_ds = bucketed_group_map(
+        sigs.map_batches(_band_rows, batch_format="pyarrow", fn_kwargs={"bands": bands}),
+        bucket_on="band_hash",
+        fn=_bucket_pairs_vec,
     )
     pairs = pairs_ds.to_pandas().drop_duplicates(ignore_index=True)
     if len(pairs) == 0:
         empty = pd.DataFrame({"a": [], "b": [], "jaccard": []})
         return pd.DataFrame({"doc_id": [], "rep_id": []}, dtype="int64"), empty
 
-    # verification on candidates only (broadcast the candidate docs)
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+    # stage 1: vectorized signature-estimate over ALL candidate pairs —
+    # one numpy gather+compare, prunes the LSH false positives cheaply
+    sig_df = sigs.to_pandas()
+    id_to_row = {int(i): r for r, i in enumerate(sig_df["doc_id"])}
+    sig_mat = np.asarray(list(sig_df["sig"]), dtype=np.uint64)
+    a_idx = pairs["a"].map(id_to_row).to_numpy()
+    b_idx = pairs["b"].map(id_to_row).to_numpy()
+    est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
     if verify == "exact":
-        texts_df = (
-            ds.map_batches(
-                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
-            )
-            .to_pandas()
-        )
+        # estimator std ≈ sqrt(j(1-j)/num_perm); keep a 2σ margin, then
+        # exact n-gram Jaccard only on the survivors
+        margin = 2.0 * float(np.sqrt(threshold * (1 - threshold) / num_perm))
+        cand = pairs[est >= threshold - margin].reset_index(drop=True)
+        texts_df = ds.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        ).to_pandas()
         texts = dict(
             zip(texts_df["doc_id"], texts_df["text"])
         )  # scale path: semi-join candidates against the corpus instead
-        jac = np.array(
-            [
-                ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-                for a, b in zip(pairs["a"], pairs["b"])
-            ]
-        )
+        if len(cand) > 20_000:
+            # distributed exact verify: pairs as a Dataset, texts broadcast
+            import ray.data as rd
+
+            texts_ref = ray.put(texts)
+
+            def vrfy(df: pd.DataFrame) -> pd.DataFrame:
+                tx = ray.get(texts_ref)
+                df = df.assign(
+                    jaccard=[
+                        ngram_jaccard(tx.get(a, ""), tx.get(b, ""), shingle_k)
+                        for a, b in zip(df["a"], df["b"])
+                    ]
+                )
+                return df
+            pairs = (
+                rd.from_pandas(cand)
+                .repartition(32)
+                .map_batches(vrfy, batch_format="pandas")
+                .to_pandas()
+            )
+        else:
+            pairs = cand.assign(
+                jaccard=[
+                    ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
+                    for a, b in zip(cand["a"], cand["b"])
+                ]
+            )
     else:
-        sig_df = sigs.to_pandas()
-        sig_map = {
-            i: np.asarray(s, dtype=np.uint64)
-            for i, s in zip(sig_df["doc_id"], sig_df["sig"])
-        }
-        jac = np.array(
-            [
-                _estimated_jaccard(sig_map[a], sig_map[b])
-                for a, b in zip(pairs["a"], pairs["b"])
-            ]
-        )
-    pairs = pairs.assign(jaccard=jac)
+        pairs = pairs.assign(jaccard=est)
     verified = pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
 
     comp = _connected_components(verified)
@@ -328,26 +370,40 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
         )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        sh = rows["simhash"].to_numpy()
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(sh[i]) ^ int(sh[j])).count("1")
-                if d <= pairs_in_bucket.max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(d)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+        # within one hash bucket: iterate the real (chunk, chunk_val)
+        # candidate buckets; verify Hamming vectorized per bucket
+        out = []
+        for _, g in df.groupby(["chunk", "chunk_val"], sort=False):
+            rows = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(rows) < 2:
+                continue
+            ids = rows["doc_id"].to_numpy()
+            sh = rows["simhash"].to_numpy(dtype=np.uint64)
+            iu = np.triu_indices(len(ids), k=1)
+            x = sh[iu[0]] ^ sh[iu[1]]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            keep = d <= max_hamming
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[iu[0]][keep],
+                            "b": ids[iu[1]][keep],
+                            "hamming": d[keep],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype="int64")
+        return pd.concat(out, ignore_index=True)
 
-    pairs_in_bucket.max_hamming = max_hamming
-    got = (
-        sigs.map_batches(chunks, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    from ..stages.shuffle import bucketed_group_map
+
+    got = bucketed_group_map(
+        sigs.map_batches(chunks, batch_format="pyarrow"),
+        bucket_on="chunk_val",
+        fn=pairs_in_bucket,
+    ).to_pandas()
     if len(got) == 0:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     return (

@@ -245,20 +245,21 @@ def _probe_new_ray(
     ).map_batches(lambda t: t.drop_columns(["rec"]), batch_format="pyarrow")
     if not cfg.faithful_depth:
         # canonical winner per key = min (src_url, src_depth); see _probe_new
+        from ..stages.shuffle import bucketed_group_map
+
         def add_key(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "key", finding_keys(t["url"], t["kind"], t["depth"])
             )
 
         def reduce(df):
-            return df.sort_values(["src_url", "src_depth"]).head(1)
+            return df.sort_values(["key", "src_url", "src_depth"]).drop_duplicates(
+                "key", keep="first"
+            )
 
-        ds = (
-            ds.map_batches(add_key, batch_format="pyarrow")
-            .groupby("key")
-            .map_groups(reduce, batch_format="pandas")
-            .map_batches(lambda t: t.drop_columns(["key"]), batch_format="pyarrow")
-        )
+        ds = bucketed_group_map(
+            ds.map_batches(add_key, batch_format="pyarrow"), "key", reduce
+        ).map_batches(lambda t: t.drop_columns(["key"]), batch_format="pyarrow")
     ds = ds.map_batches(seen.make_prober(), batch_format="pyarrow")
     refs = ds.to_arrow_refs()
     parts = [t for t in ray.get(refs) if t.num_rows]

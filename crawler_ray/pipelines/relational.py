@@ -48,31 +48,22 @@ def bjoin(ds, small: pd.DataFrame, on, how: str = "inner"):
     def j(df: pd.DataFrame) -> pd.DataFrame:
         return df.merge(ray.get(ref), on=on, how=how)
 
-    return ds.map_batches(j, batch_format="pandas")
+    return ds.map_batches(j, batch_format="pandas", batch_size=65536)
 
 
 def partial_sum_count(ds, keys: list[str], sum_cols: dict[str, str], count_name: str | None = None):
-    """Two-phase grouped sums: map_batches partials → groupby final sums.
+    """Two-phase grouped sums at any key cardinality: per-batch pandas
+    partials (combiner) → bucketed hash shuffle → vectorized final merge
+    (see stages/shuffle.py for why plain Ray groupby.aggregate is avoided).
     sum_cols: {output_name: input_column}. Returns a pandas DataFrame."""
-    from ray.data.aggregate import Sum
+    from ..stages.shuffle import bucketed_group_agg
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False)
-        out = g[list(sum_cols.values())].sum().reset_index()
-        out.columns = keys + list(sum_cols)
-        if count_name:
-            out[count_name] = g.size().to_numpy()
-        return out
-
-    aggs = [Sum(name, alias_name=name) for name in sum_cols]
+    agg: dict[str, tuple[str, str]] = {
+        out: (col, "sum") for out, col in sum_cols.items()
+    }
     if count_name:
-        aggs.append(Sum(count_name, alias_name=count_name))
-    final = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(keys[0] if len(keys) == 1 else keys)
-        .aggregate(*aggs)
-    )
-    return final.to_pandas()
+        agg[count_name] = (keys[0], "size")
+    return bucketed_group_agg(ds, keys, agg)
 
 
 # ------------------------------------------------------------------ TPC-Hish
@@ -124,7 +115,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         )
 
     df = partial_sum_count(
-        ds.map_batches(prep, batch_format="pyarrow"),
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty": "l_quantity",
@@ -175,7 +166,7 @@ def q3_segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
         return df[["l_orderkey", "revenue"]]
 
     joined = bjoin(
-        li.map_batches(prep, batch_format="pandas"),
+        li.map_batches(prep, batch_format="pandas", batch_size=65536),
         orders.rename(columns={"o_orderkey": "l_orderkey"}),
         on="l_orderkey",
     )
@@ -222,7 +213,7 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
         return df[["l_orderkey", "revenue"]]
 
     joined = bjoin(
-        li.map_batches(prep, batch_format="pandas"),
+        li.map_batches(prep, batch_format="pandas", batch_size=65536),
         orders.rename(columns={"o_orderkey": "l_orderkey"}),
         on="l_orderkey",
     )
@@ -243,27 +234,17 @@ GROUP BY n_name
 
 
 def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    from ..stages.shuffle import bucketed_group_agg
+
     ds = _rp(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
-    from ray.data.aggregate import Count, Max, Sum
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("p_type", sort=False)
-        out = g.agg(
-            sum_price=("p_retailprice", "sum"),
-            n_parts=("p_retailprice", "size"),
-            max_size=("p_size", "max"),
-        ).reset_index()
-        return out
-
-    df = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("p_type")
-        .aggregate(
-            Sum("sum_price", alias_name="sum_price"),
-            Sum("n_parts", alias_name="n_parts"),
-            Max("max_size", alias_name="max_size"),
-        )
-        .to_pandas()
+    df = bucketed_group_agg(
+        ds,
+        ["p_type"],
+        {
+            "sum_price": ("p_retailprice", "sum"),
+            "n_parts": ("p_retailprice", "size"),
+            "max_size": ("p_size", "max"),
+        },
     )
     df["avg_retail"] = (df["sum_price"] / df["n_parts"]).round(6)
     df = df.drop(columns=["sum_price"])
@@ -298,20 +279,15 @@ FROM events GROUP BY event_type
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
+    from ..stages.shuffle import bucketed_group_agg
+
     ds = _rp(sf_dir, "events", ["ts"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df["ts"].dt.floor("h").value_counts().rename_axis("hour").reset_index(name="n")
-        return out
-
-    from ray.data.aggregate import Sum
-
-    df = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("hour")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+    hourly = ds.map_batches(
+        lambda df: pd.DataFrame({"hour": df["ts"].dt.floor("h")}),
+        batch_format="pandas",
+        batch_size=65536,
     )
+    df = bucketed_group_agg(hourly, ["hour"], {"n": ("hour", "size")})
     return df.sort_values("hour").reset_index(drop=True)
 
 
@@ -324,11 +300,16 @@ FROM events GROUP BY 1
 def events_first3_per_user(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts"])
 
-    def first3(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["ts", "event_id"]).head(3)
+    from ..stages.shuffle import bucketed_group_map
 
-    # the politeness-budget shape: groupby(key) → ordered head(k) per group
-    df = ds.groupby("user_id").map_groups(first3, batch_format="pandas").to_pandas()
+    def first3(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within the bucket: one sort + grouped head over all users
+        return df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id", sort=False
+        ).head(3)
+
+    # the politeness-budget shape: co-locate by key → ordered head(k) per key
+    df = bucketed_group_map(ds, "user_id", first3).to_pandas()
     return df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
 
 
@@ -376,7 +357,7 @@ def customers_without_orders(sf_dir: str, min_total: float = 250_000.0) -> pd.Da
         ks = ray.get(ref)
         return df[~df["c_custkey"].isin(ks)]
 
-    out = ds.map_batches(anti, batch_format="pandas").to_pandas()
+    out = ds.map_batches(anti, batch_format="pandas", batch_size=65536).to_pandas()
     if out.empty:
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})
@@ -401,8 +382,8 @@ def order_status_with_lineitems(sf_dir: str) -> pd.DataFrame:
         return df[df["o_orderkey"].isin(ray.get(ref))]
 
     df = partial_sum_count(
-        ds.map_batches(semi, batch_format="pandas").map_batches(
-            lambda d: d.assign(one=1), batch_format="pandas"
+        ds.map_batches(semi, batch_format="pandas", batch_size=65536).map_batches(
+            lambda d: d.assign(one=1), batch_format="pandas", batch_size=65536
         ),
         ["o_orderstatus"],
         {"n_orders": "one"},
@@ -467,7 +448,7 @@ def orders_priority_counts(sf_dir: str, min_total: float = 100_000.0) -> pd.Data
         )
 
     df = partial_sum_count(
-        ds.map_batches(prep, batch_format="pyarrow"),
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
         ["o_orderpriority"],
         {"n": "one"},
     )

@@ -149,11 +149,22 @@ def admit_ray(
     sandbox workloads."""
     import ray
 
+    from .shuffle import bucketed_group_map
+
     counts_ref = ray.put(dict(counts))
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
-        prior = ray.get(counts_ref).get(df["host"].iloc[0], 0)
-        return _admit_group(df, prior, limit, priority)
+    def gate_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized admission for every host hashed into this bucket:
+        one sort, one cumcount, one mask — no per-host Python."""
+        pairs = [
+            (c, a) for c, a in zip(*PRIORITY_MODES[priority]) if c in df.columns
+        ]
+        sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
+        ascending = [True] + [a for c, a in pairs if c != "host"]
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        rank = df.groupby("host", sort=False).cumcount()
+        prior = df["host"].map(ray.get(counts_ref)).fillna(0).astype(int)
+        return df[(prior + rank) <= limit]
 
     mat = frontier_ds.materialize()  # wave frontier: bounded, reused twice
     n_total = mat.count()
@@ -162,12 +173,16 @@ def admit_ray(
     ).materialize()
     n_valid_in = valid.count()
     if priority == "hot_host_first":
-        # per-wave groupby(host) count → priority column (the aggregate-sort
-        # shuffle; counts computed distributed, joined back by host)
-        hc = {
-            r["host"]: r["count()"]
-            for r in valid.groupby("host").count().take_all()
-        }
+        # per-wave host-frequency priority: a bucketed groupby(host) count
+        # joined back by broadcast (the aggregate-sort shuffle shape)
+        hc_df = bucketed_group_map(
+            valid,
+            bucket_on="host",
+            fn=lambda d: d.groupby("host", sort=False)
+            .size()
+            .reset_index(name="host_wave_rows"),
+        ).to_pandas()
+        hc = dict(zip(hc_df["host"], hc_df["host_wave_rows"]))
         valid = valid.map_batches(
             lambda t: t.append_column(
                 "host_wave_rows",
@@ -175,9 +190,7 @@ def admit_ray(
             ),
             batch_format="pyarrow",
         ).materialize()
-    admitted_df = (
-        valid.groupby("host").map_groups(gate, batch_format="pandas").to_pandas()
-    )
+    admitted_df = bucketed_group_map(valid, "host", gate_bucket).to_pandas()
     admitted = priority_sort(
         pa.Table.from_pandas(admitted_df, preserve_index=False).select(
             ["url", "kind", "depth", "host"]

@@ -1,0 +1,117 @@
+"""Bucketed grouped execution — the high-cardinality shuffle primitive.
+
+Ray Data's ``groupby(key).aggregate(...)`` / ``map_groups`` iterate Python
+per group after the sort shuffle, which is fine for dozens of groups and
+pathological for 10^4+ (measured in this environment: ~3 minutes for 60k
+int-keyed groups on 32 CPUs). Every high-cardinality grouped operator in
+this repo therefore routes through ONE primitive:
+
+    hash(key) % B  →  groupby("__bucket") over B ≈ 64 groups
+                   →  vectorized pandas group-op inside each bucket task
+
+All rows of a key land in the same bucket (co-location is exact), Ray only
+manages B groups, and the per-bucket callback does the real keyed work
+with vectorized pandas (``groupby().sum()``, ``drop_duplicates``,
+``cumcount`` …) — no per-key Python in the engine's hot path.
+
+This is also the honest 100 TB design: B is the shuffle fan-out knob
+(pick B ≈ cluster cores), and skewed keys can be salted into sub-buckets
+upstream without touching the primitive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BUCKET_COL = "__bucket"
+
+
+def _bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Stable bucket assignment for int/string key columns."""
+    import polars as pl
+
+    s = pl.from_arrow(col)
+    if s.dtype.is_integer():
+        return (s.to_numpy().astype(np.uint64) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+    return (s.hash(seed=0xB0C4) % n_buckets).to_numpy().astype(np.int32)
+
+
+def add_bucket(batch: pa.Table, on: str, n_buckets: int) -> pa.Table:
+    return batch.append_column(
+        BUCKET_COL, pa.array(_bucket_ids(batch[on], n_buckets), pa.int32())
+    )
+
+
+def bucketed_group_map(
+    ds,
+    bucket_on: str,
+    fn,
+    n_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Apply ``fn(bucket_df) -> df`` once per hash bucket. ``fn`` sees every
+    row whose ``bucket_on`` value hashes to its bucket and is expected to do
+    its keyed work vectorized. Returns a Dataset (BUCKET_COL removed)."""
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        out = fn(df.drop(columns=[BUCKET_COL]))
+        return out
+
+    return (
+        ds.map_batches(
+            add_bucket,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_kwargs={"on": bucket_on, "n_buckets": n_buckets},
+        )
+        .groupby(BUCKET_COL)
+        .map_groups(strip, batch_format="pandas")
+    )
+
+
+def bucketed_group_agg(
+    ds,
+    keys: list[str],
+    agg: dict[str, tuple[str, str]],
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Grouped aggregation at any key cardinality:
+    ``agg`` = {out_col: (in_col, op)} with pandas named-agg ops.
+    Two phases: per-batch partial (combiner) → bucketed final merge."""
+    ops = {out: (col, op) for out, (col, op) in agg.items()}
+    # ops that merge by the same op on partials; counts merge by sum
+    merge_ops = {
+        out: (out, "sum" if op in ("sum", "count", "size") else op)
+        for out, (col, op) in ops.items()
+    }
+
+    def _agg(df: pd.DataFrame, spec: dict[str, tuple[str, str]]) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        named = {
+            out: pd.NamedAgg(column=col, aggfunc=op)
+            for out, (col, op) in spec.items()
+            if op != "size"
+        }
+        out = g.agg(**named) if named else pd.DataFrame(index=g.size().index)
+        for name, (_, op) in spec.items():
+            if op == "size":
+                out[name] = g.size()
+        return out.reset_index()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _agg(df, ops)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return _agg(df, merge_ops)
+
+    out = bucketed_group_map(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        bucket_on=keys[0],
+        fn=final,
+        n_buckets=n_buckets,
+    ).to_pandas()
+    return out

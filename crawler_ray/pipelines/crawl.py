@@ -69,7 +69,7 @@ class CrawlConfig:
     seen_fpp: float = 0.01
     approx_seen: bool = False  # design-scale mode: bloom only, no exact set
     batch_size: int = 256  # pages per parse batch
-    ray_state_threshold: int = 200_000  # frontier rows → Ray politeness/probe
+    ray_state_threshold: int = 50_000  # rows above which state ops go via Ray
     max_waves: int | None = None
     priority: str = "canonical"  # | shallow_first | hot_host_first
     respect_robots: bool = False  # robots.txt gate (extension; off = faithful)
@@ -186,7 +186,10 @@ class CrawlRun:
 
 
 def _probe_new(
-    findings: pa.Table, seen: SeenSet, faithful_depth: bool
+    findings: pa.Table,
+    seen: SeenSet,
+    faithful_depth: bool,
+    ray_threshold: int = 50_000,
 ) -> pa.Table:
     """Wave-level dedup + archive probe. In non-faithful mode, reduce to one
     row per Finding key first (canonical winner = min (src_url, src_depth)),
@@ -207,14 +210,8 @@ def _probe_new(
         keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
         import pandas as pd
 
-        first_idx = (
-            pd.Series(range(len(keys)))
-            .groupby(pd.Series(keys.to_pylist()), sort=False)
-            .first()
-            .sort_values()
-            .to_numpy()
-        )
-        findings = findings.take(pa.array(first_idx))
+        first_mask = ~pd.Series(keys.to_pylist()).duplicated(keep="first")
+        findings = findings.filter(pa.array(first_mask.to_numpy()))
     keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
     mask = seen.probe_and_insert(keys)
     return _canonical_findings_sort(findings.filter(pa.array(mask)))
@@ -226,54 +223,6 @@ def _canonical_findings_sort(t: pa.Table) -> pa.Table:
     return t.sort_by(
         [("kind", "ascending"), ("url", "ascending"), ("depth", "ascending")]
     )
-
-
-def _probe_new_ray(
-    rd, parsed_dir: Path, seen: SeenSet, cfg: "CrawlConfig"
-) -> pa.Table:
-    """Large-wave form of _probe_new: findings stream out of the wave
-    checkpoint as a Dataset, (optionally) reduce to one row per Finding key
-    via a groupby shuffle, then probe the shard actors from parallel
-    map_batches tasks. Only the (already-deduped) new findings reach the
-    driver."""
-    import ray
-
-    ds = rd.read_parquet(
-        str(parsed_dir),
-        columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-        filter=pc.field("rec") == "f",
-    ).map_batches(lambda t: t.drop_columns(["rec"]), batch_format="pyarrow")
-    if not cfg.faithful_depth:
-        # canonical winner per key = min (src_url, src_depth); see _probe_new
-        from ..stages.shuffle import bucketed_group_map
-
-        def add_key(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "key", finding_keys(t["url"], t["kind"], t["depth"])
-            )
-
-        def reduce(df):
-            return df.sort_values(["key", "src_url", "src_depth"]).drop_duplicates(
-                "key", keep="first"
-            )
-
-        ds = bucketed_group_map(
-            ds.map_batches(add_key, batch_format="pyarrow"), "key", reduce
-        ).map_batches(lambda t: t.drop_columns(["key"]), batch_format="pyarrow")
-    ds = ds.map_batches(seen.make_prober(), batch_format="pyarrow")
-    refs = ds.to_arrow_refs()
-    parts = [t for t in ray.get(refs) if t.num_rows]
-    if not parts:
-        return pa.table(
-            {
-                "src_url": pa.array([], pa.string()),
-                "src_depth": pa.array([], pa.int32()),
-                "url": pa.array([], pa.string()),
-                "kind": pa.array([], pa.string()),
-                "depth": pa.array([], pa.int32()),
-            }
-        )
-    return _canonical_findings_sort(pa.concat_tables(parts).combine_chunks())
 
 
 def run_crawl(
@@ -337,14 +286,24 @@ def _run_wave(
     cfg: CrawlConfig,
     robots: "RobotsCache | None" = None,
 ) -> pa.Table:
+    # _COMPLETE is the atomic wave-commit marker (resume only trusts marked
+    # dirs); writing in place avoids a rename that would invalidate lazily
+    # re-executed / retried Ray read tasks still pointing at the old path
     wave_dir = out / f"wave={wave:05d}"
-    tmp_dir = out / f".wave={wave:05d}.tmp"
-    if tmp_dir.exists():
-        shutil.rmtree(tmp_dir)
     if wave_dir.exists():
         shutil.rmtree(wave_dir)  # incomplete leftover from a crashed run
-    tmp_dir.mkdir(parents=True)
+    wave_dir.mkdir(parents=True)
     wave_metrics: Counter = Counter()
+    import time as _time
+
+    phase_sec: dict[str, float] = {}
+    _t = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t
+        now = _time.perf_counter()
+        phase_sec[name] = round(now - _t, 3)
+        _t = now
 
     # ---- robots gate (extension) then politeness gate (ST2) ---------------
     frontier = politeness.with_host(frontier)
@@ -358,21 +317,22 @@ def _run_wave(
         )
     else:
         admitted, m = politeness.admit_ray(
-            rd.from_arrow(frontier), counts, cfg.host_limit, cfg.priority
+            frontier, counts, cfg.host_limit, cfg.priority
         )
     wave_metrics.update(m)
+    _mark("politeness")
 
     order = admitted.append_column(
         "wave", pa.array(np.full(admitted.num_rows, wave, dtype=np.int32))
     ).append_column(
         "rank", pa.array(np.arange(admitted.num_rows, dtype=np.int32))
     )
-    pq.write_table(order, tmp_dir / "admitted.parquet")
+    pq.write_table(order, wave_dir / "admitted.parquet")
 
     # ---- fetch (corpus pushdown scan) + parse + image projection ----------
     lookups, m = build_lookups(admitted)
     wave_metrics.update(m)
-    parsed_dir = tmp_dir / "parsed"
+    parsed_dir = wave_dir / "parsed"
     n_pages_dispatched = sum(
         1 for v in lookups.values() for e in v if e[1] == "page"
     )
@@ -387,11 +347,15 @@ def _run_wave(
         def attach(batch: pa.Table) -> pa.Table:
             return attach_frontier(batch, ray.get(lookups_ref))
 
-        ds = rd.read_parquet(
-            corpus_path,
-            columns=["url", "html"],
-            filter=pc.field("url").isin(list(lookups.keys())),
-        )
+        # The broadcast lookup dict (ray.put once) IS the probe-side filter:
+        # attach_frontier emits only matched rows, so no pushdown expression
+        # is shipped per task. An ``isin`` row-group filter only pays when
+        # the corpus layout sorts/buckets urls so stats actually prune; for
+        # a hash-spread frontier it re-builds a large hash set per row
+        # group for zero pruning (measured slower). At 100 TB the layout
+        # would bucket files by hash(url) and prune at FILE granularity
+        # before this scan.
+        ds = rd.read_parquet(corpus_path, columns=["url", "html"])
         parsed = ds.map_batches(
             attach, batch_format="pyarrow", batch_size=cfg.batch_size
         ).map_batches(
@@ -401,20 +365,23 @@ def _run_wave(
             fn_kwargs={"faithful_depth": cfg.faithful_depth},
         )
         parsed.write_parquet(str(parsed_dir))
+    _mark("scan_parse_write")
     have_parsed = parsed_dir.exists() and any(parsed_dir.glob("*.parquet"))
 
     # ---- read back findings (pruned) + seen probe (ST1) -------------------
+    # The probe is coordinated from the driver in every mode: wave findings
+    # are politeness-bounded, the shard ACTORS are the distributed state,
+    # and shard calls run in parallel. (A streaming map_batches probe was
+    # dropped deliberately: a retried/re-executed probe task would re-present
+    # keys the failed attempt already inserted and silently lose findings —
+    # state mutation and transparent re-execution do not mix; wave-level
+    # resume is the recovery path.)
     if have_parsed:
-        total_parsed = sum(
-            pq.read_metadata(f).num_rows for f in parsed_dir.glob("*.parquet")
-        )
-        findings = None
-        if total_parsed <= cfg.ray_state_threshold:
-            findings = pq.read_table(
-                parsed_dir,
-                columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-                filters=[("rec", "==", "f")],
-            ).drop_columns(["rec"])
+        findings = pq.read_table(
+            parsed_dir,
+            columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+            filters=[("rec", "==", "f")],
+        ).drop_columns(["rec"])
         n_texts = pq.read_table(
             parsed_dir, columns=["rec"], filters=[("rec", "==", "t")]
         ).num_rows
@@ -440,8 +407,6 @@ def _run_wave(
         )
         n_texts = 0
         n_img_ok = 0
-        total_parsed = 0
-        mrows = pa.table({"metric": pa.array([], pa.string())})
     # fetch misses = dispatched-and-fetchable minus rows that came back
     wave_metrics["fetch_miss_page"] += n_pages_dispatched - n_texts
     img_attempts = (
@@ -451,15 +416,12 @@ def _run_wave(
     )
     wave_metrics["fetch_miss_image"] += n_images_dispatched - img_attempts
 
-    if findings is not None:
-        n_findings = findings.num_rows
-        new = _probe_new(findings, seen, cfg.faithful_depth)
-    else:  # large wave: probe as a streaming Dataset stage
-        n_findings = total_parsed - n_texts - n_img_ok - mrows.num_rows
-        new = _probe_new_ray(rd, parsed_dir, seen, cfg)
+    n_findings = findings.num_rows
+    new = _probe_new(findings, seen, cfg.faithful_depth, cfg.ray_state_threshold)
+    _mark("seen_probe")
     pq.write_table(
         new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),
-        tmp_dir / "archive_delta.parquet",
+        wave_dir / "archive_delta.parquet",
     )
 
     # ---- depth gate (on the discovering response's depth, main.rs:132-134)
@@ -467,7 +429,7 @@ def _run_wave(
     next_frontier = (
         gated.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA)
     )
-    pq.write_table(next_frontier, tmp_dir / "next_frontier.parquet")
+    pq.write_table(next_frontier, wave_dir / "next_frontier.parquet")
 
     # ---- carried state snapshots + lineage --------------------------------
     pq.write_table(
@@ -479,7 +441,7 @@ def _run_wave(
                 ),
             }
         ),
-        tmp_dir / "host_counts.parquet",
+        wave_dir / "host_counts.parquet",
     )
     nonzero = sorted(k for k, v in wave_metrics.items() if v)
     pq.write_table(
@@ -489,7 +451,7 @@ def _run_wave(
                 "count": pa.array([int(wave_metrics[k]) for k in nonzero], pa.int64()),
             }
         ),
-        tmp_dir / "metrics.parquet",
+        wave_dir / "metrics.parquet",
     )
     stats = WaveStats(
         wave=wave,
@@ -500,14 +462,19 @@ def _run_wave(
         next_frontier=next_frontier.num_rows,
         metrics=dict(wave_metrics),
     )
-    (tmp_dir / "lineage.json").write_text(
+    _mark("state_writes")
+    (wave_dir / "lineage.json").write_text(
         json.dumps(
-            {**asdict(stats), "config": cfg.fingerprint(), "dir": str(wave_dir)},
+            {
+                **asdict(stats),
+                "phase_sec": phase_sec,
+                "config": cfg.fingerprint(),
+                "dir": str(wave_dir),
+            },
             indent=1,
         )
     )
-    (tmp_dir / "_COMPLETE").touch()
-    tmp_dir.rename(wave_dir)  # atomic wave commit
+    (wave_dir / "_COMPLETE").touch()  # atomic wave commit
     return next_frontier
 
 

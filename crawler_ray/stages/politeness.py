@@ -149,8 +149,31 @@ def admit_ray(
     sandbox workloads."""
     import ray
 
-    from .shuffle import bucketed_group_map
+    from .shuffle import bucketed_exchange_tasks
 
+    if isinstance(frontier_ds, pa.Table):
+        frontier = frontier_ds
+    else:
+        parts = [t for t in ray.get(frontier_ds.to_arrow_refs()) if t.num_rows]
+        frontier = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else FRONTIER_SCHEMA.empty_table().append_column(
+                "host", pa.array([], pa.string())
+            )
+        )
+    n_total = frontier.num_rows
+    valid = frontier.filter(pc.is_valid(frontier["host"]))
+    n_valid_in = valid.num_rows
+    if priority == "hot_host_first":
+        # per-wave host-frequency priority column (the aggregate-sort shape)
+        vc = pd.Series(valid["host"].to_pylist()).value_counts()
+        valid = valid.append_column(
+            "host_wave_rows",
+            pa.array(
+                vc.reindex(valid["host"].to_pylist()).to_numpy(), pa.int64()
+            ),
+        )
     counts_ref = ray.put(dict(counts))
 
     def gate_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -166,40 +189,20 @@ def admit_ray(
         prior = df["host"].map(ray.get(counts_ref)).fillna(0).astype(int)
         return df[(prior + rank) <= limit]
 
-    mat = frontier_ds.materialize()  # wave frontier: bounded, reused twice
-    n_total = mat.count()
-    valid = mat.map_batches(
-        lambda t: t.filter(pc.is_valid(t["host"])), batch_format="pyarrow"
-    ).materialize()
-    n_valid_in = valid.count()
-    if priority == "hot_host_first":
-        # per-wave host-frequency priority: a bucketed groupby(host) count
-        # joined back by broadcast (the aggregate-sort shuffle shape)
-        hc_df = bucketed_group_map(
-            valid,
-            bucket_on="host",
-            fn=lambda d: d.groupby("host", sort=False)
-            .size()
-            .reset_index(name="host_wave_rows"),
-        ).to_pandas()
-        hc = dict(zip(hc_df["host"], hc_df["host_wave_rows"]))
-        valid = valid.map_batches(
-            lambda t: t.append_column(
-                "host_wave_rows",
-                pa.array([hc[h] for h in t["host"].to_pylist()], pa.int64()),
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-    admitted_df = bucketed_group_map(valid, "host", gate_bucket).to_pandas()
-    admitted = priority_sort(
-        pa.Table.from_pandas(admitted_df, preserve_index=False).select(
-            ["url", "kind", "depth", "host"]
-            + (["host_wave_rows"] if "host_wave_rows" in admitted_df else [])
-        ),
-        priority,
+    admitted = bucketed_exchange_tasks(valid, "host", gate_bucket)
+    admitted = priority_sort(admitted, priority)
+    # pin the schema: an all-empty exchange materialises null-typed columns
+    # through pandas, which would poison downstream concat/cast
+    admitted = admitted.select(["url", "kind", "depth", "host"]).cast(
+        pa.schema(
+            [
+                ("url", pa.string()),
+                ("kind", pa.string()),
+                ("depth", pa.int32()),
+                ("host", pa.string()),
+            ]
+        )
     )
-    if "host_wave_rows" in admitted.column_names:
-        admitted = admitted.drop_columns(["host_wave_rows"])
 
     metrics: Counter = Counter()
     for h in admitted["host"].to_pylist():

@@ -73,6 +73,48 @@ def bucketed_group_map(
     )
 
 
+def bucketed_exchange_tasks(
+    table: pa.Table,
+    bucket_on: str,
+    fn,
+    n_buckets: int = 32,
+) -> pa.Table:
+    """The same bucketed exchange on explicit Ray tasks (map side splits
+    each block by hash bucket, one reduce task per bucket runs ``fn``
+    vectorized). Used for the crawl's state ops, where results feed the
+    deterministic wave protocol: every stage here is a plain task graph
+    with no hidden re-execution, so a failure surfaces instead of
+    degrading. Input is a driver-held Arrow table (wave frontiers are
+    bounded by politeness); the map side still fans out across the
+    cluster via ray.put of slices."""
+    import ray
+
+    if table.num_rows == 0:
+        return table
+
+    buckets = _bucket_ids(table[bucket_on], n_buckets)
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = table.take(pa.array(order))
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets, np.arange(n_buckets + 1))
+
+    @ray.remote
+    def reduce_bucket(part: pa.Table) -> pa.Table:
+        out = fn(part.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    futures = []
+    for b in range(n_buckets):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi > lo:
+            futures.append(reduce_bucket.remote(sorted_tbl.slice(lo, hi - lo)))
+    parts = [t for t in ray.get(futures) if t.num_rows]
+    if not parts:
+        first = fn(table.slice(0, 0).to_pandas())
+        return pa.Table.from_pandas(first, preserve_index=False)
+    return pa.concat_tables(parts).combine_chunks()
+
+
 def bucketed_group_agg(
     ds,
     keys: list[str],

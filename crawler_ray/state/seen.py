@@ -38,7 +38,13 @@ class SeenShard:
 
     def probe_and_insert(self, keys: list[str]) -> np.ndarray:
         """Returns new-mask: True where the key was not seen before this
-        call. Duplicates within one call: first occurrence wins."""
+        call. Duplicates within one call: first occurrence wins.
+
+        NOTE this call MUTATES shard state: callers must not sit behind
+        transparently-retried tasks (a retry would re-present keys the
+        failed attempt already inserted and get all-False back). The crawl
+        driver therefore probes from the driver/coordinator only; recovery
+        is wave-level resume, not task retry."""
         h1, h2 = hash_pair(keys)
         if self.exact is not None:
             out = np.empty(len(keys), dtype=bool)
@@ -117,7 +123,9 @@ class SeenSet:
             pos = np.nonzero(shard_of == s)[0]
             if len(pos):
                 futures.append(
-                    self.shards[s].probe_and_insert.remote([key_list[i] for i in pos])
+                    self.shards[s].probe_and_insert.remote(
+                        [key_list[i] for i in pos]
+                    )
                 )
                 positions.append(pos)
         for pos, mask in zip(positions, ray.get(futures)):

@@ -347,15 +347,17 @@ def _run_wave(
         def attach(batch: pa.Table) -> pa.Table:
             return attach_frontier(batch, ray.get(lookups_ref))
 
-        # The broadcast lookup dict (ray.put once) IS the probe-side filter:
-        # attach_frontier emits only matched rows, so no pushdown expression
-        # is shipped per task. An ``isin`` row-group filter only pays when
-        # the corpus layout sorts/buckets urls so stats actually prune; for
-        # a hash-spread frontier it re-builds a large hash set per row
-        # group for zero pruning (measured slower). At 100 TB the layout
-        # would bucket files by hash(url) and prune at FILE granularity
-        # before this scan.
-        ds = rd.read_parquet(corpus_path, columns=["url", "html"])
+        # Pushdown ``isin`` prunes row groups at the read (the corpus layout
+        # keeps a host's pages contiguous, so a politeness-bounded frontier
+        # touches a minority of row groups) and keeps non-matched html bytes
+        # out of the object store; the broadcast lookup dict then finishes
+        # the join in attach_frontier. At 100 TB the layout would also
+        # bucket files by hash(url) for FILE-level pruning before this scan.
+        ds = rd.read_parquet(
+            corpus_path,
+            columns=["url", "html"],
+            filter=pc.field("url").isin(sorted(lookups.keys())),
+        )
         parsed = ds.map_batches(
             attach, batch_format="pyarrow", batch_size=cfg.batch_size
         ).map_batches(

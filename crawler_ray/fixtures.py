@@ -89,6 +89,7 @@ def _page_row(
     pages_per_host: int,
     hub_linked: int,
     edge_cases: bool,
+    page_weight: int = 1,
 ) -> dict:
     idx = i * pages_per_host + j
     rng = _rng(seed, "page", i, j)
@@ -117,6 +118,12 @@ def _page_row(
     tag("</h1><p>")
     data(" ".join(rng.choice(_WORDS) for _ in range(rng.randint(8, 24))) + ".")
     tag("</p>")
+    # page_weight > 1 pads body paragraphs toward realistic web-page sizes
+    # (the default tiny pages underweight parse cost relative to overheads)
+    for _p in range(page_weight - 1):
+        tag("<p>")
+        data(" ".join(rng.choices(_WORDS, k=150)) + ".")
+        tag("</p>")
 
     # same-host links in rotating syntactic forms (all resolve to /pT via the
     # origin-root base, regardless of this page's directory)
@@ -325,10 +332,11 @@ def gen_corpus(
     pages_per_host: int = 20,
     seed: int = 42,
     edge_cases: bool = True,
+    page_weight: int = 1,
 ) -> pa.Table:
     hub = hub_linked_for(n_hosts, pages_per_host)
     rows = [
-        _page_row(seed, i, j, n_hosts, pages_per_host, hub, edge_cases)
+        _page_row(seed, i, j, n_hosts, pages_per_host, hub, edge_cases, page_weight)
         for i in range(n_hosts)
         for j in range(pages_per_host)
     ]

@@ -31,6 +31,7 @@ shuffle-native forms above it (stages/politeness.py documents both).
 
 from __future__ import annotations
 
+import functools
 import json
 import shutil
 from collections import Counter
@@ -59,6 +60,17 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
+@functools.lru_cache(maxsize=4)
+def _cached_get(ref):
+    """Per-worker-process deserialization cache for broadcast objects:
+    ``ray.get`` re-unpickles a Python dict on every call, which at one call
+    per 256-row batch dominated the fetch-join stage; the lookup dict is
+    immutable for the wave, so cache it by ObjectRef."""
+    import ray
+
+    return ray.get(ref)
+
+
 @dataclass
 class CrawlConfig:
     depth_limit: int = 4
@@ -70,6 +82,7 @@ class CrawlConfig:
     approx_seen: bool = False  # design-scale mode: bloom only, no exact set
     batch_size: int = 256  # pages per parse batch
     ray_state_threshold: int = 50_000  # rows above which state ops go via Ray
+    scan_pushdown_limit: int = 10_000  # wave lookups above which scan skips isin
     max_waves: int | None = None
     priority: str = "canonical"  # | shallow_first | hot_host_first
     respect_robots: bool = False  # robots.txt gate (extension; off = faithful)
@@ -345,19 +358,24 @@ def _run_wave(
         lookups_ref = ray.put(lookups)
 
         def attach(batch: pa.Table) -> pa.Table:
-            return attach_frontier(batch, ray.get(lookups_ref))
+            return attach_frontier(batch, _cached_get(lookups_ref))
 
-        # Pushdown ``isin`` prunes row groups at the read (the corpus layout
-        # keeps a host's pages contiguous, so a politeness-bounded frontier
-        # touches a minority of row groups) and keeps non-matched html bytes
-        # out of the object store; the broadcast lookup dict then finishes
-        # the join in attach_frontier. At 100 TB the layout would also
-        # bucket files by hash(url) for FILE-level pruning before this scan.
-        ds = rd.read_parquet(
-            corpus_path,
-            columns=["url", "html"],
-            filter=pc.field("url").isin(sorted(lookups.keys())),
-        )
+        # Hybrid probe-side pruning: for SMALL waves an ``isin`` pushdown
+        # prunes row groups at the read (the corpus layout keeps a host's
+        # pages contiguous) and keeps non-matched html out of the object
+        # store; for LARGE waves the expression itself (10^5 strings
+        # serialized into every read task, hash-set rebuilt per row group)
+        # costs more than it prunes, so the broadcast lookup dict inside
+        # attach_frontier does the filtering instead. At 100 TB the layout
+        # would also bucket files by hash(url) for FILE-level pruning.
+        if len(lookups) <= cfg.scan_pushdown_limit:
+            ds = rd.read_parquet(
+                corpus_path,
+                columns=["url", "html"],
+                filter=pc.field("url").isin(sorted(lookups.keys())),
+            )
+        else:
+            ds = rd.read_parquet(corpus_path, columns=["url", "html"])
         parsed = ds.map_batches(
             attach, batch_format="pyarrow", batch_size=cfg.batch_size
         ).map_batches(

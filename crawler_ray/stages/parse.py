@@ -80,20 +80,32 @@ def build_lookups(
 def attach_frontier(batch: pa.Table, lookups: dict) -> pa.Table:
     """Corpus (url, html) rows → one row per admitted frontier entry that
     resolves to them (fragment variants and page+image dual findings each
-    get their own row, as each was a separate dispatch)."""
-    urls, kinds, depths, htmls = [], [], [], []
-    for corpus_url, html in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
-        for url_s, kind, depth in lookups.get(corpus_url, ()):
-            urls.append(url_s)
-            kinds.append(kind)
-            depths.append(depth)
-            htmls.append(html)
+    get their own row, as each was a separate dispatch).
+
+    Only the URL strings are materialized to Python for the dict probe; the
+    html payloads of matched rows are gathered with an Arrow ``take``
+    (zero-copy slices), so unmatched pages never leave Arrow — this stage
+    is a probe, not a decode."""
+    urls, kinds, depths, src_idx = [], [], [], []
+    for i, corpus_url in enumerate(batch["url"].to_pylist()):
+        entries = lookups.get(corpus_url)
+        if entries:
+            for url_s, kind, depth in entries:
+                urls.append(url_s)
+                kinds.append(kind)
+                depths.append(depth)
+                src_idx.append(i)
+    html = (
+        batch["html"].take(pa.array(src_idx, pa.int64()))
+        if src_idx
+        else batch["html"].slice(0, 0)  # keeps the column's exact dtype
+    )
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "kind": pa.array(kinds, pa.string()),
             "depth": pa.array(depths, pa.int32()),
-            "html": pa.array(htmls, pa.binary()),
+            "html": html,
         }
     )
 

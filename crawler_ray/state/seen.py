@@ -36,15 +36,20 @@ class SeenShard:
         self.bloom = BloomFilter(capacity, fpp)
         self.exact: set[str] | None = None if approx_only else set()
 
-    def probe_and_insert(self, keys: list[str]) -> np.ndarray:
+    def probe_and_insert(self, keys: "list[str] | pa.Array") -> np.ndarray:
         """Returns new-mask: True where the key was not seen before this
-        call. Duplicates within one call: first occurrence wins.
+        call. Duplicates within one call: first occurrence wins. Accepts an
+        Arrow array so the caller ships a zero-copy slice and the
+        string→Python conversion runs HERE (parallel across shards), not on
+        the coordinator.
 
         NOTE this call MUTATES shard state: callers must not sit behind
         transparently-retried tasks (a retry would re-present keys the
         failed attempt already inserted and get all-False back). The crawl
         driver therefore probes from the driver/coordinator only; recovery
         is wave-level resume, not task retry."""
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            keys = keys.to_pylist()
         h1, h2 = hash_pair(keys)
         if self.exact is not None:
             out = np.empty(len(keys), dtype=bool)
@@ -72,8 +77,10 @@ class SeenShard:
         self.bloom.add(h1[first], h2[first])
         return out
 
-    def insert(self, keys: list[str]) -> int:
+    def insert(self, keys: "list[str] | pa.Array") -> int:
         """Insert without probing (checkpoint restore path)."""
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            keys = keys.to_pylist()
         h1, h2 = hash_pair(keys)
         if self.exact is not None:
             self.exact.update(keys)
@@ -116,15 +123,16 @@ class SeenSet:
         if n == 0:
             return np.zeros(0, dtype=bool)
         shard_of = self._route(keys)
-        key_list = keys.to_pylist()
         out = np.zeros(n, dtype=bool)
         futures, positions = [], []
         for s in range(self.num_shards):
             pos = np.nonzero(shard_of == s)[0]
             if len(pos):
+                # vectorized gather; the Arrow slice ships without a
+                # driver-side Python-string materialization
                 futures.append(
                     self.shards[s].probe_and_insert.remote(
-                        [key_list[i] for i in pos]
+                        keys.take(pa.array(pos))
                     )
                 )
                 positions.append(pos)
@@ -139,11 +147,10 @@ class SeenSet:
         if len(keys) == 0:
             return
         shard_of = self._route(keys)
-        key_list = keys.to_pylist()
         ray.get(
             [
                 self.shards[s].insert.remote(
-                    [key_list[i] for i in np.nonzero(shard_of == s)[0]]
+                    keys.take(pa.array(np.nonzero(shard_of == s)[0]))
                 )
                 for s in range(self.num_shards)
             ]

@@ -186,6 +186,28 @@ class CrawlRun:
                     out[f] = u
         return out
 
+    def export_images(self, dest_dir: str) -> int:
+        """Reference image-sink parity (main.rs:271-278): write each image's
+        bytes to ``dest_dir/{filename}`` in canonical order, later writes
+        silently overwriting earlier ones. Returns files written."""
+        dest = Path(dest_dir)
+        dest.mkdir(parents=True, exist_ok=True)
+        n = 0
+        for d in self.wave_dirs():
+            pdir = d / "parsed"
+            if pdir.exists() and any(pdir.glob("*.parquet")):
+                t = pq.read_table(
+                    pdir,
+                    columns=["rec", "url", "filename", "data"],
+                    filters=[("rec", "==", "i")],
+                ).sort_by([("url", "ascending")])
+                for fname, data in zip(
+                    t["filename"].to_pylist(), t["data"].to_pylist()
+                ):
+                    (dest / fname).write_bytes(data or b"")
+                    n += 1
+        return n
+
     def metrics(self) -> Counter:
         out: Counter = Counter()
         t = self._concat("metrics.parquet")

@@ -132,6 +132,22 @@ def admit_local(
     return admitted, metrics
 
 
+def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> pa.Table:
+    """Per-host top-(limit+1) combiner: rows ranked beyond limit+1 within
+    their host (in the wave's priority order) can never be admitted, so
+    they are pruned before any exchange. Admission results are unchanged
+    (equivalence-tested); the exchange volume per host is bounded."""
+    if valid.num_rows == 0:
+        return valid
+    df = valid.to_pandas()
+    pairs = [(c, a) for c, a in zip(*PRIORITY_MODES[priority]) if c in df.columns]
+    sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
+    ascending = [True] + [a for c, a in pairs if c != "host"]
+    df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+    keep = df.groupby("host", sort=False).cumcount() <= limit
+    return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+
 def admit_ray(
     frontier_ds,
     counts: Counter,
@@ -174,6 +190,15 @@ def admit_ray(
                 vc.reindex(valid["host"].to_pylist()).to_numpy(), pa.int64()
             ),
         )
+    # Hot-host skew bound (the "salting" of the north-star design): a host
+    # can never admit more than limit+1 rows total, so rows ranked past
+    # limit+1 within their host are dropped BEFORE the exchange — a
+    # pathological host contributes at most limit+1 rows to the shuffle
+    # instead of its entire pending frontier. At cluster scale this prune
+    # runs as a map-side combiner on each frontier shard (bounding any
+    # host to (limit+1) × n_shards exchanged rows); here the coordinator
+    # holds the wave table, so one vectorized pass suffices.
+    valid = presalt_prune(valid, limit, priority)
     counts_ref = ray.put(dict(counts))
 
     def gate_bucket(df: pd.DataFrame) -> pd.DataFrame:

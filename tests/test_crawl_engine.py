@@ -148,6 +148,58 @@ def test_resume_reproduces_bit_identical(t1_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_export_images_overwrite_semantics(t1_corpus, tmp_path):
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds)
+    run = run_crawl(path, seeds, str(tmp_path / "imgrun"), CrawlConfig(num_seen_shards=2))
+    n = run.export_images(str(tmp_path / "prey_res"))
+    assert n == len(res.image_writes)
+    files = {p.name for p in (tmp_path / "prey_res").iterdir()}
+    assert files == set(res.image_files)
+    # overwrite winner: file bytes match the canonically-last written url
+    for fname, url in res.image_files.items():
+        import crawler_ray.urlnorm as un2
+
+        want = corpus[str(un2.parse(url).without_fragment())]
+        assert (tmp_path / "prey_res" / fname).read_bytes() == want
+
+
+def test_presalt_prune_preserves_admission():
+    from collections import Counter as C
+
+    from crawler_ray.stages.politeness import admit_local, presalt_prune, with_host
+
+    rows = [(f"http://hot.test/p{i:05d}", "page", 0) for i in range(2000)]
+    rows += [(f"http://cold.test/q{i}", "page", 0) for i in range(5)]
+    f = with_host(_frontier_tbl(rows))
+    pruned = presalt_prune(f, limit=256)
+    # hot host bounded to limit+1 rows; cold host untouched
+    hosts = pruned["host"].to_pylist()
+    assert hosts.count("hot.test") == 257
+    assert hosts.count("cold.test") == 5
+    # admission over pruned == admission over full
+    ca, cb = C({"hot.test": 250}), C({"hot.test": 250})
+    a_full, _ = admit_local(f, ca)
+    a_pruned, _ = admit_local(pruned, cb)
+    assert a_full.equals(a_pruned)
+    assert ca == cb
+
+
+def _frontier_tbl(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "depth": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lineage_written_per_wave(t1_corpus, tmp_path):
     import json
 

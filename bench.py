@@ -206,8 +206,11 @@ def run_scaling() -> dict:
     seed list)."""
     # pre-generate + warm cache once, untimed
     ensure_corpus("scaling")
+    levels = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in levels:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -235,21 +238,24 @@ def run_scaling() -> dict:
         best["crawl_pages_per_sec"] = max(r["crawl_pages_per_sec"] for r in runs)
         best["value"] = min(r["value"] for r in runs)
         results[ncpu] = best
-    t8, t32 = results[8]["value"], results[32]["value"]
-    p8 = results[8]["crawl_pages_per_sec"]
-    p32 = results[32]["crawl_pages_per_sec"]
-    pp8 = results[8]["parse_pages_per_sec"]
-    pp32 = results[32]["parse_pages_per_sec"]
+    lo, hi = levels
+    factor = hi / lo
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    pp_lo = results[lo]["parse_pages_per_sec"]
+    pp_hi = results[hi]["parse_pages_per_sec"]
     return {
-        "metric": "scaling efficiency, fresh ray.init(num_cpus=8) vs 32, same input",
-        "crawl_sec_8": t8,
-        "crawl_sec_32": t32,
-        "crawl_pages_per_sec_8": p8,
-        "crawl_pages_per_sec_32": p32,
-        "parse_pages_per_sec_8": pp8,
-        "parse_pages_per_sec_32": pp32,
-        "crawl_scaling_efficiency": round((t8 / t32) / 4, 3),
-        "parse_scaling_efficiency": round((pp32 / pp8) / 4, 3),
+        "metric": (
+            f"scaling efficiency, fresh ray.init(num_cpus={lo}) vs {hi} under "
+            f"taskset affinity, same input (N to {factor:.0f}N)"
+        ),
+        f"crawl_sec_{lo}": t_lo,
+        f"crawl_sec_{hi}": t_hi,
+        f"crawl_pages_per_sec_{lo}": results[lo]["crawl_pages_per_sec"],
+        f"crawl_pages_per_sec_{hi}": results[hi]["crawl_pages_per_sec"],
+        f"parse_pages_per_sec_{lo}": pp_lo,
+        f"parse_pages_per_sec_{hi}": pp_hi,
+        "crawl_scaling_efficiency": round((t_lo / t_hi) / factor, 3),
+        "parse_scaling_efficiency": round((pp_hi / pp_lo) / factor, 3),
         "sf": Path(SF_DIR).name,
     }
 

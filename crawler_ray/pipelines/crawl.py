@@ -242,12 +242,20 @@ def _probe_new(
                 ("src_depth", "ascending"),
             ]
         )
-        keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
-        import pandas as pd
-
-        first_mask = ~pd.Series(keys.to_pylist()).duplicated(keep="first")
-        findings = findings.filter(pa.array(first_mask.to_numpy()))
+    else:
+        # faithful mode: rows sharing a Finding key are identical in every
+        # column that matters (src_depth == depth == constant), so wave-level
+        # key-dedup before the probe is free of ordering concerns
+        pass
+    # wave-level self-dedup: links are discovered by many pages (~fan-in×),
+    # so dropping duplicate keys first shrinks the probe by that factor
     keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
+    import pandas as pd
+
+    first_mask = ~pd.Series(keys.to_pylist()).duplicated(keep="first")
+    if not bool(first_mask.all()):
+        findings = findings.filter(pa.array(first_mask.to_numpy()))
+        keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
     mask = seen.probe_and_insert(keys)
     return _canonical_findings_sort(findings.filter(pa.array(mask)))
 

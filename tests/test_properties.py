@@ -1,0 +1,108 @@
+"""Property tests (SURVEY.md §5.5): invariants on random link graphs via
+the oracle simulator, and URL-algebra round-trips. Pure Python — no Ray."""
+
+from hypothesis import given, settings, strategies as st
+
+from crawler_ray import oracle, urlnorm as un
+
+hosts = st.integers(0, 5).map(lambda i: f"h{i}.test")
+paths = st.integers(0, 30).map(lambda i: f"/p{i}")
+
+
+@st.composite
+def corpora(draw):
+    n = draw(st.integers(1, 25))
+    urls = [
+        f"http://{draw(hosts)}{draw(paths)}"
+        for _ in range(n)
+    ]
+    corpus = {}
+    for u in set(urls):
+        links = draw(st.lists(st.sampled_from(urls + ["/px", "ftp://x.test/y"]), max_size=6))
+        body = "<html><body>t" + "".join(f'<a href="{x}">a</a>' for x in links)
+        if draw(st.booleans()):
+            body += '<img src="/i.png">'
+        corpus[u] = (body + "</body></html>").encode()
+    seeds = draw(st.lists(st.sampled_from(sorted(corpus)), min_size=1, max_size=3))
+    return corpus, seeds
+
+
+@given(corpora(), st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_crawl_invariants(data, limit):
+    corpus, seeds = data
+    res = oracle.simulate(corpus, seeds, host_limit=limit)
+
+    # politeness: no host ever exceeds limit+1 dispatches
+    assert all(v <= limit + 1 for v in res.host_counts.values())
+    # every dispatch (order) entry refers to a host-bearing URL
+    for _, _, u, kind, _ in res.order:
+        assert un.parse(u).host is not None
+    # archive keys: all archived non-seed findings are http-ish with a host
+    for u, kind, _ in res.archive:
+        p = un.parse(u)
+        assert p.host is not None and un.scheme_is_httpish(p.scheme)
+    # archive is consistent with dispatch: any URL dispatched more than
+    # once per (kind, depth) must be a seed (seeds bypass the archive)
+    from collections import Counter
+
+    seen_dispatch = Counter((u, k, d) for _, _, u, k, d in res.order)
+    seed_set = {str(un.parse(s)) for s in seeds}
+    for (u, k, d), c in seen_dispatch.items():
+        if c > 1:
+            assert u in seed_set
+    # determinism: identical input → identical result
+    res2 = oracle.simulate(corpus, seeds, host_limit=limit)
+    assert res2.order == res.order
+    assert res2.archive == res.archive
+    assert res2.metrics == res.metrics
+
+
+@given(corpora())
+@settings(max_examples=20, deadline=None)
+def test_priority_modes_conserve_sets_when_budget_unbound(data):
+    # with an unbound budget, priority only permutes the dispatch order —
+    # the archive and texts are identical across priority modes
+    corpus, seeds = data
+    base = oracle.simulate(corpus, seeds, host_limit=10**6)
+    for mode in ("shallow_first", "hot_host_first"):
+        alt = oracle.simulate(corpus, seeds, host_limit=10**6, priority=mode)
+        assert alt.archive == base.archive
+        assert alt.texts == base.texts
+        assert sorted(alt.order) != [] or base.order == []
+
+
+_URL_CHARS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-._", min_size=1, max_size=8
+)
+
+
+@given(
+    st.sampled_from(["http", "https"]),
+    _URL_CHARS,
+    st.lists(_URL_CHARS, max_size=3),
+    st.one_of(st.none(), _URL_CHARS),
+    st.one_of(st.none(), _URL_CHARS),
+)
+@settings(max_examples=200, deadline=None)
+def test_urlnorm_parse_serialize_roundtrip(scheme, host, segs, query, frag):
+    s = f"{scheme}://{host}.test/" + "/".join(segs)
+    if query is not None:
+        s += f"?{query}"
+    if frag is not None:
+        s += f"#{frag}"
+    u = un.parse(s)
+    # serialization is a fixed point: parse(str(u)) == u
+    assert un.parse(str(u)) == u
+    assert u.host == f"{host}.test".lower()
+
+
+@given(_URL_CHARS, st.lists(_URL_CHARS, min_size=1, max_size=3))
+@settings(max_examples=100, deadline=None)
+def test_join_always_lands_on_base_origin(host, segs):
+    base = un.parse(f"http://{host}.test/a/b/c").origin_root()
+    rel = "/".join(segs)
+    joined = un.join(base, rel)
+    assert joined.host == base.host
+    assert joined.scheme == "http"
+    assert joined.path.startswith("/")

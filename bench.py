@@ -9,10 +9,12 @@ Headline value = flagship crawl wall time (BFS waves over the bench
 corpus). Also timed: single-pass parse/link-extract throughput (pages/s
 without wave barriers), the relational conformance queries, dedup and ANN.
 
-``--scaling``: runs this script twice in FRESH processes at
-RAY_GRAFT_CPUS=8 and =32 on the same (pre-generated, page-cache-warm)
-input and reports both throughputs plus efficiency = (t8/t32)/4 — the
-sandbox evidence for the north-rule's N→4N cluster criterion.
+``--scaling``: runs this script in FRESH processes at two parallelism
+levels (default 8 and 32; override GRAFT_SCALING_LEVELS="4,16"), each
+pinned with taskset to exactly N cores, best-of-3 per level on the same
+pre-generated page-cache-warm input, and reports both throughputs plus
+efficiency = speedup/(hi/lo) — the sandbox evidence for the north-rule's
+N→4N cluster criterion (see BASELINE.md for recorded numbers).
 """
 
 from __future__ import annotations

@@ -259,6 +259,17 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HLL-sketch grouped distinct (mergeable combiner shape; rows-only —
+    approximate by design, accuracy is pytest-checked against exact)."""
+    import ray.data as rd
+
+    from crawler_ray.functions.sketches import approx_distinct_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return approx_distinct_per_group(ds, "event_type", "user_id")
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -283,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": R.events_by_type,
         "events_hourly": R.events_hourly,
         "events_first3_per_user": R.events_first3_per_user,
+        "events_sessions": R.events_sessions,
         "events_user_value_topk": R.events_user_value_topk,
         "customers_without_orders": R.customers_without_orders,
         "order_status_with_lineitems": R.order_status_with_lineitems,
@@ -311,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         "cosine_near_dups": _cosine_near_dups,
         "multimodal_decode": _multimodal_decode,
+        "approx_distinct_users": _approx_distinct_users,
     }
 
 
@@ -325,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": R.EVENTS_BY_TYPE_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "events_first3_per_user": R.EVENTS_FIRST3_SQL,
+        "events_sessions": R.EVENTS_SESSIONS_SQL,
         "events_user_value_topk": R.EVENTS_TOPK_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "order_status_with_lineitems": R.SEMI_JOIN_SQL,

@@ -552,6 +552,63 @@ FROM documents
 """
 
 
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Gap-based session windows (the streaming-shaped operator): events of
+    a user belong to one session while consecutive gaps stay under
+    ``gap_minutes``. Ray shape: co-locate by user via the bucketed
+    exchange, then ONE vectorized pass per bucket (sort + lag + cumsum) —
+    the standard sessionization kernel. The ordering key (ts, event_id) is
+    total, so results are deterministic and SQL-mirrorable."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        new_user = df["user_id"] != df["user_id"].shift()
+        gap_break = (df["ts"] - df["ts"].shift()) > gap
+        df["session_id"] = (new_user | gap_break).cumsum()
+        g = df.groupby(["user_id", "session_id"], sort=False)
+        out = g.agg(
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        ).reset_index()
+        # renumber sessions per user in start order (bucket-local ids are
+        # arbitrary; the per-user ordinal is the stable identity)
+        out = out.sort_values(["user_id", "start_ts"])
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount() + 1
+        return out
+
+    df = bucketed_group_map(ds, "user_id", sessionize).to_pandas()
+    return (
+        df.sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+        .astype({"user_id": "int64", "session_id": "int64", "n_events": "int64"})
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 

@@ -25,15 +25,23 @@ import pyarrow as pa
 import ray
 
 from ..keys import hash64, hash_pair
-from .filters import BloomFilter
+from .filters import BloomFilter, CuckooFilter
 
 
 @ray.remote(num_cpus=0.25)
 class SeenShard:
     """One hash-partition of the archive. Bloom + (optional) exact set."""
 
-    def __init__(self, capacity: int, fpp: float, approx_only: bool) -> None:
-        self.bloom = BloomFilter(capacity, fpp)
+    def __init__(
+        self,
+        capacity: int,
+        fpp: float,
+        approx_only: bool,
+        filter_kind: str = "bloom",
+    ) -> None:
+        self.bloom = (
+            CuckooFilter(capacity) if filter_kind == "cuckoo" else BloomFilter(capacity, fpp)
+        )
         self.exact: set[str] | None = None if approx_only else set()
 
     def probe_and_insert(self, keys: "list[str] | pa.Array") -> np.ndarray:
@@ -104,10 +112,11 @@ class SeenSet:
         capacity_per_shard: int = 1_000_000,
         fpp: float = 0.01,
         approx_only: bool = False,
+        filter_kind: str = "bloom",  # | "cuckoo" (north_rule names both)
     ) -> None:
         self.num_shards = num_shards
         self.shards = [
-            SeenShard.remote(capacity_per_shard, fpp, approx_only)
+            SeenShard.remote(capacity_per_shard, fpp, approx_only, filter_kind)
             for _ in range(num_shards)
         ]
 

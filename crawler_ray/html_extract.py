@@ -74,15 +74,167 @@ class _Extractor(HTMLParser):
             self.text_parts.append(data)
 
 
-def extract(body: str | bytes) -> tuple[list[str], list[str], str]:
-    """Tokenize one page body → (page_links, image_links, text).
-
-    Links are the raw attribute strings in document order (URL resolution is
-    a separate stage, see urlnorm.parse_links); text is the extracted
-    character data."""
-    if isinstance(body, bytes):
-        body = body.decode("utf-8", errors="replace")
+def _reference_extract(body: str) -> tuple[list[str], list[str], str]:
     ex = _Extractor()
     ex.feed(body)
     ex.close()
     return ex.page_links, ex.image_links, "".join(ex.text_parts)
+
+
+# --------------------------------------------------------------- fast path
+#
+# html.parser dispatches a Python method call per token; at crawl scale the
+# tokenizer is the dominant compute, so the hot path below scans with
+# str.find / compiled stdlib regexes and only does attribute work for
+# <a>/<img>. It reuses html.parser's OWN tolerant start-tag/attribute
+# regexes, so attribute semantics (quoting, entity decoding, duplicate
+# handling) are identical by construction; everything else is covered by a
+# differential test against _reference_extract over the full fixture corpus
+# and the edge-case strings (test_html_extract.py). The oracle simulator
+# always uses the reference implementation, so engine-vs-oracle equality
+# also cross-checks the fast path end-to-end.
+
+import html.parser as _hp
+import re
+from html import unescape as _unescape
+
+_LOCATE_START_END = _hp.locatestarttagend_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_TAGFIND = _hp.tagfind_tolerant  # consumes the post-name whitespace too
+_CHARREF_HINT = "&"
+
+
+def _decode_data(s: str) -> str:
+    return _unescape(s) if _CHARREF_HINT in s else s
+
+
+class _Bail(Exception):
+    """Input left the fast path's certain subset → reparse with the
+    reference tokenizer (declarations, unterminated constructs, bogus end
+    tags — all the places html.parser has intricate recovery rules)."""
+
+
+_ENDTAGFIND = _hp.endtagfind
+
+
+def _fast_extract_inner(body: str) -> tuple[list[str], list[str], str]:
+    pages: list[str] = []
+    images: list[str] = []
+    text: list[str] = []
+    n = len(body)
+    i = 0
+    find = body.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            text.append(_decode_data(body[i:]))
+            break
+        if lt > i:
+            text.append(_decode_data(body[i:lt]))
+        nxt = body[lt + 1 : lt + 2]
+        if nxt == "!":
+            if not body.startswith("<!--", lt):
+                raise _Bail  # declarations / marked sections: complex rules
+            end = find("-->", lt + 4)
+            if end < 0:
+                raise _Bail  # unterminated comment: EOF-flush semantics
+            i = end + 3
+        elif nxt == "?":
+            raise _Bail  # processing-instruction recovery rules
+        elif nxt == "/":
+            m = _ENDTAGFIND.match(body, lt)
+            if not m:
+                raise _Bail  # bogus end tag: data-recovery rules
+            i = m.end()
+        elif nxt and ("a" <= nxt <= "z" or "A" <= nxt <= "Z"):
+            m = _TAGFIND.match(body, lt + 1)
+            tag = m.group(1).lower()
+            gt = find(">", lt)
+            if gt < 0:
+                raise _Bail  # unterminated start tag
+            seg = body[m.end() : gt]
+            if (
+                "'" not in seg
+                and '"' not in seg
+                and "<" not in seg
+                and tag != "a"
+                and tag != "img"
+            ):
+                # quote-free non-collected tag: '>' cannot be inside an
+                # attribute value, so this IS the tag end — skip the big
+                # attribute regex entirely (the common <p>/<h1>/… case)
+                i = gt + 1
+                if tag in _RAWTEXT:
+                    endpat = "</" + tag
+                    e = body.lower().find(endpat, i)
+                    if e < 0:
+                        raise _Bail
+                    gt2 = find(">", e)
+                    if gt2 < 0:
+                        raise _Bail
+                    i = gt2 + 1
+                continue
+            attr_end = _LOCATE_START_END.match(body, lt)  # pattern has '<'
+            j = attr_end.end()
+            if body.startswith(">", j):
+                close = j + 1
+            elif body.startswith("/>", j):
+                close = j + 2
+            else:
+                raise _Bail  # malformed / unterminated start tag
+            if tag == "a" or tag == "img":
+                want = "href" if tag == "a" else "src"
+                out = pages if tag == "a" else images
+                seen: set[str] = set()
+                k = m.end()
+                while k < j:
+                    am = _ATTRFIND.match(body, k)
+                    if not am:
+                        break
+                    name = am.group(1).lower()
+                    value = am.group(3)
+                    if name not in seen:
+                        seen.add(name)
+                        if name == want and value is not None:
+                            if value[:1] in "'\"" and value[:1] == value[-1:]:
+                                value = value[1:-1]
+                            out.append(_decode_data(value))
+                    k = am.end()
+            i = close
+            if tag in _RAWTEXT:
+                # CDATA mode: content until the matching end tag is rawtext
+                endpat = "</" + tag
+                e = body.lower().find(endpat, i)
+                if e < 0:
+                    raise _Bail  # unterminated rawtext: EOF-flush semantics
+                gt = find(">", e)
+                if gt < 0:
+                    raise _Bail
+                i = gt + 1
+        else:
+            # bare '<' (or '<' + non-name char) is character data
+            text.append("<")
+            i = lt + 1
+    return pages, images, "".join(text)
+
+
+def _fast_extract(body: str) -> tuple[list[str], list[str], str]:
+    try:
+        return _fast_extract_inner(body)
+    except _Bail:
+        return _reference_extract(body)
+
+
+def extract(body: str | bytes, fast: bool = True) -> tuple[list[str], list[str], str]:
+    """Tokenize one page body → (page_links, image_links, text).
+
+    Links are the raw attribute strings in document order (URL resolution is
+    a separate stage, see urlnorm.parse_links); text is the extracted
+    character data. ``fast=False`` selects the html.parser-based reference
+    implementation (used by the oracle simulator and the differential
+    tests); both produce identical output on the supported HTML subset."""
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", errors="replace")
+    if fast:
+        return _fast_extract(body)
+    return _reference_extract(body)

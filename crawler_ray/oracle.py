@@ -179,7 +179,11 @@ def simulate(
             if body is None:
                 res.metrics["fetch_miss_page"] += 1
                 continue
-            page_links, image_links, text = extract(body)
+            # the oracle always tokenizes with the html.parser-based
+            # REFERENCE implementation; the engine uses the fast scanner, so
+            # engine-vs-oracle equality differentially verifies the fast
+            # path on every crawled page
+            page_links, image_links, text = extract(body, fast=False)
             res.texts[url_s] = text
 
             kept_pages, mal_p = un.parse_links(page_links, u)

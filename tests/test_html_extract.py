@@ -66,3 +66,37 @@ def test_non_link_tags_ignored():
     pages, images, _ = extract('<link href="css"><area href="m"><source src="v">')
     assert pages == []
     assert images == []
+
+
+def test_fast_path_differential_full_corpus():
+    """The fast scanner must agree byte-for-byte with the html.parser
+    reference implementation on every fixture page plus edge strings and
+    random fuzz (unsupported constructs bail to the reference parser)."""
+    import random
+
+    from crawler_ray import fixtures
+
+    bodies = fixtures.gen_corpus(5, 20)["html"].to_pylist()
+    bodies += [
+        b'<p <q><a href="x">t</a>',
+        b"<p a=b>u</p>",
+        b"<br/><hr />leftover",
+        b"<SCRIPT a=b>x</SCRIPT>done",
+        "<étag>x".encode(),
+        b"<!-->",
+        b"<![CDATA[x]]>",
+        b"trailing <a href",
+        b"<script>never closed",
+    ]
+    rng = random.Random(23)
+    frag = ['<a href="', '">', "</a>", "<img src=", " ", "x", "&amp;", "<",
+            ">", '"', "'", "<script>", "</script>", "<!--", "-->", "/", "=",
+            "href", "<?", "<!", "</", "<p a=b>"]
+    for _ in range(800):
+        bodies.append(
+            "".join(rng.choice(frag) for _ in range(rng.randint(1, 20))).encode()
+        )
+    for _ in range(200):
+        bodies.append(bytes(rng.randrange(256) for _ in range(rng.randint(0, 50))))
+    for b in bodies:
+        assert extract(b, fast=True) == extract(b, fast=False), b[:120]

@@ -200,6 +200,58 @@ def _frontier_tbl(rows):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_t2_scale_matches_oracle(tmp_path):
+    """t2 correctness scale (50×100): the politeness budget genuinely binds
+    (hub host capped at exactly 257), image filename collisions overwrite,
+    and every output still matches the oracle exactly."""
+    import pyarrow.parquet as pq2
+
+    tbl = fixtures.gen_corpus(50, 100)
+    path = tmp_path / "t2.parquet"
+    pq2.write_table(tbl, path)
+    seeds = fixtures.default_seeds(50)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds)
+    assert res.host_counts["hub.test"] == 257  # the off-by-one cap binds
+    assert res.metrics["dropped_budget"] > 0
+    run = run_crawl(str(path), seeds, str(tmp_path / "t2run"), CrawlConfig())
+    assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_seen_mode_is_subset_and_terminates(t1_corpus, tmp_path):
+    """Design-scale mode: bloom-only shards may drop genuinely-new URLs on
+    false positives but never crawl a URL twice; the archive is a subset of
+    the exact run's and the crawl still terminates."""
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    exact = run_crawl(path, seeds, str(tmp_path / "ex"), CrawlConfig(num_seen_shards=2))
+    approx = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "ap"),
+        CrawlConfig(num_seen_shards=2, approx_seen=True, seen_fpp=0.01),
+    )
+    def keyset(run):
+        a = run.archive()
+        return set(zip(a["url"].to_pylist(), a["kind"].to_pylist(), a["depth"].to_pylist()))
+    ks_exact, ks_approx = keyset(exact), keyset(approx)
+    assert ks_approx <= ks_exact
+    # at t1 scale with 1% fpp the loss should be zero or tiny
+    assert len(ks_approx) >= 0.95 * len(ks_exact)
+    # no duplicate dispatches of the same key except seeds
+    o = approx.order()
+    keys = list(zip(o["url"].to_pylist(), o["kind"].to_pylist(), o["depth"].to_pylist()))
+    from collections import Counter as C
+
+    dupes = {k for k, c in C(keys).items() if c > 1}
+    seed_keys = {(s, "page", 0) for s in tbl["url"].to_pylist()}
+    assert all(k[0] in {u for u, _, _ in seed_keys} or k in seed_keys for k in dupes) or all(
+        k[1] == "page" and k[2] == 0 for k in dupes
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lineage_written_per_wave(t1_corpus, tmp_path):
     import json
 

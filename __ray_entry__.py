@@ -259,6 +259,18 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _webtext_training_set(sf_dir: str) -> pd.DataFrame:
+    """Full curation chain over the crawl's extracted text: dedup → quality
+    filter → lang-ID → token counts → partitioned parquet + stats."""
+    from crawler_ray.pipelines.webtext import build_training_set
+
+    run = _crawl_run(sf_dir)
+    tag = Path(sf_dir).name
+    return build_training_set(
+        str(run.out), f"/tmp/crawler_ray/training_{tag}"
+    )
+
+
 def _approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HLL-sketch grouped distinct (mergeable combiner shape; rows-only —
     approximate by design, accuracy is pytest-checked against exact)."""
@@ -324,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _cosine_near_dups,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
+        "webtext_training_set": _webtext_training_set,
     }
 
 

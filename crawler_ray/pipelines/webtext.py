@@ -1,0 +1,121 @@
+"""End-to-end web-text training-data pipeline: crawl output → corpus.
+
+The downstream consumer of the crawl engine: takes crawled page text (the
+byte-exact ``rec='t'`` stream of a CrawlRun, or any (url, text) parquet),
+and produces a deduplicated, quality-filtered, language-tagged, token-counted
+training corpus — the standard Common-Crawl-style curation chain, each
+stage one of this repo's operators:
+
+  texts ──exact dedup (content-hash bucketed groupby)──▶
+        ──quality features + heuristic filters (vectorized map_batches)──▶
+        ──language-ID (actor pool)──▶
+        ──token counts + fingerprints──▶
+        ──write partitioned parquet (one dir per lang)──▶ stats
+
+Every stage is a streaming Dataset op; the only shuffle is the dedup
+hash exchange. Stats are computed from partial aggregates, not a second
+scan.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _texts_ds(source: str):
+    """Accept a CrawlRun output dir (reads wave parsed text rows) or a
+    parquet path/dir with (url, text) columns."""
+    import ray.data as rd
+
+    p = Path(source)
+    if p.is_dir() and list(p.glob("wave=*")):
+        paths = [
+            str(f)
+            for d in sorted(p.glob("wave=*"))
+            if (d / "_COMPLETE").exists() and (d / "parsed").exists()
+            for f in sorted((d / "parsed").glob("*.parquet"))
+        ]
+        ds = rd.read_parquet(paths, columns=["rec", "url", "text"])
+        return ds.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["rec"], "t")).select(
+                ["url", "text"]
+            ),
+            batch_format="pyarrow",
+        )
+    return rd.read_parquet(source, columns=["url", "text"])
+
+
+def build_training_set(
+    source: str,
+    dest: str,
+    min_words: int = 5,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.0,
+) -> pd.DataFrame:
+    """Run the curation chain; writes ``dest/lang=XX/*.parquet`` and returns
+    the per-language stats frame (docs, tokens, mean quality)."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.textstats import (
+        LangId,
+        fingerprints,
+        quality_scores,
+        token_counts,
+    )
+
+    ds = _texts_ds(source)
+    # the crawl can legitimately fetch one URL under several fragment
+    # aliases; identical text dedups right after by content anyway
+    ds = exact_dedup(ds, col="text", id_col="url")
+
+    ds = ds.map_batches(quality_scores, batch_format="pyarrow", batch_size=4096)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.greater_equal(t["n_words"], min_words),
+            pc.less_equal(t["punct_ratio"], max_punct_ratio),
+        )
+        if min_stopword_ratio > 0:
+            mask = pc.and_(
+                mask, pc.greater_equal(t["stopword_ratio"], min_stopword_ratio)
+            )
+        return t.filter(mask)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, batch_size=2048)
+    ds = ds.map_batches(token_counts, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=4096)
+
+    # partitioned, resumable output: one directory per language
+    out = Path(dest)
+    out.mkdir(parents=True, exist_ok=True)
+    final = ds.materialize()  # small curated set; reused for write + stats
+    langs = [
+        r["pred_lang"] for r in final.groupby("pred_lang").count().take_all()
+    ]
+    for lang in langs:
+        part = final.filter(expr=f"pred_lang == '{lang}'")
+        part.write_parquet(str(out / f"lang={lang}"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pred_lang", sort=False)
+        return g.agg(
+            docs=("url", "size"),
+            tokens=("ws_tokens", "sum"),
+            punct_sum=("punct_ratio", "sum"),
+        ).reset_index()
+
+    parts = final.map_batches(partial, batch_format="pandas").to_pandas()
+    stats = (
+        parts.groupby("pred_lang", sort=True)
+        .agg(docs=("docs", "sum"), tokens=("tokens", "sum"), punct_sum=("punct_sum", "sum"))
+        .reset_index()
+    )
+    stats["mean_punct_ratio"] = (stats["punct_sum"] / stats["docs"]).round(6)
+    stats = stats.drop(columns=["punct_sum"])
+    stats.to_json(out / "stats.json", orient="records")
+    return stats

@@ -553,12 +553,18 @@ def main() -> None:
             logging_level="ERROR",
         )
     try:
-        cfg = CrawlConfig(
+        # under `python -m crawler_ray.pipelines.crawl` this file IS
+        # __main__; re-import through the package so worker-shipped
+        # closures reference importable module globals, not __main__
+        from crawler_ray.pipelines.crawl import CrawlConfig as _Cfg
+        from crawler_ray.pipelines.crawl import run_crawl as _run_crawl
+
+        cfg = _Cfg(
             depth_limit=args.recursion_depth_limit,
             host_limit=args.host_limit,
             faithful_depth=not args.increment_depth,
         )
-        run = run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
+        run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(
             json.dumps(
                 {

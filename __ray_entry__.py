@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_first3_per_user": R.events_first3_per_user,
         "events_sessions": R.events_sessions,
+        "purchases_asof_click": R.purchases_asof_click,
         "events_user_value_topk": R.events_user_value_topk,
         "customers_without_orders": R.customers_without_orders,
         "order_status_with_lineitems": R.order_status_with_lineitems,
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "events_first3_per_user": R.EVENTS_FIRST3_SQL,
         "events_sessions": R.EVENTS_SESSIONS_SQL,
+        "purchases_asof_click": R.ASOF_SQL,
         "events_user_value_topk": R.EVENTS_TOPK_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "order_status_with_lineitems": R.SEMI_JOIN_SQL,

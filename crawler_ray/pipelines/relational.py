@@ -609,6 +609,68 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def purchases_asof_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for every purchase event, the user's most recent click
+    at-or-before the purchase. Ray shape: co-locate each user's events via
+    the bucketed exchange, then ``pd.merge_asof`` per bucket on the sorted
+    timelines — the standard distributed as-of pattern (sort within
+    partitions, merge_asof inside). Tie-break: at equal timestamps the
+    largest qualifying click event_id wins (mirrored in the SQL)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        purchases = df[df["event_type"] == "purchase"][
+            ["user_id", "event_id", "ts"]
+        ].sort_values(["ts", "event_id"])
+        clicks = df[df["event_type"] == "click"][
+            ["user_id", "event_id", "ts"]
+        ].rename(columns={"event_id": "click_id", "ts": "click_ts"}).sort_values(
+            ["click_ts", "click_id"]
+        )
+        if purchases.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "click_id": pd.Series(dtype="float64"),
+                    "click_ts": pd.Series(dtype="datetime64[us]"),
+                }
+            )
+        out = pd.merge_asof(
+            purchases,
+            clicks,
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        # inner as-of semantics: purchases with no prior click drop out, so
+        # both engines emit NULL-free integer keys
+        return out.dropna(subset=["click_id"])
+
+    df = bucketed_group_map(ds, "user_id", asof).to_pandas()
+    df = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    df["click_id"] = df["click_id"].astype("int64")
+    return df
+
+
+ASOF_SQL = """
+SELECT p.user_id, p.event_id, p.ts, c.click_id, c.click_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (
+  SELECT user_id,
+         -- collapse same-timestamp clicks to one row (max id), matching
+         -- merge_asof's single-row-per-time semantics deterministically
+         max(event_id) AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
 # --------------------------------------------------------------- embeddings
 
 

@@ -43,6 +43,7 @@ CASES = [
     (R.docs_token_totals, R.TOKEN_TOTALS_SQL),
     (R.docs_punct_ratio, R.PUNCT_RATIO_SQL),
     (R.ann_cosine_topk_sql_compat, R.ANN_TOPK_SQL),
+    (R.purchases_asof_click, R.ASOF_SQL),
 ]
 
 

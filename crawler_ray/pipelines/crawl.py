@@ -25,8 +25,8 @@ reference's HashSet/completion-order nondeterminism (SURVEY.md §3) in
 exactly two order-sensitive places — politeness admission and the image
 overwrite winner; all other per-wave results are set-keyed. Heavy stages
 (corpus scan, HTML parse) run as streaming Ray Data ops; tiny frontier
-state ops use a driver fast-path below ``ray_state_threshold`` rows and
-shuffle-native forms above it (stages/politeness.py documents both).
+state ops use a driver fast-path below ``ray_state_threshold`` rows and a
+Ray-task bucketed exchange above it (stages/politeness.py, stages/shuffle.py).
 """
 
 from __future__ import annotations
@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .. import urlnorm as un
-from ..keys import finding_keys, hash64
+from ..keys import finding_keys
 from ..stages import politeness
 from ..stages.parse import (
     PARSED_SCHEMA,
@@ -102,10 +102,6 @@ def seeds_table(seeds: list[str]) -> pa.Table:
             "depth": pa.array([0] * len(uniq), pa.int32()),
         }
     )
-
-
-def _empty_parsed() -> pa.Table:
-    return PARSED_SCHEMA.empty_table()
 
 
 @dataclass
@@ -221,10 +217,7 @@ class CrawlRun:
 
 
 def _probe_new(
-    findings: pa.Table,
-    seen: SeenSet,
-    faithful_depth: bool,
-    ray_threshold: int = 50_000,
+    findings: pa.Table, seen: SeenSet, faithful_depth: bool
 ) -> pa.Table:
     """Wave-level dedup + archive probe. In non-faithful mode, reduce to one
     row per Finding key first (canonical winner = min (src_url, src_depth)),
@@ -467,7 +460,7 @@ def _run_wave(
     wave_metrics["fetch_miss_image"] += n_images_dispatched - img_attempts
 
     n_findings = findings.num_rows
-    new = _probe_new(findings, seen, cfg.faithful_depth, cfg.ray_state_threshold)
+    new = _probe_new(findings, seen, cfg.faithful_depth)
     _mark("seen_probe")
     pq.write_table(
         new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),

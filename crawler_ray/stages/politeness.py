@@ -14,11 +14,12 @@ Semantics (tested one-for-one):
 Two interchangeable implementations (equivalence-tested):
 - ``admit_local``: vectorized pyarrow/pandas on the driver — used while the
   wave frontier is below ``ray_threshold`` rows;
-- ``admit_ray``: ``groupby("host").map_groups`` with the carried counts
-  broadcast via ``ray.put`` — the shuffle-native form for frontiers that
-  don't fit a driver heap. Because the budget is per-host and the canonical
-  order is a sort key, per-host groups admit independently and
-  deterministically; no cross-host coordination is needed.
+- ``admit_ray``: an explicit Ray-task bucketed exchange (hash(host) → ~32
+  reduce tasks) with the carried counts broadcast via ``ray.put`` and a
+  per-host top-(limit+1) pre-prune bounding hot-host shuffle volume.
+  Because the budget is per-host and the priority order is a sort key,
+  per-host admission is independent and deterministic; no cross-host
+  coordination is needed.
 """
 
 from __future__ import annotations

@@ -252,6 +252,32 @@ def test_approx_seen_mode_is_subset_and_terminates(t1_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_resume_discards_wave_without_complete_marker(t1_corpus, tmp_path):
+    """A crash mid-wave leaves a wave dir without _COMPLETE; resume must
+    ignore and redo it, still reproducing the uninterrupted run exactly."""
+    import shutil
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    cfg = CrawlConfig(num_seen_shards=2)
+    full = run_crawl(path, seeds, str(tmp_path / "fullX"), cfg)
+
+    partial = run_crawl(
+        path, seeds, str(tmp_path / "crash"), CrawlConfig(num_seen_shards=2, max_waves=3)
+    )
+    # fake a crash during wave 3: copy wave 2's dir and strip the marker
+    crash_dir = tmp_path / "crash" / "wave=00003"
+    shutil.copytree(tmp_path / "crash" / "wave=00002", crash_dir)
+    (crash_dir / "_COMPLETE").unlink()
+
+    resumed = run_crawl(path, seeds, str(tmp_path / "crash"), cfg, resume=True)
+    assert resumed.order().equals(full.order())
+    assert resumed.archive().equals(full.archive())
+    assert resumed.texts() == full.texts()
+    assert resumed.metrics() == full.metrics()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_lineage_written_per_wave(t1_corpus, tmp_path):
     import json
 

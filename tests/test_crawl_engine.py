@@ -94,8 +94,8 @@ def test_t1_budget_overflow_matches_oracle(t1_corpus, tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_distributed_state_paths_match_oracle(t1_corpus, tmp_path):
-    # threshold 0 forces the shuffle-native politeness (groupby.map_groups)
-    # and the streaming Dataset seen-probe on every wave
+    # threshold 0 forces the Ray-task bucketed politeness exchange on
+    # every wave (the large-frontier path)
     path, tbl = t1_corpus
     seeds = fixtures.default_seeds(5)
     corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))

@@ -43,17 +43,22 @@ def suggest_batch_size(mean_payload_bytes: int, budget_bytes: int = 64 << 20) ->
 
 
 def wrap_binary(batch: pa.Table, data_col: str, kind: str) -> pa.Table:
-    """Lift an arbitrary binary column into the MEDIA_SCHEMA shape."""
+    """Lift an arbitrary binary column into the MEDIA_SCHEMA shape.
+
+    ``media_id`` is content-derived (first 8 bytes of the sha-256, masked
+    to a non-negative int64) so it is stable across batches/blocks and
+    usable as a join identity downstream — a per-batch range would restart
+    at 0 in every block and collide."""
     data = batch[data_col].to_pylist()
+    shas = [hashlib.sha256(d or b"").hexdigest() for d in data]
+    ids = [int(s[:16], 16) & 0x7FFF_FFFF_FFFF_FFFF for s in shas]
     return pa.table(
         {
-            "media_id": pa.array(range(len(data)), pa.int64()),
+            "media_id": pa.array(ids, pa.int64()),
             "kind": pa.array([kind] * len(data)),
             "data": pa.array(data, pa.binary()),
             "nbytes": pa.array([len(d or b"") for d in data], pa.int64()),
-            "content_sha": pa.array(
-                [hashlib.sha256(d or b"").hexdigest() for d in data]
-            ),
+            "content_sha": pa.array(shas),
         }
     )
 

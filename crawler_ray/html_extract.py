@@ -116,6 +116,17 @@ class _Bail(Exception):
 
 _ENDTAGFIND = _hp.endtagfind
 
+# html.parser's cdata-mode `interesting` regex is the FULL closing form
+# (set_cdata_mode: r'</\s*TAG\s*>'): rawtext ends exactly at the first
+# match; '</scriptx>' or '</script foo>' never match and stay rawtext data
+# (dropped inside script/style). Emulate with the same regex per tag.
+_RAWTEXT_END = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _RAWTEXT}
+
+
+def _find_rawtext_end(body: str, tag: str, i: int) -> int:
+    m = _RAWTEXT_END[tag].search(body, i)
+    return m.start() if m else -1
+
 
 def _fast_extract_inner(body: str) -> tuple[list[str], list[str], str]:
     pages: list[str] = []
@@ -165,14 +176,10 @@ def _fast_extract_inner(body: str) -> tuple[list[str], list[str], str]:
                 # attribute regex entirely (the common <p>/<h1>/… case)
                 i = gt + 1
                 if tag in _RAWTEXT:
-                    endpat = "</" + tag
-                    e = body.lower().find(endpat, i)
+                    e = _find_rawtext_end(body, tag, i)
                     if e < 0:
                         raise _Bail
-                    gt2 = find(">", e)
-                    if gt2 < 0:
-                        raise _Bail
-                    i = gt2 + 1
+                    i = find(">", e) + 1  # '>' is inside the matched close
                 continue
             attr_end = _LOCATE_START_END.match(body, lt)  # pattern has '<'
             j = attr_end.end()
@@ -203,14 +210,10 @@ def _fast_extract_inner(body: str) -> tuple[list[str], list[str], str]:
             i = close
             if tag in _RAWTEXT:
                 # CDATA mode: content until the matching end tag is rawtext
-                endpat = "</" + tag
-                e = body.lower().find(endpat, i)
+                e = _find_rawtext_end(body, tag, i)
                 if e < 0:
                     raise _Bail  # unterminated rawtext: EOF-flush semantics
-                gt = find(">", e)
-                if gt < 0:
-                    raise _Bail
-                i = gt + 1
+                i = find(">", e) + 1  # '>' is inside the matched close
         else:
             # bare '<' (or '<' + non-name char) is character data
             text.append("<")

@@ -421,10 +421,13 @@ def top_suppliers(sf_dir: str, k: int = 5) -> pd.DataFrame:
     ds = _rp(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Round BEFORE the partial prune so partial and final top-k use the
+        # same (rounded acctbal, suppkey) ordering; pruning on raw acctbal
+        # could drop the rounded-tie winner at the k boundary.
+        df = df.assign(s_acctbal=df["s_acctbal"].round(2))
         return df.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True]).head(k)
 
     out = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out["s_acctbal"] = out["s_acctbal"].round(2)
     return (
         out.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True])
         .head(k)
@@ -475,7 +478,7 @@ def lang_stats(sf_dir: str) -> pd.DataFrame:
 
 
 LANG_STATS_SQL = """
-SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs
+SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
 FROM documents GROUP BY lang
 """
 
@@ -513,7 +516,9 @@ def docs_token_totals(sf_dir: str) -> pd.DataFrame:
 
 TOKEN_TOTALS_SQL = r"""
 SELECT lang,
-       sum(array_length(regexp_split_to_array(trim(text), '\s+'))) AS ws_tokens
+       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
+                END) AS BIGINT) AS ws_tokens
 FROM documents GROUP BY lang
 """
 
@@ -599,8 +604,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, event_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

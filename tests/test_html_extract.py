@@ -87,6 +87,15 @@ def test_fast_path_differential_full_corpus():
         b"<![CDATA[x]]>",
         b"trailing <a href",
         b"<script>never closed",
+        # rawtext stays open when the close-tag name has a suffix or junk:
+        # html.parser's cdata `interesting` regex is the full '</\s*tag\s*>'
+        b'<script>var a = "</scriptx>"; </script><a href=q>t</a>',
+        b"<script>x</ script ><a href=q>t</a>",
+        b"<script>x</scriptx></script>tail",
+        b"<script>a</scr</script>after",
+        b"<style>p{}</styleX></style>T<img src=i.png>",
+        b'<script foo="bar">x</scriptx></script>ok',
+        b"<script>x</script foo></script>y",
     ]
     rng = random.Random(23)
     frag = ['<a href="', '">', "</a>", "<img src=", " ", "x", "&amp;", "<",

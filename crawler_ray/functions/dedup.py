@@ -177,8 +177,10 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 
 
 def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
-    """id → component representative (min id). Driver union-find below
-    _DRIVER_CC_LIMIT pairs; label-propagation groupby rounds above."""
+    """id → component representative (min id) via driver union-find — used
+    below ``_DRIVER_CC_LIMIT`` pairs, where the verified pair list is tiny
+    relative to the corpus (the point of LSH). Above the limit
+    ``cc_label_propagation`` runs the same computation distributed."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -195,6 +197,84 @@ def _connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+def cc_label_propagation(pairs_ds, n_buckets: int = 64) -> pd.DataFrame:
+    """Distributed connected components by min-label propagation: labels
+    start at the node id; each round every node takes the min of its own
+    label and its neighbors' labels (one bucketed join + one bucketed
+    group-min per round) until the global label sum stops changing. The
+    driver sees one scalar per round; edges and labels live in the object
+    store. Rounds = component diameter — tiny for near-dup clusters (LSH
+    buckets create star/clique edges). Returns (doc_id, rep_id) with
+    rep = component min id, matching the union-find output exactly."""
+    from ..stages.shuffle import bucketed_group_map, bucketed_join
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        x = pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()),
+             t["b"].combine_chunks().cast(pa.int64())]
+        )
+        y = pa.concat_arrays(
+            [t["b"].combine_chunks().cast(pa.int64()),
+             t["a"].combine_chunks().cast(pa.int64())]
+        )
+        return pa.table({"x": x, "y": y})
+
+    edges = (
+        pairs_ds.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
+        .map_batches(symmetrize, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["x"]].drop_duplicates().rename(columns={"x": "node"})
+        out["label"] = out["node"]
+        return out
+
+    def as_arrow(ds_pandas):  # unions need uniform block types
+        return ds_pandas.map_batches(lambda t: t, batch_format="pyarrow")
+
+    labels = as_arrow(
+        bucketed_group_map(edges, "x", init_labels, n_buckets)
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    while True:
+        # neighbor labels: edge (x, y) delivers label(y) to x
+        cand = bucketed_join(
+            edges,
+            labels,
+            left_on="y",
+            right_on="node",
+            n_buckets=n_buckets,
+            left_schema=pa.schema([("x", pa.int64()), ("y", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t["x"].cast(pa.int64()), "label": t["label"]}
+            ),
+            batch_format="pyarrow",
+        )
+        both = labels.union(cand)
+
+        def take_min(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", sort=False)["label"].min().reset_index()
+
+        labels = as_arrow(
+            bucketed_group_map(both, "node", take_min, n_buckets)
+        ).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "rep_id"})
+    return (
+        out.sort_values("doc_id").reset_index(drop=True).astype("int64")
+    )
+
+
 def minhash_lsh_dedup(
     ds,
     num_perm: int = 64,
@@ -209,9 +289,19 @@ def minhash_lsh_dedup(
     near-dup are absent). pairs_df: a, b, jaccard for verified pairs.
 
     Ray shape: signatures via MinHasher actor pool → band explode →
-    groupby((band, band_hash)) pair generation → verification on the
-    candidate set only → components."""
-    import ray
+    groupby((band, band_hash)) pair generation → candidate verification as
+    bucketed joins against the signature/text datasets (nothing corpus-sized
+    ever lands on the driver) → components.
+
+    Verification detail: pairs first get both signatures attached via two
+    hash joins (pair dedup folds into the first join's bucket task, which
+    is already co-located on ``a``) and are pruned by the vectorized
+    signature estimate; only the survivors join against the corpus text —
+    two more linear exchanges — for exact n-gram Jaccard. Every stage is a
+    Dataset; the driver only sees the verified pair list (small by
+    construction) and, above ``_DRIVER_CC_LIMIT``, not even that —
+    components then run distributed via ``cc_label_propagation``."""
+    from ..stages.shuffle import bucketed_group_map, bucketed_join
 
     sigs = ds.map_batches(
         MinHasher,
@@ -223,78 +313,119 @@ def minhash_lsh_dedup(
             "shingle_k": shingle_k,
             "seed": seed,
         },
-    ).materialize()  # reused: banding + verification lookups
-
-    from ..stages.shuffle import bucketed_group_map
+    )
+    if verify != "exact":
+        # estimate mode reuses signatures for banding AND both verify
+        # joins; exact mode uses them once (banding), so stay streaming
+        sigs = sigs.materialize()
 
     pairs_ds = bucketed_group_map(
         sigs.map_batches(_band_rows, batch_format="pyarrow", fn_kwargs={"bands": bands}),
         bucket_on="band_hash",
         fn=_bucket_pairs_vec,
     )
-    pairs = pairs_ds.to_pandas().drop_duplicates(ignore_index=True)
-    if len(pairs) == 0:
+
+    # Two hash joins attach the verification payload (text for exact mode,
+    # signatures for estimate mode) to each candidate pair; cross-band pair
+    # dedup folds into the first join's bucket task, which is already
+    # co-located on `a`. LSH keeps the candidate set near-linear in the
+    # true-dup count, so scoring candidates directly beats an extra
+    # estimate-prune round trip of two more exchanges.
+    if verify == "exact":
+        payload = ds.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        )
+        cols = ["doc_id", "text"]
+        in_schema = ds.schema()  # source dataset: schema is metadata-cheap
+        val_type = pa.schema(list(zip(in_schema.names, in_schema.types))).field(
+            "text"
+        ).type
+    else:
+        payload, cols = sigs, ["doc_id", "sig"]
+        val_type = pa.list_(pa.uint64())
+
+    pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    payload_schema = lambda suf: pa.schema(  # noqa: E731
+        [("doc_id", pa.int64()), (cols[1] + suf, val_type)]
+    )
+    j1 = bucketed_join(
+        pairs_ds,
+        payload.map_batches(
+            lambda t, c: t.rename_columns([c[0], c[1] + "_a"]),
+            batch_format="pyarrow",
+            fn_kwargs={"c": cols},
+        ),
+        left_on="a",
+        right_on="doc_id",
+        left_prep=lambda df: df.drop_duplicates(),
+        left_schema=pairs_schema,
+        right_schema=payload_schema("_a"),
+    )
+    j2 = bucketed_join(
+        j1,
+        payload.map_batches(
+            lambda t, c: t.rename_columns([c[0], c[1] + "_b"]),
+            batch_format="pyarrow",
+            fn_kwargs={"c": cols},
+        ),
+        left_on="b",
+        right_on="doc_id",
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), (cols[1] + "_a", val_type)]
+        ),
+        right_schema=payload_schema("_b"),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        if verify == "exact":
+            jac = np.array(
+                [
+                    ngram_jaccard(x or "", y or "", shingle_k)
+                    for x, y in zip(
+                        t["text_a"].to_pylist(), t["text_b"].to_pylist()
+                    )
+                ]
+            )
+        else:
+            sa = np.stack(t["sig_a"].to_numpy(zero_copy_only=False))
+            sb = np.stack(t["sig_b"].to_numpy(zero_copy_only=False))
+            jac = (sa == sb).mean(axis=1)
+        return pa.table(
+            {
+                "a": t["a"].cast(pa.int64()),
+                "b": t["b"].cast(pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    verified_ds = (
+        j2.map_batches(score, batch_format="pyarrow")
+        .filter(expr=f"jaccard >= {threshold!r}")
+        .materialize()
+    )
+
+    n_pairs = verified_ds.count()
+    if n_pairs == 0:
         empty = pd.DataFrame({"a": [], "b": [], "jaccard": []})
         return pd.DataFrame({"doc_id": [], "rep_id": []}, dtype="int64"), empty
 
-    # stage 1: vectorized signature-estimate over ALL candidate pairs —
-    # one numpy gather+compare, prunes the LSH false positives cheaply
-    sig_df = sigs.to_pandas()
-    id_to_row = {int(i): r for r, i in enumerate(sig_df["doc_id"])}
-    sig_mat = np.asarray(list(sig_df["sig"]), dtype=np.uint64)
-    a_idx = pairs["a"].map(id_to_row).to_numpy()
-    b_idx = pairs["b"].map(id_to_row).to_numpy()
-    est = (sig_mat[a_idx] == sig_mat[b_idx]).mean(axis=1)
-    if verify == "exact":
-        # estimator std ≈ sqrt(j(1-j)/num_perm); keep a 2σ margin, then
-        # exact n-gram Jaccard only on the survivors
-        margin = 2.0 * float(np.sqrt(threshold * (1 - threshold) / num_perm))
-        cand = pairs[est >= threshold - margin].reset_index(drop=True)
-        texts_df = ds.map_batches(
-            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
-        ).to_pandas()
-        texts = dict(
-            zip(texts_df["doc_id"], texts_df["text"])
-        )  # scale path: semi-join candidates against the corpus instead
-        if len(cand) > 20_000:
-            # distributed exact verify: pairs as a Dataset, texts broadcast
-            import ray.data as rd
-
-            texts_ref = ray.put(texts)
-
-            def vrfy(df: pd.DataFrame) -> pd.DataFrame:
-                tx = ray.get(texts_ref)
-                df = df.assign(
-                    jaccard=[
-                        ngram_jaccard(tx.get(a, ""), tx.get(b, ""), shingle_k)
-                        for a, b in zip(df["a"], df["b"])
-                    ]
-                )
-                return df
-            pairs = (
-                rd.from_pandas(cand)
-                .repartition(32)
-                .map_batches(vrfy, batch_format="pandas")
-                .to_pandas()
-            )
-        else:
-            pairs = cand.assign(
-                jaccard=[
-                    ngram_jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k)
-                    for a, b in zip(cand["a"], cand["b"])
-                ]
-            )
+    if n_pairs > _DRIVER_CC_LIMIT:
+        clusters = cc_label_propagation(verified_ds)
     else:
-        pairs = pairs.assign(jaccard=est)
-    verified = pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
-
-    comp = _connected_components(verified)
-    clusters = pd.DataFrame(
-        {
-            "doc_id": sorted(comp),
-            "rep_id": [comp[d] for d in sorted(comp)],
-        }
-    ).astype("int64")
+        verified = verified_ds.to_pandas()
+        comp = _connected_components(verified)
+        clusters = pd.DataFrame(
+            {
+                "doc_id": sorted(comp),
+                "rep_id": [comp[d] for d in sorted(comp)],
+            }
+        ).astype("int64")
+    verified = verified_ds.to_pandas().astype({"a": "int64", "b": "int64"})
     return clusters, verified.sort_values(["a", "b"]).reset_index(drop=True)
 
 

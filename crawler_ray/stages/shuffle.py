@@ -73,6 +73,110 @@ def bucketed_group_map(
     )
 
 
+SIDE_COL = "__side"
+
+
+def bucketed_join(
+    left,
+    right,
+    left_on: str,
+    right_on: str | None = None,
+    n_buckets: int = 64,
+    left_prep=None,
+    right_suffix: str = "_r",
+    batch_size: int = 65536,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Inner hash join of two Datasets on the bucketed exchange: both sides
+    are tagged, null-padded to a shared Arrow schema, hash-bucketed on
+    their key, and each bucket task runs ONE vectorized ``pd.merge``. Both
+    sides ship through the exchange exactly once (linear passes, nothing
+    on the driver) — the standard repartition join. Use a broadcast lookup
+    instead when one side is dim-table small.
+
+    ``left_prep(df)`` runs on a bucket's left rows before the merge — the
+    hook exists for work that needs key co-location anyway (e.g. pair
+    dedup), folding what would be a separate exchange into this one.
+    Right value columns colliding with left names get ``right_suffix``.
+    Output dtypes are pinned by an explicit Arrow schema, so the
+    null-padded pandas roundtrip cannot silently float-ify int columns.
+
+    Pass ``left_schema``/``right_schema`` when a side is a lazy pipeline:
+    ``Dataset.schema()`` on an un-materialized all-to-all output forces an
+    extra execution just to infer types, which this avoids. The output
+    schema is left fields + right value fields, in that order."""
+    right_on = right_on or left_on
+    # normalize to arrow blocks so schemas are introspectable + unionable
+    as_arrow = lambda t: t  # noqa: E731  (identity; forces pyarrow blocks)
+    left = left.map_batches(as_arrow, batch_format="pyarrow", batch_size=batch_size)
+    right = right.map_batches(as_arrow, batch_format="pyarrow", batch_size=batch_size)
+    if left_schema is None:
+        ls = left.schema()
+        left_schema = pa.schema(list(zip(ls.names, ls.types)))
+    if right_schema is None:
+        rs = right.schema()
+        right_schema = pa.schema(list(zip(rs.names, rs.types)))
+    lschema, rschema = left_schema, right_schema
+
+    lcols = list(lschema.names)
+    rename = {right_on: left_on}
+    for name in rschema.names:
+        if name != right_on:
+            rename[name] = name + right_suffix if name in lcols else name
+    rcols_out = [rename[n] for n in rschema.names if n != right_on]
+
+    union_fields = [(n, lschema.field(n).type) for n in lcols]
+    union_fields += [
+        (rename[n], rschema.field(n).type) for n in rschema.names if n != right_on
+    ]
+    union_schema = pa.schema(union_fields + [(SIDE_COL, pa.int8())])
+    out_schema = pa.schema(union_fields)
+
+    def pad(t: pa.Table, side: int) -> pa.Table:
+        if side == 1:
+            t = t.rename_columns([rename[n] for n in t.column_names])
+        cols = []
+        for f in union_schema:
+            if f.name == SIDE_COL:
+                cols.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+            elif f.name in t.column_names:
+                cols.append(t[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(union_schema.names, cols)))
+
+    tagged = left.map_batches(
+        pad, batch_format="pyarrow", batch_size=batch_size, fn_kwargs={"side": 0}
+    ).union(
+        right.map_batches(
+            pad, batch_format="pyarrow", batch_size=batch_size, fn_kwargs={"side": 1}
+        )
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df[SIDE_COL] == 0, lcols]
+        r = df.loc[df[SIDE_COL] == 1, [left_on] + rcols_out]
+        if left_prep is not None:
+            l = left_prep(l)
+        return l.merge(r, on=left_on)
+
+    def merge_arrow(t: pa.Table) -> pa.Table:
+        out = merge(t.drop_columns([BUCKET_COL]).to_pandas())
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return (
+        tagged.map_batches(
+            add_bucket,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            fn_kwargs={"on": left_on, "n_buckets": n_buckets},
+        )
+        .groupby(BUCKET_COL)
+        .map_groups(merge_arrow, batch_format="pyarrow")
+    )
+
+
 def bucketed_exchange_tasks(
     table: pa.Table,
     bucket_on: str,

@@ -118,6 +118,64 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert ((pairs["a"] != 2) & (pairs["b"] != 2)).all()
 
 
+def test_cc_label_propagation_matches_union_find(ray_session):
+    import random
+
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import (
+        _connected_components,
+        cc_label_propagation,
+    )
+
+    rng = random.Random(11)
+    # several chains/stars/cliques with shuffled ids, plus self-contained pairs
+    edges = []
+    nodes = list(range(0, 400, 3))
+    rng.shuffle(nodes)
+    for i in range(0, len(nodes) - 3, 4):  # chains of 4 (diameter > 1)
+        a, b, c, d = nodes[i : i + 4]
+        edges += [(a, b), (b, c), (c, d)]
+    pairs = pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    got = cc_label_propagation(rd.from_pandas(pairs))
+    comp = _connected_components(pairs)
+    want = (
+        pd.DataFrame({"doc_id": sorted(comp), "rep_id": [comp[d] for d in sorted(comp)]})
+        .astype("int64")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_minhash_distributed_cc_path(ray_session, monkeypatch):
+    """Force the distributed connected-components path (pair count above the
+    driver limit) and check it returns the same clusters."""
+    import ray.data as rd
+
+    from crawler_ray.functions import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green meadow near the old stone bridge"
+    )
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("quiet", "silent")},
+            {"doc_id": 2, "text": "unrelated text about quantum physics"},
+            {"doc_id": 3, "text": base},
+        ]
+    )
+    ref_clusters, ref_pairs = dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    monkeypatch.setattr(dedup, "_DRIVER_CC_LIMIT", 0)
+    got_clusters, got_pairs = dedup.minhash_lsh_dedup(ds, threshold=0.8)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got_clusters, ref_clusters)
+    pd.testing.assert_frame_equal(got_pairs, ref_pairs)
+
+
 def test_simhash_pairs(ray_session):
     import ray.data as rd
 

@@ -261,6 +261,66 @@ def _canonical_findings_sort(t: pa.Table) -> pa.Table:
     )
 
 
+_FINDINGS_SCHEMA = pa.schema(
+    [
+        ("src_url", pa.string()),
+        ("src_depth", pa.int32()),
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("depth", pa.int32()),
+    ]
+)
+
+
+def _probe_new_streaming(rd, parsed_dir: Path, seen: SeenSet, wave: int) -> pa.Table:
+    """Large-wave seen probe: findings stay a Dataset end-to-end. A bucketed
+    key-dedup exchange picks the canonical discoverer per Finding key (the
+    same (url, kind, depth, src_url, src_depth) sort order as the driver
+    path — in faithful mode all rows per key agree on everything the
+    downstream reads, in non-faithful mode this selects the min
+    (src_url, src_depth) winner), which also makes every key globally
+    unique within the wave. That uniqueness is what licenses the idempotent
+    streaming probe: each shard call carries a content-derived probe id the
+    shard memoizes, so Ray task retry / lineage re-execution replays the
+    original mask instead of double-mutating (state/seen.py). Only the NEW
+    findings — bounded by first-discovery volume, a small fraction of the
+    raw fan-in×-duplicated finding stream — are collected for the wave
+    checkpoint."""
+    import pandas as pd
+    import ray
+
+    ds = rd.read_parquet(
+        parsed_dir,
+        columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+        filter=pc.field("rec") == "f",
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["rec"])
+        return t.append_column("fkey", finding_keys(t["url"], t["kind"], t["depth"]))
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "kind", "depth", "src_url", "src_depth"])
+        return df.drop_duplicates("fkey", keep="first")
+
+    from ..stages.shuffle import bucketed_group_map
+
+    deduped = bucketed_group_map(
+        ds.map_batches(add_key, batch_format="pyarrow"), "fkey", dedup
+    )
+    new_ds = deduped.map_batches(
+        seen.make_prober(epoch=wave, key_col="fkey"),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    parts = [t for t in ray.get(new_ds.to_arrow_refs()) if t.num_rows]
+    seen.end_epoch()
+    if not parts:
+        return _FINDINGS_SCHEMA.empty_table()
+    new = pa.concat_tables(parts).drop_columns(["fkey"])
+    return _canonical_findings_sort(new.cast(_FINDINGS_SCHEMA))
+
+
 def run_crawl(
     corpus_path: str | list[str],
     seeds: list[str],
@@ -412,19 +472,24 @@ def _run_wave(
     have_parsed = parsed_dir.exists() and any(parsed_dir.glob("*.parquet"))
 
     # ---- read back findings (pruned) + seen probe (ST1) -------------------
-    # The probe is coordinated from the driver in every mode: wave findings
-    # are politeness-bounded, the shard ACTORS are the distributed state,
-    # and shard calls run in parallel. (A streaming map_batches probe was
-    # dropped deliberately: a retried/re-executed probe task would re-present
-    # keys the failed attempt already inserted and silently lose findings —
-    # state mutation and transparent re-execution do not mix; wave-level
-    # resume is the recovery path.)
+    # Two probe paths sharing the shard actor pool: small waves read the
+    # findings into a driver table and probe coordinator-side (no retry
+    # hazard, minimal latency); waves above ray_state_threshold stay a
+    # Dataset — bucketed key-dedup exchange, then the idempotent streaming
+    # probe (_probe_new_streaming), so the raw finding stream never lands
+    # on the driver.
     if have_parsed:
-        findings = pq.read_table(
-            parsed_dir,
-            columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-            filters=[("rec", "==", "f")],
-        ).drop_columns(["rec"])
+        n_findings = pq.read_table(
+            parsed_dir, columns=["rec"], filters=[("rec", "==", "f")]
+        ).num_rows
+        if n_findings <= cfg.ray_state_threshold:
+            findings = pq.read_table(
+                parsed_dir,
+                columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+                filters=[("rec", "==", "f")],
+            ).drop_columns(["rec"])
+        else:
+            findings = None
         n_texts = pq.read_table(
             parsed_dir, columns=["rec"], filters=[("rec", "==", "t")]
         ).num_rows
@@ -439,15 +504,8 @@ def _run_wave(
             parsed_dir, columns=["rec"], filters=[("rec", "==", "i")]
         ).num_rows
     else:
-        findings = pa.table(
-            {
-                "src_url": pa.array([], pa.string()),
-                "src_depth": pa.array([], pa.int32()),
-                "url": pa.array([], pa.string()),
-                "kind": pa.array([], pa.string()),
-                "depth": pa.array([], pa.int32()),
-            }
-        )
+        findings = _FINDINGS_SCHEMA.empty_table()
+        n_findings = 0
         n_texts = 0
         n_img_ok = 0
     # fetch misses = dispatched-and-fetchable minus rows that came back
@@ -459,8 +517,10 @@ def _run_wave(
     )
     wave_metrics["fetch_miss_image"] += n_images_dispatched - img_attempts
 
-    n_findings = findings.num_rows
-    new = _probe_new(findings, seen, cfg.faithful_depth)
+    if findings is not None:
+        new = _probe_new(findings, seen, cfg.faithful_depth)
+    else:
+        new = _probe_new_streaming(rd, parsed_dir, seen, wave)
     _mark("seen_probe")
     pq.write_table(
         new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),

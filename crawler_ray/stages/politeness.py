@@ -31,18 +31,26 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .. import urlnorm as un
-
 FRONTIER_SCHEMA = pa.schema(
     [("url", pa.string()), ("kind", pa.string()), ("depth", pa.int32())]
 )
 
 
 def with_host(frontier: pa.Table) -> pa.Table:
-    """Attach the politeness key. URL parse here cannot fail: every frontier
-    row came from parse_links (already validated) or from seed parse."""
-    hosts: list[str | None] = [un.parse(u).host for u in frontier["url"].to_pylist()]
-    return frontier.append_column("host", pa.array(hosts, type=pa.string()))
+    """Attach the politeness key, vectorized — this runs over the unbounded
+    pre-admission frontier every wave, so a per-row ``un.parse`` would be a
+    driver choke. Frontier URLs are canonical serializations (parse_links
+    and seeds both round-trip through urlnorm), where the host is exactly
+    the text between ``://`` and the next ``/ : ? #`` (brackets kept for
+    ipv6, empty meaning no host) — one RE2 kernel reproduces what re-parsing
+    yields (differential-tested against un.parse in test_urlnorm.py)."""
+    urls = frontier["url"]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, pattern=r"^[^:]*://(?P<host>\[[^\]]*\]|[^/:?#]*)")
+    host = pc.struct_field(m, "host")
+    host = pc.if_else(pc.equal(host, ""), pa.scalar(None, pa.string()), host)
+    return frontier.append_column("host", host.cast(pa.string()))
 
 
 #: priority modes → (pandas sort columns, ascending flags). The priority

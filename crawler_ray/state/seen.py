@@ -43,19 +43,31 @@ class SeenShard:
             CuckooFilter(capacity) if filter_kind == "cuckoo" else BloomFilter(capacity, fpp)
         )
         self.exact: set[str] | None = None if approx_only else set()
+        # probe_id → mask memo making probes idempotent under Ray task
+        # retry / lineage re-execution (cleared per wave via clear_applied)
+        self.applied: dict[tuple, np.ndarray] = {}
 
-    def probe_and_insert(self, keys: "list[str] | pa.Array") -> np.ndarray:
+    def probe_and_insert(
+        self, keys: "list[str] | pa.Array", probe_id: tuple | None = None
+    ) -> np.ndarray:
         """Returns new-mask: True where the key was not seen before this
         call. Duplicates within one call: first occurrence wins. Accepts an
         Arrow array so the caller ships a zero-copy slice and the
         string→Python conversion runs HERE (parallel across shards), not on
         the coordinator.
 
-        NOTE this call MUTATES shard state: callers must not sit behind
-        transparently-retried tasks (a retry would re-present keys the
-        failed attempt already inserted and get all-False back). The crawl
-        driver therefore probes from the driver/coordinator only; recovery
-        is wave-level resume, not task retry."""
+        This call MUTATES shard state, which does not mix with transparent
+        task re-execution UNLESS the caller passes ``probe_id``: a retried
+        probe presenting the same id gets its original mask back instead of
+        all-False. Ids must be content-derived and unique within the epoch
+        — the crawl guarantees that by key-deduping the wave before the
+        streaming probe, so equal content implies the same logical probe.
+        Driver-coordinated probes (small waves) pass no id; their recovery
+        is wave-level resume."""
+        if probe_id is not None:
+            memo = self.applied.get(probe_id)
+            if memo is not None:
+                return memo
         if isinstance(keys, (pa.Array, pa.ChunkedArray)):
             keys = keys.to_pylist()
         h1, h2 = hash_pair(keys)
@@ -69,6 +81,8 @@ class SeenShard:
                     exact.add(k)
                     out[i] = True
             self.bloom.add(h1[out], h2[out])
+            if probe_id is not None:
+                self.applied[probe_id] = out
             return out
         maybe_seen = self.bloom.contains(h1, h2)
         out = ~maybe_seen
@@ -83,7 +97,15 @@ class SeenShard:
                     seen_now.add(k)
                     first[i] = True
         self.bloom.add(h1[first], h2[first])
+        if probe_id is not None:
+            self.applied[probe_id] = out
         return out
+
+    def clear_applied(self) -> int:
+        """Drop the idempotency memos (end of wave/epoch)."""
+        n = len(self.applied)
+        self.applied.clear()
+        return n
 
     def insert(self, keys: "list[str] | pa.Array") -> int:
         """Insert without probing (checkpoint restore path)."""
@@ -165,12 +187,25 @@ class SeenSet:
             ]
         )
 
-    def make_prober(self):
+    def make_prober(self, epoch: int | None = None, key_col: str | None = None):
         """A map_batches-ready probe stage for large waves: each task routes
         its batch's keys to the shard actors and keeps only new findings.
         The actor pool is the shared state; tasks are stateless and elastic,
         so the probe parallelizes with the number of blocks while every
-        shard serializes its own partition of the key space."""
+        shard serializes its own partition of the key space.
+
+        Pass ``epoch`` (the wave number) to make the stage safe under Ray
+        task retry / lineage re-execution: every shard call carries a
+        content-derived probe id (epoch + key-slice hash) that the shard
+        memoizes, so a re-executed task gets its original mask instead of
+        all-False. Ids are only unique if the wave's keys are globally
+        deduplicated upstream — the crawl's streaming path does that with a
+        bucketed key-dedup exchange first. Call ``end_epoch()`` after
+        consuming the output to drop the memos.
+
+        ``key_col``: use a precomputed key column instead of re-encoding."""
+        import hashlib
+
         shards, n = self.shards, self.num_shards
 
         def probe(batch: pa.Table) -> pa.Table:
@@ -178,9 +213,10 @@ class SeenSet:
 
             if batch.num_rows == 0:
                 return batch
-            keys = finding_keys(
-                batch["url"], batch["kind"], batch["depth"]
-            )
+            if key_col is not None:
+                keys = batch[key_col].combine_chunks()
+            else:
+                keys = finding_keys(batch["url"], batch["kind"], batch["depth"])
             shard_of = (hash64(keys) % np.uint64(n)).astype(np.int64)
             key_list = keys.to_pylist()
             mask = np.zeros(batch.num_rows, dtype=bool)
@@ -188,17 +224,25 @@ class SeenSet:
             for s in range(n):
                 pos = np.nonzero(shard_of == s)[0]
                 if len(pos):
-                    futures.append(
-                        shards[s].probe_and_insert.remote(
-                            [key_list[i] for i in pos]
-                        )
-                    )
+                    sub = [key_list[i] for i in pos]
+                    pid = None
+                    if epoch is not None:
+                        digest = hashlib.blake2b(
+                            "\x00".join(sub).encode("utf-8", "surrogatepass"),
+                            digest_size=16,
+                        ).hexdigest()
+                        pid = (epoch, digest)
+                    futures.append(shards[s].probe_and_insert.remote(sub, pid))
                     positions.append(pos)
             for pos, m in zip(positions, ray.get(futures)):
                 mask[pos] = m
             return batch.filter(pa.array(mask))
 
         return probe
+
+    def end_epoch(self) -> None:
+        """Drop all shards' idempotency memos (wave is committed)."""
+        ray.get([s.clear_applied.remote() for s in self.shards])
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])

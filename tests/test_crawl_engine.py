@@ -292,3 +292,56 @@ def test_lineage_written_per_wave(t1_corpus, tmp_path):
         lin = json.loads((d / "lineage.json").read_text())
         assert lin["admitted"] <= lin["frontier_rows"]
         assert "config" in lin and "metrics" in lin
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_probe_bit_identical_to_driver_path(t1_corpus, tmp_path):
+    """ray_state_threshold=0 routes the seen probe through the streaming
+    Dataset path (bucketed key-dedup + idempotent shard probe); the whole
+    run must be bit-identical to the driver-coordinated path."""
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    a = run_crawl(
+        path, seeds, str(tmp_path / "drv"), CrawlConfig(num_seen_shards=4)
+    )
+    b = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "stream"),
+        CrawlConfig(num_seen_shards=4, ray_state_threshold=0),
+    )
+    assert b.n_waves() == a.n_waves()
+    assert b.order().equals(a.order())
+    assert b.archive().equals(a.archive())
+    assert b.host_counts() == a.host_counts()
+    assert b.texts() == a.texts()
+    assert b.image_files() == a.image_files()
+    assert b.metrics() == a.metrics()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_probe_crash_resume(t1_corpus, tmp_path):
+    """Crash-mid-wave resume must also reproduce the run through the
+    streaming probe path."""
+    import shutil
+
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    cfg = CrawlConfig(num_seen_shards=2, ray_state_threshold=0)
+    full = run_crawl(path, seeds, str(tmp_path / "sfull"), cfg)
+
+    run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "scrash"),
+        CrawlConfig(num_seen_shards=2, ray_state_threshold=0, max_waves=3),
+    )
+    crash_dir = tmp_path / "scrash" / "wave=00003"
+    shutil.copytree(tmp_path / "scrash" / "wave=00002", crash_dir)
+    (crash_dir / "_COMPLETE").unlink()
+
+    resumed = run_crawl(path, seeds, str(tmp_path / "scrash"), cfg, resume=True)
+    assert resumed.order().equals(full.order())
+    assert resumed.archive().equals(full.archive())
+    assert resumed.texts() == full.texts()
+    assert resumed.metrics() == full.metrics()

@@ -157,3 +157,31 @@ def test_admit_ray_equivalent_to_local():
     )
     assert counts_a == counts_b
     assert m_local == m_ray
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_probe_idempotent_under_retry():
+    """A retried probe presenting the same probe_id must get its ORIGINAL
+    mask back (not all-False), and the memo must clear on end_epoch."""
+    import ray
+
+    from crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=1)
+    try:
+        shard = seen.shards[0]
+        keys = [f"k{i}" for i in range(10)]
+        first = ray.get(shard.probe_and_insert.remote(keys, ("w0", "batchA")))
+        assert first.all()
+        # simulated Ray retry: same content, same probe id
+        retry = ray.get(shard.probe_and_insert.remote(keys, ("w0", "batchA")))
+        assert (retry == first).all()
+        # a genuinely new probe of the same keys IS all-seen
+        other = ray.get(shard.probe_and_insert.remote(keys, ("w0", "batchB")))
+        assert not other.any()
+        seen.end_epoch()
+        # memo gone: replaying the old id now sees the keys as seen
+        replay = ray.get(shard.probe_and_insert.remote(keys, ("w0", "batchA")))
+        assert not replay.any()
+    finally:
+        seen.shutdown()

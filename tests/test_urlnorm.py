@@ -107,3 +107,43 @@ def test_fragment_kept_in_identity():
     b = un.parse("http://a.example/p#two")
     assert str(a) != str(b)
     assert str(a.without_fragment()) == str(b.without_fragment())
+
+
+def test_with_host_vectorized_matches_parse():
+    """politeness.with_host's RE2 host extraction must agree with re-parsing
+    on every canonical URL shape the frontier can carry (including the
+    scheme-contains-http quirk, ipv6 brackets, ports, userinfo-free
+    authorities, opaque and hostless forms)."""
+    import pyarrow as pa
+
+    from crawler_ray import urlnorm as un
+    from crawler_ray.stages.politeness import with_host
+
+    raw = [
+        "http://a.example/p1",
+        "https://A.EXAMPLE:8443/x?q=1#f",
+        "http://a.example:80/default-port-drops",
+        "xhttpy://weird.host/p",          # contains("http") quirk, non-special
+        "xhttpy:opaque/path",             # opaque: no host
+        "mailto:u@dom.example",           # opaque with '@' and dots
+        "file:///etc/hosts",              # empty authority -> no host
+        "file://fshost/share",            # file WITH host
+        "http://[2001:db8::1]:8080/v6",   # ipv6 + port
+        "http://[2001:db8::2]/v6",        # ipv6 default
+        "ws://sock.example/chat",
+        "a://b",                          # minimal non-special authority
+        "mailto:a://b",                   # '://' inside an opaque path
+        "http://user@host.example/drop-userinfo",
+        "http://h.test/p?q=a://fake-authority-in-query",
+    ]
+    canon = [str(un.parse(s)) for s in raw]
+    tbl = pa.table(
+        {
+            "url": pa.array(canon),
+            "kind": pa.array(["page"] * len(canon)),
+            "depth": pa.array([0] * len(canon), pa.int32()),
+        }
+    )
+    got = with_host(tbl)["host"].to_pylist()
+    want = [un.parse(u).host for u in canon]
+    assert got == want

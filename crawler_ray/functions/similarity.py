@@ -76,21 +76,47 @@ def brute_force_topk(
 
 
 class HyperplaneLSH:
-    """Random-hyperplane signature stage (actor pool: planes sampled once).
-    Adds a ``bucket`` column of sign-bit signatures; same-bucket vectors are
-    ANN candidates (cosine-LSH, Charikar 2002)."""
+    """Random-hyperplane signatures with MULTIPLE independent hash tables
+    (Charikar 2002). A pair is a candidate if it shares a bucket in ANY
+    table; per-table collision probability for angle θ is (1-θ/π)^n_planes,
+    so recall = 1-(1-p)^n_tables. Fewer planes → bigger buckets → more
+    compute; more tables → more recall at linear extra candidate volume.
+    The composite key ``tb = (table << n_planes) | bucket`` keeps every
+    table's buckets distinct in one int64 column.
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11) -> None:
+    As a map_batches stage (actor pool: planes sampled once per actor),
+    ``__call__`` EXPLODES each vector into one row per table tagged with
+    ``tb`` — the banding shape that feeds a bucketed groupby."""
+
+    def __init__(
+        self, dim: int, n_planes: int = 8, n_tables: int = 6, seed: int = 11
+    ) -> None:
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.planes = rng.standard_normal((n_tables, dim, n_planes)).astype(
+            np.float32
+        )
+        self.n_planes = n_planes
+        self.n_tables = n_tables
 
-    def bucket_of(self, m: np.ndarray) -> np.ndarray:
-        signs = (m @ self.planes) > 0
-        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+    def bucket_of(self, m: np.ndarray, table: int = 0) -> np.ndarray:
+        signs = (m @ self.planes[table]) > 0
+        return (signs * (1 << np.arange(self.n_planes))).sum(axis=1).astype(np.int64)
+
+    def tb_of(self, m: np.ndarray) -> np.ndarray:
+        """(n_tables, n) composite table-bucket keys."""
+        return np.stack(
+            [
+                self.bucket_of(m, t) | (t << self.n_planes)
+                for t in range(self.n_tables)
+            ]
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch["embedding"]))
-        return batch.append_column("bucket", pa.array(self.bucket_of(m)))
+        tb = self.tb_of(m)  # (tables, n)
+        n = batch.num_rows
+        reps = pa.concat_tables([batch] * self.n_tables)
+        return reps.append_column("tb", pa.array(tb.reshape(-1)))
 
 
 def lsh_topk(
@@ -98,86 +124,153 @@ def lsh_topk(
     queries: np.ndarray,
     k: int = 10,
     dim: int | None = None,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 6,
     seed: int = 11,
 ) -> pd.DataFrame:
-    """Approximate cosine top-k: only vectors in a query's LSH bucket are
-    scored. Returns the same schema as brute_force_topk (possibly fewer
+    """Approximate cosine top-k: a vector is scored for a query only when
+    they share a bucket in ≥1 hash table. One streaming pass: each batch
+    builds its (batch × queries) candidate mask vectorized (np equality
+    against the broadcast query buckets), scores only candidate rows with
+    one matmul, and emits per-query partial top-k; the driver merges
+    k×blocks rows. Returns the brute_force_topk schema (possibly fewer
     than k rows per query — the recall/latency trade)."""
+    import ray
+
     qm = _normalize(np.asarray(queries, dtype=np.float32))
     dim = dim or qm.shape[1]
-    lsh = HyperplaneLSH(dim, n_planes, seed)
-    q_buckets = lsh.bucket_of(qm)
+    lsh = HyperplaneLSH(dim, n_planes, n_tables, seed)
+    q_tb = lsh.tb_of(qm)  # (tables, n_queries)
+    q_ref = ray.put((qm, q_tb))
 
-    bucketed = ds.map_batches(
-        HyperplaneLSH,
-        batch_format="pyarrow",
-        concurrency=2,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
-    )
-    wanted = set(int(b) for b in q_buckets)
-    cand = bucketed.map_batches(
-        lambda t: t.filter(
-            pa.array([int(b) in wanted for b in t["bucket"].to_pylist()])
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    out = []
-    for qi, qb in enumerate(q_buckets):
-        rows = cand[cand["bucket"] == int(qb)]
-        if not len(rows):
-            continue
-        m = _normalize(np.asarray(list(rows["embedding"]), dtype=np.float32))
-        sims = m @ qm[qi]
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        qm_, qtb_ = ray.get(q_ref)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        btb = lsh.tb_of(m)  # (tables, n)
+        cand = np.zeros((m.shape[0], qm_.shape[0]), dtype=bool)
+        for t in range(btb.shape[0]):
+            cand |= btb[t][:, None] == qtb_[t][None, :]
+        rows = cand.any(axis=1)
+        if not rows.any():
+            return empty
+        sims = m[rows] @ qm_.T  # only candidate rows pay the matmul
+        vi, qi = np.nonzero(cand[rows])
         df = pd.DataFrame(
             {
-                "query_id": qi,
-                "vec_id": rows["vec_id"].to_numpy(),
-                "sim": sims.astype(np.float64),
+                "query_id": qi.astype(np.int64),
+                "vec_id": ids[rows][vi],
+                "sim": sims[vi, qi].astype(np.float64),
             }
-        ).sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        out.append(df)
-    if not out:
+        ).sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+        part = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if partials.empty:
         return pd.DataFrame({"query_id": [], "vec_id": [], "sim": [], "rank": []})
-    res = pd.concat(out, ignore_index=True)
+    res = (
+        partials.sort_values(
+            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
     res["rank"] = res.groupby("query_id").cumcount()
     return res
 
 
-def cosine_near_dup_pairs(ds, threshold: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold).
-    Broadcast-matrix form: each batch scores against the full normalized
-    matrix (fine to ~10^5 vectors; beyond that switch to the LSH buckets
-    above and score within buckets only)."""
-    import ray
+def cosine_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 11,
+    dim: int | None = None,
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold),
+    LSH-bucketed: vectors explode into one row per hash table (actor-pool
+    stage), co-locate by composite (table, bucket) key in ONE bucketed
+    exchange, and each bucket scores all-pairs cosine vectorized only
+    within its own groups; cross-table duplicate pairs dedupe in a second
+    (pair-keyed) exchange. Nothing is broadcast and no full matrix is ever
+    assembled — compute is Σ s²d over bucket sizes s, bounded by raising
+    ``n_planes`` (defaults tuned so threshold-0.9 recall ≥0.95 with the
+    parity test in test_functions.py)."""
+    from ..stages.shuffle import bucketed_group_map
 
-    full = ds.map_batches(
+    if dim is None:
+        first = ds.limit(1).take_all()
+        if not first:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        dim = len(first[0]["embedding"])
+
+    banded = ds.map_batches(
         lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    ).map_batches(
+        HyperplaneLSH,
+        batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={
+            "dim": dim,
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "seed": seed,
+        },
+    )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("tb", sort=False):
+            g = g.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            m = _normalize(np.asarray(list(g["embedding"]), dtype=np.float32))
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), k=1)
+            s = sims[iu]
+            keep = s >= threshold
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[iu[0]][keep],
+                            "b": ids[iu[1]][keep],
+                            "sim": s[keep].astype(np.float64),
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    pairs_ds = bucketed_group_map(banded, "tb", pairs_in_bucket)
+    got = bucketed_group_map(
+        pairs_ds, "a", lambda df: df.drop_duplicates(["a", "b"])
     ).to_pandas()
-    ids = full["vec_id"].to_numpy(dtype=np.int64)
-    m = _normalize(np.asarray(list(full["embedding"]), dtype=np.float32))
-    m_ref = ray.put((ids, m))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(m_ref)
-        bm = _normalize(_to_matrix(batch["embedding"]))
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        sims = bm @ all_m.T
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(bids)):
-            hits = np.nonzero((sims[i] >= threshold) & (all_ids > bids[i]))[0]
-            out_a.extend([bids[i]] * len(hits))
-            out_b.extend(all_ids[hits])
-            out_s.extend(sims[i, hits])
-        return pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "sim": pa.array(np.asarray(out_s, dtype=np.float64)),
-            }
-        )
-
-    got = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
     if got.empty:
         return pd.DataFrame(
             {
@@ -186,4 +279,8 @@ def cosine_near_dup_pairs(ds, threshold: float = 0.95) -> pd.DataFrame:
                 "sim": pd.Series(dtype="float64"),
             }
         )
-    return got.sort_values(["a", "b"]).reset_index(drop=True)
+    return (
+        got.sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64", "sim": "float64"})
+    )

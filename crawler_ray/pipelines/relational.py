@@ -152,12 +152,25 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -> pd.DataFrame:
+    """Fact⋈fact as a bucketed hash join on the order key, fused with the
+    per-order revenue aggregate inside the bucket (all lineitems of an
+    order co-locate, so the grouped sum finishes bucket-locally). Only the
+    segment-filtered CUSTOMER key list is broadcast (a dimension-sized
+    side); orders and lineitem both stream — nothing fact-sized touches
+    the driver. The driver merges k rows per bucket task output."""
+    from ..stages.shuffle import bucketed_join
+
     cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust[cust["c_mktsegment"] == segment][["c_custkey"]]
-    orders = _read_pd(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
-        ["o_orderkey", "o_orderdate"]
-    ]
+    orders_ds = bjoin(
+        _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        cust.rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey",
+    ).map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -165,18 +178,37 @@ def q3_segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
         df["revenue"] = np.floor(rev * 100 + 0.5) / 100  # cent grid, half-up
         return df[["l_orderkey", "revenue"]]
 
-    joined = bjoin(
+    def order_revenue(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["l_orderkey", "o_orderdate"], sort=False)["revenue"]
+            .sum()
+            .reset_index()
+        )
+        # round before the partial top-k so partial and final use the same
+        # (revenue, orderkey) ordering at the k boundary
+        out["revenue"] = out["revenue"].round(2)
+        return out.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+
+    joined = bucketed_join(
         li.map_batches(prep, batch_format="pandas", batch_size=65536),
-        orders.rename(columns={"o_orderkey": "l_orderkey"}),
-        on="l_orderkey",
+        orders_ds,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        post=order_revenue,
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+        ),
     )
-    agg = partial_sum_count(joined, ["l_orderkey", "o_orderdate"], {"revenue": "revenue"})
-    agg["revenue"] = agg["revenue"].round(2)
-    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
+    agg = joined.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
     return (
         agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True])
         .head(k)
-        .reset_index(drop=True)
+        .reset_index(drop=True)[["o_orderkey", "o_orderdate", "revenue"]]
     )
 
 
@@ -193,18 +225,43 @@ LIMIT 10
 
 
 def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """Star join at scale shape: region⋈nation (tiny dims) merge on the
+    driver; customer gets its nation by broadcast; orders⋈customer and
+    lineitem⋈orders are bucketed hash joins (custkey, then orderkey) —
+    no fact table is ever driver-read or broadcast. The second join fuses
+    the per-nation revenue partial inside the bucket, so the driver only
+    merges nations×buckets partial rows."""
+    from ..stages.shuffle import bucketed_join
+
     reg = _read_pd(sf_dir, "region")
     nat = _read_pd(sf_dir, "nation")
     dims = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     dims = dims[dims["r_name"] == region][["n_nationkey", "n_name"]]
-    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cust = cust.merge(dims, left_on="c_nationkey", right_on="n_nationkey")[
-        ["c_custkey", "n_name"]
-    ]
-    orders = _read_pd(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    orders = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")[
-        ["o_orderkey", "n_name"]
-    ]
+    cust_ds = bjoin(
+        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        dims.rename(columns={"n_nationkey": "c_nationkey"}),
+        on="c_nationkey",
+    ).map_batches(
+        lambda df: df[["c_custkey", "n_name"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
+    orders_ds = bucketed_join(
+        _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        cust_ds,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("n_name", pa.string())]
+        ),
+    ).map_batches(
+        lambda df: df[["o_orderkey", "n_name"]],
+        batch_format="pandas",
+        batch_size=65536,
+    )
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -212,13 +269,29 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
         df["revenue"] = np.floor(rev * 100 + 0.5) / 100  # cent grid, half-up
         return df[["l_orderkey", "revenue"]]
 
-    joined = bjoin(
+    def nation_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", sort=False)["revenue"].sum().reset_index()
+
+    joined = bucketed_join(
         li.map_batches(prep, batch_format="pandas", batch_size=65536),
-        orders.rename(columns={"o_orderkey": "l_orderkey"}),
-        on="l_orderkey",
+        orders_ds,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        post=nation_partial,
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue", pa.float64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("n_name", pa.string())]
+        ),
     )
-    agg = partial_sum_count(joined, ["n_name"], {"revenue": "revenue"})
-    agg["revenue"] = agg["revenue"].round(2)
+    agg = (
+        joined.to_pandas()
+        .groupby("n_name", sort=False)["revenue"]
+        .sum()
+        .round(2)
+        .reset_index()
+    )
     return agg.sort_values("n_name").reset_index(drop=True)
 
 
@@ -344,20 +417,37 @@ ORDER BY total_value DESC, user_id LIMIT 10
 
 
 def customers_without_orders(sf_dir: str, min_total: float = 250_000.0) -> pd.DataFrame:
-    """Broadcast anti join: customers with no order above ``min_total``
-    (the key set of qualifying orders is shipped once, filtered in-batch)."""
-    import ray
+    """Distributed anti join: customers with no order above ``min_total``.
+    Qualifying order keys are filtered + per-batch-deduped at the read
+    (combiner), then both sides co-locate in a bucketed left join whose
+    bucket task keeps the unmatched left rows — neither fact table is
+    driver-read or broadcast."""
+    from ..stages.shuffle import bucketed_join
 
-    orders = _read_pd(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    keys = set(orders.loc[orders["o_totalprice"] > min_total, "o_custkey"])
-    ref = ray.put(keys)
-    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    keys_ds = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda df: df.loc[df["o_totalprice"] > min_total, ["o_custkey"]]
+        .drop_duplicates()
+        .assign(__hit=np.int8(1)),
+        batch_format="pandas",
+        batch_size=65536,
+    )
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(ref)
-        return df[~df["c_custkey"].isin(ks)]
+    def keep_unmatched(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__hit"].isna(), ["c_custkey", "c_name"]]
 
-    out = ds.map_batches(anti, batch_format="pandas", batch_size=65536).to_pandas()
+    out = bucketed_join(
+        _rp(sf_dir, "customer", ["c_custkey", "c_name"]),
+        keys_ds,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        right_prep=lambda df: df.drop_duplicates(),
+        how="left",
+        post=keep_unmatched,
+        left_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string())]
+        ),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("__hit", pa.int8())]),
+    ).to_pandas()
     if out.empty:
         out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
                             "c_name": pd.Series(dtype="object")})
@@ -371,22 +461,40 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000
 
 
 def order_status_with_lineitems(sf_dir: str) -> pd.DataFrame:
-    """Broadcast semi join (lineitem orderkey set) then grouped count."""
-    import ray
+    """Distributed semi join then grouped count: lineitem order keys are
+    per-batch-deduped at the read (combiner, one key per order per block),
+    globally deduped inside the join bucket (right_prep), and the inner
+    merge against co-located orders IS the semi join; the per-status count
+    partial also finishes in the bucket. The big side never lands on the
+    driver — it used to be read into a driver Python set, the classic
+    broadcast-the-wrong-side join."""
+    from ..stages.shuffle import bucketed_join
 
-    keys = set(_read_pd(sf_dir, "lineitem", ["l_orderkey"])["l_orderkey"])
-    ref = ray.put(keys)
-    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    keys_ds = _rp(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=65536
+    )
 
-    def semi(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["o_orderkey"].isin(ray.get(ref))]
+    def status_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderstatus", sort=False).size()
+        return out.rename("n_orders").reset_index()
 
-    df = partial_sum_count(
-        ds.map_batches(semi, batch_format="pandas", batch_size=65536).map_batches(
-            lambda d: d.assign(one=1), batch_format="pandas", batch_size=65536
+    partials = bucketed_join(
+        _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        keys_ds,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        right_prep=lambda df: df.drop_duplicates(),
+        post=status_partial,
+        left_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderstatus", pa.string())]
         ),
-        ["o_orderstatus"],
-        {"n_orders": "one"},
+        right_schema=pa.schema([("l_orderkey", pa.int64())]),
+    ).to_pandas()
+    df = (
+        partials.groupby("o_orderstatus", sort=False)["n_orders"]
+        .sum()
+        .astype("int64")
+        .reset_index()
     )
     return df.sort_values("o_orderstatus").reset_index(drop=True)
 

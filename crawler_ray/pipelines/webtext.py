@@ -90,16 +90,16 @@ def build_training_set(
     ds = ds.map_batches(token_counts, batch_format="pyarrow", batch_size=4096)
     ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=4096)
 
-    # partitioned, resumable output: one directory per language
+    # partitioned, resumable output in ONE pass: Ray's hive-style
+    # partition_cols write puts each row group under lang=<value>/ without
+    # re-scanning the curated set once per language
     out = Path(dest)
     out.mkdir(parents=True, exist_ok=True)
-    final = ds.materialize()  # small curated set; reused for write + stats
-    langs = [
-        r["pred_lang"] for r in final.groupby("pred_lang").count().take_all()
-    ]
-    for lang in langs:
-        part = final.filter(expr=f"pred_lang == '{lang}'")
-        part.write_parquet(str(out / f"lang={lang}"))
+    final = ds.map_batches(
+        lambda t: t.append_column("lang", t["pred_lang"]),
+        batch_format="pyarrow",
+    ).materialize()  # reused for write + stats
+    final.write_parquet(str(out), partition_cols=["lang"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("pred_lang", sort=False)

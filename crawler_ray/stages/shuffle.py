@@ -83,24 +83,35 @@ def bucketed_join(
     right_on: str | None = None,
     n_buckets: int = 64,
     left_prep=None,
+    right_prep=None,
+    post=None,
+    how: str = "inner",
     right_suffix: str = "_r",
     batch_size: int = 65536,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
 ):
-    """Inner hash join of two Datasets on the bucketed exchange: both sides
+    """Hash join of two Datasets on the bucketed exchange: both sides
     are tagged, null-padded to a shared Arrow schema, hash-bucketed on
     their key, and each bucket task runs ONE vectorized ``pd.merge``. Both
     sides ship through the exchange exactly once (linear passes, nothing
     on the driver) — the standard repartition join. Use a broadcast lookup
     instead when one side is dim-table small.
 
-    ``left_prep(df)`` runs on a bucket's left rows before the merge — the
-    hook exists for work that needs key co-location anyway (e.g. pair
-    dedup), folding what would be a separate exchange into this one.
+    ``left_prep(df)`` / ``right_prep(df)`` run on a bucket's rows of that
+    side before the merge — the hooks exist for work that needs key
+    co-location anyway, folding what would be separate exchanges into this
+    one (pair dedup on the left; key-distinct on the right turns the inner
+    merge into a semi join). ``post(df)`` runs on the merged frame inside
+    the bucket (join+aggregate fusion: a grouped reduction whose key
+    includes the join key finishes entirely bucket-locally); with ``post``
+    the output schema is whatever ``post`` returns and must be
+    dtype-stable. ``how`` is the pandas merge mode ("left" + a right
+    indicator column + a ``post`` filter = anti join).
     Right value columns colliding with left names get ``right_suffix``.
-    Output dtypes are pinned by an explicit Arrow schema, so the
-    null-padded pandas roundtrip cannot silently float-ify int columns.
+    Without ``post``, output dtypes are pinned by an explicit Arrow
+    schema, so the null-padded pandas roundtrip cannot silently float-ify
+    int columns.
 
     Pass ``left_schema``/``right_schema`` when a side is a lazy pipeline:
     ``Dataset.schema()`` on an un-materialized all-to-all output forces an
@@ -159,10 +170,15 @@ def bucketed_join(
         r = df.loc[df[SIDE_COL] == 1, [left_on] + rcols_out]
         if left_prep is not None:
             l = left_prep(l)
-        return l.merge(r, on=left_on)
+        if right_prep is not None:
+            r = right_prep(r)
+        out = l.merge(r, on=left_on, how=how)
+        return post(out) if post is not None else out
 
     def merge_arrow(t: pa.Table) -> pa.Table:
         out = merge(t.drop_columns([BUCKET_COL]).to_pandas())
+        if post is not None:
+            return pa.Table.from_pandas(out, preserve_index=False)
         return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return (

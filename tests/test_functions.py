@@ -220,14 +220,89 @@ def test_lsh_topk_overlaps_exact(emb_ds):
     full = emb_ds.to_pandas()
     q = np.asarray(list(full["embedding"][:3]), dtype=np.float32)
     exact = brute_force_topk(emb_ds, q, k=10)
-    approx = lsh_topk(emb_ds, q, k=10, n_planes=6)
-    # the query vector itself must be found (it shares its own bucket)
+    approx = lsh_topk(emb_ds, q, k=10)
     for qi in range(3):
         got = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        # the query vector itself must be found (it shares its own buckets)
         assert full["vec_id"][qi] in got
-        # and overlap with the exact top-10 is nontrivial
+        # nontrivial overlap with brute force even on this near-uniform
+        # corpus (top-10 sims ≈ 0.3; recall of ~90° neighbors is not an
+        # LSH guarantee — the guarantee is tested on planted neighbors)
         inter = set(got) & set(exact[exact["query_id"] == qi]["vec_id"])
         assert len(inter) >= 1
+
+
+def test_lsh_topk_recalls_planted_neighbors(ray_session):
+    """The VERDICT recall bar, measured where LSH makes a promise: each
+    query has 10 planted close neighbors (sim ≳ 0.9) among uniform noise;
+    multi-table lsh_topk must recover ≥90% of the brute-force top-10."""
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    dim, n_noise, n_q = 32, 400, 5
+    rows = []
+    queries = []
+    vid = 0
+    for _ in range(n_q):
+        q = rng.standard_normal(dim).astype(np.float32)
+        queries.append(q)
+        for _ in range(10):  # planted neighbors
+            rows.append(
+                {
+                    "vec_id": vid,
+                    "embedding": (q + 0.15 * rng.standard_normal(dim).astype(np.float32)).tolist(),
+                }
+            )
+            vid += 1
+    for _ in range(n_noise):
+        rows.append(
+            {"vec_id": vid, "embedding": rng.standard_normal(dim).astype(np.float32).tolist()}
+        )
+        vid += 1
+    ds = rd.from_items(rows)
+    q = np.asarray(queries, dtype=np.float32)
+    exact = brute_force_topk(ds, q, k=10)
+    approx = lsh_topk(ds, q, k=10)
+    hits = 0
+    for qi in range(n_q):
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        want = set(exact[exact["query_id"] == qi]["vec_id"])
+        hits += len(got & want)
+    assert hits >= 0.9 * n_q * 10
+
+
+def test_cosine_near_dup_recall_vs_brute_force(ray_session):
+    """LSH-bucketed near-dup pairs must recover ≥95% of the brute-force
+    pairs at threshold 0.9 (VERDICT parity bar), with no false positives
+    (every emitted pair is exactly verified inside its bucket)."""
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(42)
+    dim, n = 32, 300
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(n)]
+    # planted near-dups: small perturbations of existing vectors
+    for j in range(60):
+        src = base[j] + 0.12 * rng.standard_normal(dim).astype(np.float32)
+        rows.append({"vec_id": n + j, "embedding": src.tolist()})
+    m = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    iu = np.triu_indices(len(rows), k=1)
+    want = {
+        (int(iu[0][i]), int(iu[1][i]))
+        for i in np.nonzero(sims[iu] >= 0.9)[0]
+    }
+    assert len(want) >= 50  # the plant worked
+
+    got_df = cosine_near_dup_pairs(rd.from_items(rows), threshold=0.9)
+    got = set(zip(got_df["a"], got_df["b"]))
+    assert got <= want  # exact in-bucket verification: no false positives
+    assert len(got & want) >= 0.95 * len(want)
 
 
 def test_cosine_near_dup_pairs(ray_session):

@@ -327,7 +327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": _crawl_images,
         "crawl_metrics": _crawl_metrics,
         "extract_links": _extract_links,
-        # training-data extensions (rows-only; stateful/approximate)
+        # training-data extensions — SQL-checked where expressible
+        # (doc_quality_scores, cosine_near_dups; lang_id_counts and
+        # webtext_training_set against pinned deterministic truths);
+        # rows-only for the rest (stateful/approximate/hash-based)
         "dedup_minhash_clusters": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "lang_id_counts": _lang_id_counts,
@@ -339,6 +342,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
     }
+
+
+#: Full quality-feature oracle. \w/\s agree between Python re and RE2 on
+#: this corpus (ASCII; the generator is deterministic — docs_punct_ratio
+#: keeps the ASCII-explicit class for the same reason).
+QUALITY_SCORES_SQL = r"""
+WITH feat AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       len(words) AS ws_tokens,
+       len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+         AS bpe_tokens,
+       round(len(regexp_extract_all(t, '[^\w\s]')) / greatest(length(t), 1), 6)
+         AS punct_ratio,
+       round(len(list_filter(words, w -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','are','was',
+                'were','be','been','it','this','that','for','on','with',
+                'as','at','by','from'], lower(w))))
+             / greatest(len(words), 1), 6) AS stopword_ratio,
+       round(CASE WHEN len(words) > 0
+                  THEN list_aggregate(list_transform(words, w -> length(w)),
+                                      'avg')
+                  ELSE 0.0 END, 6) AS mean_word_len
+FROM feat
+"""
+
+#: Exact all-pairs cosine ≥ threshold — checks that the LSH-bucketed
+#: engine path (exact verification inside buckets, multi-table recall)
+#: reproduces the brute-force pair set on this corpus.
+COSINE_NEAR_DUPS_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE),
+             4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+#: The n-gram language-ID scorer is not SQL-expressible; the oracle is the
+#: PINNED expected output over the deterministic sf0.01 documents table
+#: (the driver's correctness gate runs at sf0.01). Checks end-to-end
+#: determinism of the actor-pool stage against a committed truth.
+LANG_ID_COUNTS_SQL = """
+SELECT pred_lang, CAST(n AS BIGINT) AS n
+FROM (VALUES ('de', 184), ('en', 246), ('fr', 70)) AS t(pred_lang, n)
+ORDER BY pred_lang
+"""
+
+#: Same pinning rationale: the curation chain (crawl → dedup → quality
+#: filter → lang-ID → token counts) is deterministic at sf0.01.
+WEBTEXT_STATS_SQL = """
+SELECT pred_lang,
+       CAST(docs AS BIGINT) AS docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       CAST(mean_punct_ratio AS DOUBLE) AS mean_punct_ratio
+FROM (VALUES ('de', 61, 708, 0.004385),
+             ('en', 1034, 21847, 0.02627),
+             ('fr', 325, 6976, 0.020392))
+     AS t(pred_lang, docs, tokens, mean_punct_ratio)
+ORDER BY pred_lang
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -365,4 +434,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_totals": R.TOKEN_TOTALS_SQL,
         "docs_punct_ratio": R.PUNCT_RATIO_SQL,
         "ann_cosine_topk": R.ANN_TOPK_SQL,
+        "doc_quality_scores": QUALITY_SCORES_SQL,
+        "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
+        "lang_id_counts": LANG_ID_COUNTS_SQL,
+        "webtext_training_set": WEBTEXT_STATS_SQL,
     }

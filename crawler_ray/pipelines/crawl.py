@@ -272,52 +272,113 @@ _FINDINGS_SCHEMA = pa.schema(
 )
 
 
-def _probe_new_streaming(rd, parsed_dir: Path, seen: SeenSet, wave: int) -> pa.Table:
-    """Large-wave seen probe: findings stay a Dataset end-to-end. A bucketed
-    key-dedup exchange picks the canonical discoverer per Finding key (the
-    same (url, kind, depth, src_url, src_depth) sort order as the driver
-    path — in faithful mode all rows per key agree on everything the
-    downstream reads, in non-faithful mode this selects the min
-    (src_url, src_depth) winner), which also makes every key globally
-    unique within the wave. That uniqueness is what licenses the idempotent
-    streaming probe: each shard call carries a content-derived probe id the
-    shard memoizes, so Ray task retry / lineage re-execution replays the
-    original mask instead of double-mutating (state/seen.py). Only the NEW
-    findings — bounded by first-discovery volume, a small fraction of the
-    raw fan-in×-duplicated finding stream — are collected for the wave
-    checkpoint."""
-    import pandas as pd
+def _split_by_key_hash(block: pa.Table, n: int) -> list:
+    """Map side of the findings exchange: slice one block into n key-hash
+    partitions (one sort + searchsorted, zero-copy slices)."""
+    from ..keys import hash64
+
+    if block.num_rows == 0:
+        return [None] * n
+    h = (hash64(block["fkey"]) % np.uint64(n)).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    s = block.take(pa.array(order))
+    hb = h[order]
+    bounds = np.searchsorted(hb, np.arange(n + 1))
+    return [
+        s.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        if bounds[i + 1] > bounds[i]
+        else None
+        for i in range(n)
+    ]
+
+
+def _reduce_probe_bucket(
+    epoch: int, bucket_id: int, shards: list, num_shards: int, *parts
+) -> "pa.Table | None":
+    """Reduce side: all wave rows whose key hashes to this bucket. One
+    vectorized sort+dedup picks the canonical discoverer per Finding key
+    (min (url, kind, depth, src_url, src_depth) — in faithful mode all
+    key-sharers agree on everything downstream reads EXCEPT image depths,
+    which is exactly why the winner must be canonical, see oracle.py),
+    then the bucket's now-unique keys probe the shard actors. The probe id
+    is just (epoch, bucket_id, shard): bucket content is a deterministic
+    function of the wave's parsed output, so a retried reduce task
+    re-presents identical keys and the shard memo replays the original
+    mask instead of double-mutating (state/seen.py)."""
     import ray
 
-    ds = rd.read_parquet(
-        parsed_dir,
-        columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-        filter=pc.field("rec") == "f",
-    )
+    from ..keys import hash64
+
+    parts = [p for p in parts if p is not None and p.num_rows]
+    if not parts:
+        return None
+    t = pa.concat_tables(parts)
+    df = t.to_pandas().sort_values(
+        ["url", "kind", "depth", "src_url", "src_depth"]
+    ).drop_duplicates("fkey", keep="first")
+    keys = df["fkey"].tolist()
+    shard_of = (hash64(keys) % np.uint64(num_shards)).astype(np.int64)
+    mask = np.zeros(len(keys), dtype=bool)
+    futures, positions = [], []
+    for s in range(num_shards):
+        pos = np.nonzero(shard_of == s)[0]
+        if len(pos):
+            futures.append(
+                shards[s].probe_and_insert.remote(
+                    [keys[i] for i in pos], (epoch, "wavebucket", bucket_id, s)
+                )
+            )
+            positions.append(pos)
+    for pos, m in zip(positions, ray.get(futures)):
+        mask[pos] = m
+    out = df.loc[mask].drop(columns=["fkey"])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _probe_new_streaming(rd, parsed_dir: Path, seen: SeenSet, wave: int) -> pa.Table:
+    """Large-wave seen probe: the raw finding stream never lands on the
+    driver. One streaming pipeline reads the wave's findings and attaches
+    keys (blocks stay in the object store); an explicit two-round task
+    exchange then hash-partitions by Finding key and, per bucket, dedups
+    to the canonical discoverer and probes the shard pool — dedup and
+    probe fused in the reduce task, no Ray-Data sort machinery on the hot
+    per-wave path. Only the NEW findings (bounded by first-discovery
+    volume, a small fraction of the fan-in×-duplicated stream) return to
+    the driver for the wave checkpoint. Recovery: reduce-task retries are
+    idempotent via shard probe-id memos; anything harsher falls back to
+    wave-level resume like the rest of the wave machinery."""
+    import ray
 
     def add_key(t: pa.Table) -> pa.Table:
         t = t.drop_columns(["rec"])
         return t.append_column("fkey", finding_keys(t["url"], t["kind"], t["depth"]))
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["url", "kind", "depth", "src_url", "src_depth"])
-        return df.drop_duplicates("fkey", keep="first")
-
-    from ..stages.shuffle import bucketed_group_map
-
-    deduped = bucketed_group_map(
-        ds.map_batches(add_key, batch_format="pyarrow"), "fkey", dedup
+    refs = (
+        rd.read_parquet(
+            parsed_dir,
+            columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
+            filter=pc.field("rec") == "f",
+        )
+        .map_batches(add_key, batch_format="pyarrow")
+        .to_arrow_refs()
     )
-    new_ds = deduped.map_batches(
-        seen.make_prober(epoch=wave, key_col="fkey"),
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
-    parts = [t for t in ray.get(new_ds.to_arrow_refs()) if t.num_rows]
+    n_buckets = max(16, seen.num_shards * 2)
+    split = ray.remote(_split_by_key_hash)
+    reduce = ray.remote(_reduce_probe_bucket)
+    slices = [
+        split.options(num_returns=n_buckets).remote(r, n_buckets) for r in refs
+    ]
+    futures = [
+        reduce.remote(
+            wave, b, seen.shards, seen.num_shards, *[s[b] for s in slices]
+        )
+        for b in range(n_buckets)
+    ]
+    parts = [t for t in ray.get(futures) if t is not None and t.num_rows]
     seen.end_epoch()
     if not parts:
         return _FINDINGS_SCHEMA.empty_table()
-    new = pa.concat_tables(parts).drop_columns(["fkey"])
+    new = pa.concat_tables(parts)
     return _canonical_findings_sort(new.cast(_FINDINGS_SCHEMA))
 
 

@@ -132,13 +132,15 @@ def run_bench() -> dict:
     # ---- flagship crawl (headline) ----------------------------------------
     out_dir = f"/tmp/crawler_ray/bench_run_{tag}_{NUM_CPUS}"
     t0 = time.perf_counter()
-    # seen-set shards scale with the cluster (a 4N-node cluster runs 4N
-    # shards); archive contents are routing-independent
+    # seen-set shards scale LINEARLY with the cluster (a 4N-node cluster
+    # runs 4N shards) so shard-side probe work is never a fixed serial
+    # term in the scaling comparison; archive contents are
+    # routing-independent
     run = run_crawl(
         corpus,
         seeds,
         out_dir,
-        CrawlConfig(num_seen_shards=max(4, NUM_CPUS // 4)),
+        CrawlConfig(num_seen_shards=max(4, NUM_CPUS)),
     )
     crawl_sec = time.perf_counter() - t0
     timings["crawl"] = crawl_sec

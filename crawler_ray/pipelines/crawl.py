@@ -12,7 +12,8 @@ host-counts Counter; both are snapshotted every wave into a resumable
 layout:
 
   out/wave=K/{admitted,archive_delta,next_frontier,host_counts,metrics}.parquet
-  out/wave=K/parsed/*.parquet      (tagged stream: findings/text/images)
+  out/wave=K/parsed/rec=*/…        (hive-partitioned by record type:
+                                    f=findings t=texts i=images m=metrics)
   out/wave=K/lineage.json          (row counts in/out, paths, config hash)
   out/wave=K/_COMPLETE             (atomic completion marker)
 
@@ -104,6 +105,78 @@ def seeds_table(seeds: list[str]) -> pa.Table:
     )
 
 
+def _rec_counts(parsed_dir: Path) -> dict[str, int]:
+    """Row count per record type from parquet footers only (hive layout)."""
+    out: dict[str, int] = {}
+    for d in parsed_dir.glob("rec=*"):
+        out[d.name.split("=", 1)[1]] = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in d.glob("*.parquet")
+        )
+    return out
+
+
+def _corpus_files(corpus_path: "str | list[str]") -> list[str]:
+    if isinstance(corpus_path, (list, tuple)):
+        out: list[str] = []
+        for p in corpus_path:
+            out.extend(_corpus_files(p))
+        return out
+    p = Path(corpus_path)
+    if p.is_dir():
+        return sorted(str(f) for f in p.glob("*.parquet"))
+    return [str(p)]
+
+
+class CorpusIndex:
+    """File-level scan pruning from parquet footer statistics: the min/max
+    of each file's ``url`` column is read ONCE from the metadata (no data
+    pages touched). A wave then reads only the files whose url range
+    intersects its admitted set — the file-level analog of the row-group
+    ``isin`` pushdown, and exactly what a hash/host-partitioned layout
+    buys at the 100 TB design point (reference corpora keep a host's pages
+    contiguous, so early small waves touch a handful of files). Files
+    without usable stats are never pruned, so any layout stays correct —
+    an unsorted corpus just prunes nothing."""
+
+    def __init__(self, corpus_path: "str | list[str]") -> None:
+        self.files = _corpus_files(corpus_path)
+        self.ranges: list[tuple[str, str] | None] = []
+        for f in self.files:
+            rng: tuple[str, str] | None = None
+            try:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("url")
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no stats")
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    rng = (min(mins), max(maxs))
+            except Exception:
+                rng = None
+            self.ranges.append(rng)
+
+    def files_for(self, sorted_urls: list[str]) -> list[str]:
+        """Files whose url range can contain any of the (sorted) urls."""
+        import bisect
+
+        if not sorted_urls:
+            return []
+        out = []
+        for f, rng in zip(self.files, self.ranges):
+            if rng is None:
+                out.append(f)
+                continue
+            lo, hi = rng
+            i = bisect.bisect_left(sorted_urls, lo)
+            if i < len(sorted_urls) and sorted_urls[i] <= hi:
+                out.append(f)
+        return out
+
+
 @dataclass
 class WaveStats:
     wave: int
@@ -150,13 +223,9 @@ class CrawlRun:
     def _parsed(self, rec: str, columns: list[str]) -> pa.Table:
         parts = []
         for d in self.wave_dirs():
-            pdir = d / "parsed"
-            if pdir.exists() and any(pdir.glob("*.parquet")):
-                parts.append(
-                    pq.read_table(
-                        pdir, columns=["rec"] + columns, filters=[("rec", "==", rec)]
-                    ).select(columns)
-                )
+            sub = d / "parsed" / f"rec={rec}"
+            if sub.exists() and any(sub.glob("*.parquet")):
+                parts.append(pq.read_table(sub, columns=columns))
         return pa.concat_tables(parts) if parts else None
 
     def texts(self) -> dict[str, str]:
@@ -169,13 +238,9 @@ class CrawlRun:
         """filename → url of the canonically-last write (overwrite wins)."""
         out: dict[str, str] = {}
         for d in self.wave_dirs():
-            pdir = d / "parsed"
-            if pdir.exists() and any(pdir.glob("*.parquet")):
-                t = pq.read_table(
-                    pdir,
-                    columns=["rec", "url", "filename"],
-                    filters=[("rec", "==", "i")],
-                )
+            sub = d / "parsed" / "rec=i"
+            if sub.exists() and any(sub.glob("*.parquet")):
+                t = pq.read_table(sub, columns=["url", "filename"])
                 # canonical within-wave order
                 t = t.sort_by([("url", "ascending")])
                 for u, f in zip(t["url"].to_pylist(), t["filename"].to_pylist()):
@@ -190,12 +255,10 @@ class CrawlRun:
         dest.mkdir(parents=True, exist_ok=True)
         n = 0
         for d in self.wave_dirs():
-            pdir = d / "parsed"
-            if pdir.exists() and any(pdir.glob("*.parquet")):
+            sub = d / "parsed" / "rec=i"
+            if sub.exists() and any(sub.glob("*.parquet")):
                 t = pq.read_table(
-                    pdir,
-                    columns=["rec", "url", "filename", "data"],
-                    filters=[("rec", "==", "i")],
+                    sub, columns=["url", "filename", "data"]
                 ).sort_by([("url", "ascending")])
                 for fname, data in zip(
                     t["filename"].to_pylist(), t["data"].to_pylist()
@@ -350,14 +413,12 @@ def _probe_new_streaming(rd, parsed_dir: Path, seen: SeenSet, wave: int) -> pa.T
     import ray
 
     def add_key(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["rec"])
         return t.append_column("fkey", finding_keys(t["url"], t["kind"], t["depth"]))
 
     refs = (
         rd.read_parquet(
-            parsed_dir,
-            columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-            filter=pc.field("rec") == "f",
+            str(parsed_dir / "rec=f"),
+            columns=["src_url", "src_depth", "url", "kind", "depth"],
         )
         .map_batches(add_key, batch_format="pyarrow")
         .to_arrow_refs()
@@ -388,7 +449,14 @@ def run_crawl(
     out_dir: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
+    fetcher_cls: "type | None" = None,
+    fetcher_kwargs: "dict | None" = None,
 ) -> CrawlRun:
+    """``fetcher_cls``: optional fetch-stage class (stages/fetch.py
+    contract) run as a map_batches actor pool over the admitted frontier
+    instead of the corpus pushdown scan — the real-deployment seam
+    (HttpFetcher) and its deterministic test double (DictFetcher).
+    ``fetcher_kwargs`` go to the actor constructor."""
     import ray.data as rd
 
     cfg = cfg or CrawlConfig()
@@ -421,10 +489,12 @@ def run_crawl(
         frontier = seeds_table(seeds)
 
     robots = RobotsCache(corpus_path) if cfg.respect_robots else None
+    index = CorpusIndex(corpus_path)
     try:
         while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
             frontier = _run_wave(
-                rd, corpus_path, frontier, counts, seen, out, wave, cfg, robots
+                rd, index, frontier, counts, seen, out, wave, cfg, robots,
+                fetcher_cls, fetcher_kwargs,
             )
             wave += 1
     finally:
@@ -434,7 +504,7 @@ def run_crawl(
 
 def _run_wave(
     rd,
-    corpus_path,
+    index: CorpusIndex,
     frontier: pa.Table,
     counts: Counter,
     seen: SeenSet,
@@ -442,6 +512,8 @@ def _run_wave(
     wave: int,
     cfg: CrawlConfig,
     robots: "RobotsCache | None" = None,
+    fetcher_cls: "type | None" = None,
+    fetcher_kwargs: "dict | None" = None,
 ) -> pa.Table:
     # _COMPLETE is the atomic wave-commit marker (resume only trusts marked
     # dirs); writing in place avoids a rename that would invalidate lazily
@@ -490,13 +562,54 @@ def _run_wave(
     lookups, m = build_lookups(admitted)
     wave_metrics.update(m)
     parsed_dir = wave_dir / "parsed"
+    n_files_pruned = 0
     n_pages_dispatched = sum(
         1 for v in lookups.values() for e in v if e[1] == "page"
     )
     n_images_dispatched = sum(
         1 for v in lookups.values() for e in v if e[1] == "image"
     )
-    if lookups:
+    if lookups and fetcher_cls is not None:
+        # pluggable fetch path (stages/fetch.py): actor-pool fetch over the
+        # admitted dispatches; downstream parse identical to the scan path
+        from ..stages.fetch import FETCH_IN_SCHEMA
+
+        rows = [
+            (fu, url_s, kind, depth)
+            for fu, entries in sorted(lookups.items())
+            for (url_s, kind, depth) in entries
+        ]
+        fetch_tbl = pa.table(
+            {
+                "fetch_url": pa.array([r[0] for r in rows], pa.string()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "kind": pa.array([r[2] for r in rows], pa.string()),
+                "depth": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ).cast(FETCH_IN_SCHEMA)
+        n_blocks = max(1, min(32, fetch_tbl.num_rows // max(1, cfg.batch_size)))
+        parsed = (
+            rd.from_arrow(fetch_tbl)
+            .repartition(n_blocks)
+            .map_batches(
+                fetcher_cls,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                # IO-bound stage: fractional CPU per actor so the pool
+                # never starves the downstream parse tasks of cores
+                concurrency=4,
+                num_cpus=0.25,
+                fn_constructor_kwargs=fetcher_kwargs or {},
+            )
+            .map_batches(
+                process_wave_batch,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                fn_kwargs={"faithful_depth": cfg.faithful_depth},
+            )
+        )
+        parsed.write_parquet(str(parsed_dir), partition_cols=["rec"])
+    elif lookups:
         import ray
 
         lookups_ref = ray.put(lookups)
@@ -504,33 +617,42 @@ def _run_wave(
         def attach(batch: pa.Table) -> pa.Table:
             return attach_frontier(batch, _cached_get(lookups_ref))
 
-        # Hybrid probe-side pruning: for SMALL waves an ``isin`` pushdown
-        # prunes row groups at the read (the corpus layout keeps a host's
-        # pages contiguous) and keeps non-matched html out of the object
-        # store; for LARGE waves the expression itself (10^5 strings
-        # serialized into every read task, hash-set rebuilt per row group)
-        # costs more than it prunes, so the broadcast lookup dict inside
-        # attach_frontier does the filtering instead. At 100 TB the layout
-        # would also bucket files by hash(url) for FILE-level pruning.
-        if len(lookups) <= cfg.scan_pushdown_limit:
-            ds = rd.read_parquet(
-                corpus_path,
-                columns=["url", "html"],
-                filter=pc.field("url").isin(sorted(lookups.keys())),
+        # Two-level probe-side pruning. FILE level: parquet footer url
+        # ranges (CorpusIndex) — a wave only reads files that can contain
+        # an admitted url, which is what keeps early/narrow waves from
+        # rescanning the whole corpus. ROW-GROUP level (small waves only):
+        # an ``isin`` pushdown prunes inside the surviving files and keeps
+        # non-matched html out of the object store; for LARGE waves the
+        # expression itself (10^5 strings serialized into every read task,
+        # hash-set rebuilt per row group) costs more than it prunes, so
+        # the broadcast lookup dict inside attach_frontier filters instead.
+        sorted_urls = sorted(lookups.keys())
+        files = index.files_for(sorted_urls)
+        n_files_pruned = len(index.files) - len(files)
+        if files:  # else: no file can hold an admitted url — all misses
+            if len(lookups) <= cfg.scan_pushdown_limit:
+                ds = rd.read_parquet(
+                    files,
+                    columns=["url", "html"],
+                    filter=pc.field("url").isin(sorted_urls),
+                )
+            else:
+                ds = rd.read_parquet(files, columns=["url", "html"])
+            parsed = ds.map_batches(
+                attach, batch_format="pyarrow", batch_size=cfg.batch_size
+            ).map_batches(
+                process_wave_batch,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                fn_kwargs={"faithful_depth": cfg.faithful_depth},
             )
-        else:
-            ds = rd.read_parquet(corpus_path, columns=["url", "html"])
-        parsed = ds.map_batches(
-            attach, batch_format="pyarrow", batch_size=cfg.batch_size
-        ).map_batches(
-            process_wave_batch,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            fn_kwargs={"faithful_depth": cfg.faithful_depth},
-        )
-        parsed.write_parquet(str(parsed_dir))
+            # one subdir per record type (rec=f/t/i/m): read-backs and
+            # downstream consumers (findings probe, texts, image sink)
+            # each touch only their partition, never the heavy columns
+            # of another type
+            parsed.write_parquet(str(parsed_dir), partition_cols=["rec"])
     _mark("scan_parse_write")
-    have_parsed = parsed_dir.exists() and any(parsed_dir.glob("*.parquet"))
+    have_parsed = parsed_dir.exists() and any(parsed_dir.rglob("*.parquet"))
 
     # ---- read back findings (pruned) + seen probe (ST1) -------------------
     # Two probe paths sharing the shard actor pool: small waves read the
@@ -540,30 +662,30 @@ def _run_wave(
     # probe (_probe_new_streaming), so the raw finding stream never lands
     # on the driver.
     if have_parsed:
-        n_findings = pq.read_table(
-            parsed_dir, columns=["rec"], filters=[("rec", "==", "f")]
-        ).num_rows
-        if n_findings <= cfg.ray_state_threshold:
+        # rec-type counts come from parquet FOOTER metadata of the hive
+        # partitions (no data pages read); only the metric rows and — for
+        # small waves — the findings columns are actually read
+        counts_by_rec = _rec_counts(parsed_dir)
+        n_findings = counts_by_rec.get("f", 0)
+        n_texts = counts_by_rec.get("t", 0)
+        n_img_ok = counts_by_rec.get("i", 0)
+        mdir = parsed_dir / "rec=m"
+        if mdir.exists():
+            mrows = pq.read_table(mdir, columns=["metric", "count"])
+            for name, c in zip(
+                mrows["metric"].to_pylist(), mrows["count"].to_pylist()
+            ):
+                wave_metrics[name] += c
+        fdir = parsed_dir / "rec=f"
+        if n_findings == 0 or not fdir.exists():
+            findings = _FINDINGS_SCHEMA.empty_table()
+        elif n_findings <= cfg.ray_state_threshold:
             findings = pq.read_table(
-                parsed_dir,
-                columns=["rec", "src_url", "src_depth", "url", "kind", "depth"],
-                filters=[("rec", "==", "f")],
-            ).drop_columns(["rec"])
+                fdir,
+                columns=["src_url", "src_depth", "url", "kind", "depth"],
+            )
         else:
             findings = None
-        n_texts = pq.read_table(
-            parsed_dir, columns=["rec"], filters=[("rec", "==", "t")]
-        ).num_rows
-        mrows = pq.read_table(
-            parsed_dir,
-            columns=["rec", "metric", "count"],
-            filters=[("rec", "==", "m")],
-        )
-        for name, c in zip(mrows["metric"].to_pylist(), mrows["count"].to_pylist()):
-            wave_metrics[name] += c
-        n_img_ok = pq.read_table(
-            parsed_dir, columns=["rec"], filters=[("rec", "==", "i")]
-        ).num_rows
     else:
         findings = _FINDINGS_SCHEMA.empty_table()
         n_findings = 0
@@ -632,6 +754,8 @@ def _run_wave(
             {
                 **asdict(stats),
                 "phase_sec": phase_sec,
+                "scan_files_pruned": n_files_pruned,
+                "scan_files_total": len(index.files),
                 "config": cfg.fingerprint(),
                 "dir": str(wave_dir),
             },

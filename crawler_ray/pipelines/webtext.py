@@ -32,19 +32,15 @@ def _texts_ds(source: str):
 
     p = Path(source)
     if p.is_dir() and list(p.glob("wave=*")):
+        # hive layout: the text partition (rec=t) is read directly — the
+        # findings/image partitions (and their heavy columns) never load
         paths = [
             str(f)
             for d in sorted(p.glob("wave=*"))
-            if (d / "_COMPLETE").exists() and (d / "parsed").exists()
-            for f in sorted((d / "parsed").glob("*.parquet"))
+            if (d / "_COMPLETE").exists()
+            for f in sorted((d / "parsed" / "rec=t").glob("*.parquet"))
         ]
-        ds = rd.read_parquet(paths, columns=["rec", "url", "text"])
-        return ds.map_batches(
-            lambda t: t.filter(pa.compute.equal(t["rec"], "t")).select(
-                ["url", "text"]
-            ),
-            batch_format="pyarrow",
-        )
+        return rd.read_parquet(paths, columns=["url", "text"])
     return rd.read_parquet(source, columns=["url", "text"])
 
 

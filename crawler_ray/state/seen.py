@@ -70,33 +70,21 @@ class SeenShard:
                 return memo
         if isinstance(keys, (pa.Array, pa.ChunkedArray)):
             keys = keys.to_pylist()
+        import pandas as pd
+
         h1, h2 = hash_pair(keys)
+        s = pd.Series(keys, dtype="object")
+        first = ~s.duplicated().to_numpy()  # intra-call: first occurrence wins
         if self.exact is not None:
-            out = np.empty(len(keys), dtype=bool)
-            exact = self.exact
-            for i, k in enumerate(keys):
-                if k in exact:
-                    out[i] = False
-                else:
-                    exact.add(k)
-                    out[i] = True
+            # one C-level membership pass instead of a per-key Python loop
+            out = first & ~s.isin(self.exact).to_numpy()
+            self.exact.update(s[out])
             self.bloom.add(h1[out], h2[out])
             if probe_id is not None:
                 self.applied[probe_id] = out
             return out
-        maybe_seen = self.bloom.contains(h1, h2)
-        out = ~maybe_seen
-        # intra-call duplicate suppression (bloom add is not immediate per row)
-        first = np.zeros(len(keys), dtype=bool)
-        seen_now: set[str] = set()
-        for i, k in enumerate(keys):
-            if out[i]:
-                if k in seen_now:
-                    out[i] = False
-                else:
-                    seen_now.add(k)
-                    first[i] = True
-        self.bloom.add(h1[first], h2[first])
+        out = ~self.bloom.contains(h1, h2) & first
+        self.bloom.add(h1[out], h2[out])
         if probe_id is not None:
             self.applied[probe_id] = out
         return out

@@ -345,3 +345,45 @@ def test_streaming_probe_crash_resume(t1_corpus, tmp_path):
     assert resumed.archive().equals(full.archive())
     assert resumed.texts() == full.texts()
     assert resumed.metrics() == full.metrics()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetcher_seam_bit_identical(t1_corpus, tmp_path):
+    """The pluggable fetch stage (stages/fetch.py) run through DictFetcher
+    must reproduce the corpus-scan crawl exactly — proving a real HTTP
+    fetcher can be dropped in without touching parse or state."""
+    import ray
+
+    from crawler_ray.stages.fetch import DictFetcher
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    cfg = CrawlConfig(num_seen_shards=2)
+    scan = run_crawl(path, seeds, str(tmp_path / "scan"), cfg)
+
+    corpus_ref = ray.put(
+        dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    )
+    fetched = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "fetched"),
+        cfg,
+        fetcher_cls=DictFetcher,
+        fetcher_kwargs={"corpus_ref": corpus_ref},
+    )
+    assert fetched.n_waves() == scan.n_waves()
+    assert fetched.order().equals(scan.order())
+    assert fetched.archive().equals(scan.archive())
+    assert fetched.texts() == scan.texts()
+    assert fetched.image_files() == scan.image_files()
+    assert fetched.metrics() == scan.metrics()
+
+
+def test_http_fetcher_shape():
+    """HttpFetcher constructs without network (client built in __init__)
+    and reports a miss, not an exception, on unreachable URLs."""
+    from crawler_ray.stages.fetch import HttpFetcher
+
+    f = HttpFetcher(connect_timeout_s=0.1)
+    assert f.fetch_one("http://127.0.0.1:1/none") is None

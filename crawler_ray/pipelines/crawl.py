@@ -336,10 +336,22 @@ _FINDINGS_SCHEMA = pa.schema(
 
 
 def _split_by_key_hash(block: pa.Table, n: int) -> list:
-    """Map side of the findings exchange: slice one block into n key-hash
-    partitions (one sort + searchsorted, zero-copy slices)."""
+    """Map side of the findings exchange: project one parsed block down to
+    its finding rows + key column, then slice into n key-hash partitions
+    (one filter + sort + searchsorted, zero-copy slices — the heavy
+    text/image columns are dropped before anything ships)."""
     from ..keys import hash64
 
+    if block.num_rows == 0 or "url" not in block.column_names:
+        return [None] * n  # empty / schemaless blocks appear on empty waves
+    if "rec" in block.column_names:
+        block = block.filter(pc.equal(block["rec"], "f")).select(
+            ["src_url", "src_depth", "url", "kind", "depth"]
+        )
+    if "fkey" not in block.column_names:
+        block = block.append_column(
+            "fkey", finding_keys(block["url"], block["kind"], block["depth"])
+        )
     if block.num_rows == 0:
         return [None] * n
     h = (hash64(block["fkey"]) % np.uint64(n)).astype(np.int64)
@@ -398,7 +410,9 @@ def _reduce_probe_bucket(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _probe_new_streaming(rd, parsed_dir: Path, seen: SeenSet, wave: int) -> pa.Table:
+def _probe_new_streaming(
+    rd, parsed_dir: Path, seen: SeenSet, wave: int, parsed_mat=None
+) -> pa.Table:
     """Large-wave seen probe: the raw finding stream never lands on the
     driver. One streaming pipeline reads the wave's findings and attaches
     keys (blocks stay in the object store); an explicit two-round task
@@ -412,17 +426,25 @@ def _probe_new_streaming(rd, parsed_dir: Path, seen: SeenSet, wave: int) -> pa.T
     wave-level resume like the rest of the wave machinery."""
     import ray
 
-    def add_key(t: pa.Table) -> pa.Table:
-        return t.append_column("fkey", finding_keys(t["url"], t["kind"], t["depth"]))
+    if parsed_mat is not None:
+        # the wave's blocks are already in the object store — split tasks
+        # project them to finding rows; no disk re-read
+        refs = parsed_mat.to_arrow_refs()
+    else:
 
-    refs = (
-        rd.read_parquet(
-            str(parsed_dir / "rec=f"),
-            columns=["src_url", "src_depth", "url", "kind", "depth"],
+        def add_key(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "fkey", finding_keys(t["url"], t["kind"], t["depth"])
+            )
+
+        refs = (
+            rd.read_parquet(
+                str(parsed_dir / "rec=f"),
+                columns=["src_url", "src_depth", "url", "kind", "depth"],
+            )
+            .map_batches(add_key, batch_format="pyarrow")
+            .to_arrow_refs()
         )
-        .map_batches(add_key, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
     n_buckets = max(16, seen.num_shards * 2)
     split = ray.remote(_split_by_key_hash)
     reduce = ray.remote(_reduce_probe_bucket)
@@ -563,6 +585,7 @@ def _run_wave(
     wave_metrics.update(m)
     parsed_dir = wave_dir / "parsed"
     n_files_pruned = 0
+    parsed_mat = None
     n_pages_dispatched = sum(
         1 for v in lookups.values() for e in v if e[1] == "page"
     )
@@ -608,7 +631,8 @@ def _run_wave(
                 fn_kwargs={"faithful_depth": cfg.faithful_depth},
             )
         )
-        parsed.write_parquet(str(parsed_dir), partition_cols=["rec"])
+        parsed_mat = parsed.materialize()
+        parsed_mat.write_parquet(str(parsed_dir), partition_cols=["rec"])
     elif lookups:
         import ray
 
@@ -639,18 +663,25 @@ def _run_wave(
             else:
                 ds = rd.read_parquet(files, columns=["url", "html"])
             parsed = ds.map_batches(
-                attach, batch_format="pyarrow", batch_size=cfg.batch_size
+                # batch_size=None lets Ray FUSE the probe into the read
+                # task itself: non-matched corpus rows are dropped before
+                # any block enters the object store
+                attach, batch_format="pyarrow", batch_size=None
             ).map_batches(
                 process_wave_batch,
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 fn_kwargs={"faithful_depth": cfg.faithful_depth},
             )
-            # one subdir per record type (rec=f/t/i/m): read-backs and
+            # One execution materializes the wave into the object store
+            # (spillable); the checkpoint write AND the seen probe both
+            # consume those blocks, so the probe never re-reads the disk.
+            # One subdir per record type (rec=f/t/i/m): read-backs and
             # downstream consumers (findings probe, texts, image sink)
             # each touch only their partition, never the heavy columns
-            # of another type
-            parsed.write_parquet(str(parsed_dir), partition_cols=["rec"])
+            # of another type.
+            parsed_mat = parsed.materialize()
+            parsed_mat.write_parquet(str(parsed_dir), partition_cols=["rec"])
     _mark("scan_parse_write")
     have_parsed = parsed_dir.exists() and any(parsed_dir.rglob("*.parquet"))
 
@@ -703,7 +734,7 @@ def _run_wave(
     if findings is not None:
         new = _probe_new(findings, seen, cfg.faithful_depth)
     else:
-        new = _probe_new_streaming(rd, parsed_dir, seen, wave)
+        new = _probe_new_streaming(rd, parsed_dir, seen, wave, parsed_mat)
     _mark("seen_probe")
     pq.write_table(
         new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),

@@ -121,11 +121,12 @@ def _extract_links(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
     )
-    f = parsed.to_pandas()
-    return pa.Table.from_pandas(
-        f.sort_values(["src_url", "kind", "url"]).reset_index(drop=True),
-        preserve_index=False,
-    )
+    # distributed sort; only the final (already-sorted) result lands here
+    import ray
+
+    parts = ray.get(parsed.sort(["src_url", "kind", "url"]).to_arrow_refs())
+    parts = [t for t in parts if t.num_rows]
+    return pa.concat_tables(parts).combine_chunks()
 
 
 # ----------------------------------------------------------- doc extensions

@@ -159,6 +159,14 @@ def _dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return simhash_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def _dedup_jaccard(sf_dir: str) -> pd.DataFrame:
+    from crawler_ray.functions.dedup import jaccard_ngram_pairs
+
+    return jaccard_ngram_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), n=3, threshold=0.5
+    )
+
+
 def _lang_id_counts(sf_dir: str) -> pd.DataFrame:
     from crawler_ray.functions.textstats import LangId
 
@@ -329,11 +337,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": _crawl_metrics,
         "extract_links": _extract_links,
         # training-data extensions — SQL-checked where expressible
-        # (doc_quality_scores, cosine_near_dups; lang_id_counts and
-        # webtext_training_set against pinned deterministic truths);
+        # (doc_quality_scores, cosine_near_dups, dedup_jaccard_pairs;
+        # lang_id_counts and webtext_training_set against pinned
+        # deterministic truths);
         # rows-only for the rest (stateful/approximate/hash-based)
         "dedup_minhash_clusters": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_jaccard_pairs": _dedup_jaccard,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
@@ -386,6 +396,38 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
 """
 
+#: Exact word-trigram Jaccard pairs. The engine computes this with NO
+#: all-pairs stage (shingle inverted-index join, see
+#: functions/dedup.py:jaccard_ngram_pairs); the oracle states the same
+#: identity relationally: Jaccard = common / (n_a + n_b - common).
+JACCARD_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, array_length(w) - 2)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT common.a, common.b,
+       round(CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = common.a
+JOIN sizes sb ON sb.doc_id = common.b
+WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
+ORDER BY common.a, common.b
+"""
+
 #: The n-gram language-ID scorer is not SQL-expressible; the oracle is the
 #: PINNED expected output over the deterministic sf0.01 documents table
 #: (the driver's correctness gate runs at sf0.01). Checks end-to-end
@@ -436,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_punct_ratio": R.PUNCT_RATIO_SQL,
         "ann_cosine_topk": R.ANN_TOPK_SQL,
         "doc_quality_scores": QUALITY_SCORES_SQL,
+        "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,
         "webtext_training_set": WEBTEXT_STATS_SQL,

@@ -429,6 +429,112 @@ def minhash_lsh_dedup(
     return clusters, verified.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------------- exact n-gram Jaccard
+
+
+def jaccard_ngram_pairs(
+    ds,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = 64,
+    max_doc_freq: int | None = None,
+):
+    """EXACT word-n-gram Jaccard near-dup pairs via a shingle inverted-index
+    join — the deterministic sibling of MinHash (no probabilistic recall
+    loss), for corpora where exact similarity semantics are required.
+
+    Identity: with c = |A∩B| common shingles and nA, nB the docs' distinct
+    shingle counts, Jaccard = c / (nA + nB - c) — so the full pairwise
+    similarity falls out of per-shingle co-occurrence counts alone, and the
+    all-pairs stage disappears entirely:
+
+      docs → distinct (doc_id, shingle, n_sh) rows (one vectorized pass)
+           → bucketed exchange on shingle → per-bucket self-merge emits
+             co-occurring pairs, partial-counted per bucket
+           → bucketed exchange on pair → sum counts, Jaccard, threshold.
+
+    Both exchanges are linear in the inverted-index size. The only
+    superlinear term is hot shingles (a shingle shared by m docs yields
+    m·(m-1)/2 pair rows); ``max_doc_freq`` drops shingles above a document
+    frequency cap — the standard prefix-filtering trade (a dropped shingle
+    can only LOWER a pair's computed similarity, never raise it). Default
+    None = exact. Returns (a, b, jaccard) sorted, jaccard rounded to 6dp
+    after thresholding on the unrounded value."""
+    from ..stages.shuffle import bucketed_group_map
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        shs: list[str] = []
+        ns: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            w = (text or "").split()
+            if len(w) < n:
+                continue
+            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            ids.extend([doc_id] * len(sh))
+            shs.extend(sh)
+            ns.extend([len(sh)] * len(sh))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(shs, pa.string()),
+                "n_sh": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized self-merge per bucket; a shingle's rows are all in
+        # this bucket, so group size here IS its global document frequency
+        if max_doc_freq is not None:
+            freq = df.groupby("shingle", sort=False)["doc_id"].transform("size")
+            df = df[freq <= max_doc_freq]
+        m = df.merge(df, on="shingle", suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return out.rename(
+            columns={"doc_id_x": "a", "doc_id_y": "b", "n_sh_x": "na", "n_sh_y": "nb"}
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["a", "b", "na", "nb"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        jac = g["c"].to_numpy(dtype=np.float64) / (
+            g["na"].to_numpy() + g["nb"].to_numpy() - g["c"].to_numpy()
+        )
+        g["jaccard"] = jac
+        return g.loc[jac >= threshold, ["a", "b", "jaccard"]]
+
+    partials = bucketed_group_map(
+        ds.map_batches(shingle_rows, batch_format="pyarrow"),
+        bucket_on="shingle",
+        fn=partial_counts,
+        n_buckets=n_buckets,
+    )
+    out = bucketed_group_map(
+        partials, bucket_on="a", fn=finalize, n_buckets=n_buckets
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    out["jaccard"] = out["jaccard"].round(6)
+    return (
+        out.astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

@@ -118,6 +118,48 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert ((pairs["a"] != 2) & (pairs["b"] != 2)).all()
 
 
+def test_jaccard_ngram_pairs_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import jaccard_ngram_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(20)]
+    w = texts[3].split()  # planted near-dup: change one word
+    w[5] = "changed"
+    texts[7] = " ".join(w)
+    texts[15] = texts[3]  # exact dup
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    got = jaccard_ngram_pairs(rd.from_items(rows), n=3, threshold=0.3)
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expect = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            sa, sb = shingles(texts[i]), shingles(texts[j])
+            jac = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+            if jac >= 0.3:
+                expect.append((i, j, round(jac, 6)))
+    assert (
+        list(map(tuple, got[["a", "b", "jaccard"]].itertuples(index=False)))
+        == expect
+    )
+    assert {(3, 7), (3, 15), (7, 15)} <= {(a, b) for a, b, _ in expect}
+
+    # the doc-freq cap only ever LOWERS similarity (prefix-filter trade)
+    capped = jaccard_ngram_pairs(
+        rd.from_items(rows), n=3, threshold=0.3, max_doc_freq=2
+    )
+    full = {(r.a, r.b): r.jaccard for r in got.itertuples()}
+    for r in capped.itertuples():
+        assert full.get((r.a, r.b), 1.0) >= r.jaccard - 1e-9
+
+
 def test_cc_label_propagation_matches_union_find(ray_session):
     import random
 

@@ -73,35 +73,41 @@ def quality_scores(batch: pa.Table) -> pa.Table:
 
 
 def fingerprints(batch: pa.Table, window: int = 8) -> pa.Table:
-    """Deterministic document fingerprint: 64-bit polynomial rolling hash of
-    the whole text plus a winnowed min-hash over ``window``-gram rolling
-    hashes (Karp-Rabin / winnowing family) — stable content identity that
-    survives re-chunking."""
+    """Deterministic document fingerprint: 64-bit polynomial hash of the
+    whole text plus a winnowed min-hash over ``window``-gram rolling hashes
+    (Karp-Rabin / winnowing family) — stable content identity that survives
+    re-chunking. Arithmetic is over Z/2^64 (wrapping uint64, the
+    numpy-native modulus), so each doc is ONE vectorized multiply-sum
+    against a batch-shared power table — no per-byte Python."""
     texts = batch["text"].to_pylist()
-    MOD = (1 << 61) - 1
-    BASE = 257
-    full = np.empty(len(texts), dtype=np.uint64)
-    winnow = np.empty(len(texts), dtype=np.uint64)
-    pow_w = pow(BASE, window - 1, MOD)
-    for i, t in enumerate(texts):
-        t = t or ""
-        h = 0
-        for ch in t.encode("utf-8", "replace"):
-            h = (h * BASE + ch) % MOD
-        full[i] = h
-        data = t.encode("utf-8", "replace")
-        if len(data) < window:
-            winnow[i] = full[i]
-            continue
-        roll = 0
-        best = MOD
-        for j, ch in enumerate(data):
-            roll = (roll * BASE + ch) % MOD
-            if j >= window:
-                roll = (roll - data[j - window] * pow_w * BASE) % MOD
-            if j >= window - 1 and roll < best:
-                best = roll
-        winnow[i] = best
+    BASE = np.uint64(257)
+    datas = [
+        np.frombuffer((t or "").encode("utf-8", "replace"), dtype=np.uint8)
+        for t in texts
+    ]
+    max_len = max((len(d) for d in datas), default=0)
+    full = np.zeros(len(texts), dtype=np.uint64)
+    winnow = np.zeros(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.ones(max(max_len, 1), dtype=np.uint64)  # pows[k] = BASE^k
+        if max_len > 1:
+            pows[1:] = BASE
+            np.cumprod(pows, out=pows)
+        for i, data in enumerate(datas):
+            n = len(data)
+            if n == 0:
+                continue
+            d = data.astype(np.uint64)
+            full[i] = (d * pows[n - 1 :: -1]).sum(dtype=np.uint64)
+            if n < window:
+                winnow[i] = full[i]
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(data, window).astype(
+                np.uint64
+            )
+            winnow[i] = (
+                (wins * pows[window - 1 :: -1]).sum(axis=1, dtype=np.uint64).min()
+            )
     return batch.append_column(
         "fingerprint", pa.array(full, pa.uint64())
     ).append_column("min_gram_hash", pa.array(winnow, pa.uint64()))

@@ -453,6 +453,63 @@ ORDER BY pred_lang
 """
 
 
+#: Pinned deterministic truths for hash/sketch-based operators whose
+#: scoring is not SQL-expressible (SimHash banding, MinHash-LSH + connected
+#: components, hyperplane-LSH ANN, HLL sketches). Same rationale as
+#: LANG_ID_COUNTS_SQL: the engines are fully deterministic (fixed seeds) at
+#: sf0.01, so the committed truth checks end-to-end reproducibility; the
+#: pytest suite separately checks the MATH (brute-force parity, recall,
+#: accuracy-vs-exact bounds).
+SIMHASH_PAIRS_SQL = """
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM (VALUES (8,245,2), (14,251,3), (14,466,3), (31,423,3), (44,446,0), (45,267,2),
+             (45,413,2), (56,318,3), (58,293,2), (72,377,1), (98,290,1), (107,387,2),
+             (120,332,1), (129,251,3), (147,176,2), (152,178,2), (166,323,2), (197,458,2),
+             (197,462,3), (205,264,2), (220,496,3), (231,458,3), (233,258,3), (233,335,3),
+             (251,379,3), (267,413,0), (270,426,3), (280,463,3), (285,301,2), (295,374,3),
+             (301,386,3), (310,389,3), (326,457,2), (393,420,3), (426,458,2), (426,462,3),
+             (440,466,3), (458,462,1), (458,466,3))
+     AS t(a, b, hamming)
+ORDER BY a, b
+"""
+
+MINHASH_CLUSTERS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rep_id AS BIGINT) AS rep_id
+FROM (VALUES (8,8), (26,26), (31,31), (44,44), (45,45), (58,58),
+             (61,61), (70,70), (72,72), (87,87), (92,92), (98,98),
+             (107,107), (120,120), (134,87), (152,152), (166,166), (178,152),
+             (185,61), (245,8), (267,45), (285,285), (290,98), (293,58),
+             (295,295), (301,285), (310,310), (323,166), (326,326), (332,120),
+             (374,295), (377,72), (383,31), (387,107), (389,310), (393,393),
+             (413,45), (420,393), (435,435), (446,44), (447,70), (450,92),
+             (455,26), (457,326), (458,458), (462,458), (486,435))
+     AS t(doc_id, rep_id)
+ORDER BY doc_id
+"""
+ANN_LSH_SQL = """
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sim AS DOUBLE) AS sim, CAST(rank AS BIGINT) AS rank
+FROM (VALUES (0,0,1.0,0), (0,423,0.2969,1), (0,272,0.1614,2), (0,436,0.1592,3), (0,377,0.1353,4),
+             (0,420,0.1187,5), (0,353,0.1136,6), (0,222,0.068,7), (0,472,0.0535,8), (0,244,0.0371,9),
+             (1,1,1.0,0), (1,407,0.327,1), (1,220,0.2898,2), (1,285,0.2301,3), (1,213,0.2201,4),
+             (1,42,0.1339,5), (1,73,0.1292,6), (1,462,0.0523,7), (1,133,0.0424,8), (1,22,0.0341,9),
+             (2,2,1.0,0), (2,145,0.2635,1), (2,188,0.2633,2), (2,172,0.2398,3), (2,440,0.2314,4),
+             (2,97,0.225,5), (2,407,0.2191,6), (2,299,0.1505,7), (2,213,0.1138,8), (2,382,0.0855,9),
+             (3,3,1.0,0), (3,363,0.2686,1), (3,341,0.209,2), (3,301,0.1985,3), (3,85,0.182,4),
+             (3,487,0.1814,5), (3,403,0.1348,6), (3,326,0.121,7), (3,96,0.0868,8), (3,214,0.0789,9))
+     AS t(query_id, vec_id, sim, rank)
+ORDER BY query_id, rank
+"""
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type, CAST(approx_distinct AS BIGINT) AS approx_distinct
+FROM (VALUES ('click', 150), ('error', 150), ('purchase', 150),
+             ('signup', 150), ('view', 150)) AS t(event_type, approx_distinct)
+ORDER BY event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from crawler_ray.pipelines import relational as R
 
@@ -479,6 +536,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": R.ANN_TOPK_SQL,
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
+        "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
+        "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
+        "ann_lsh_topk": ANN_LSH_SQL,
+        "approx_distinct_users": APPROX_DISTINCT_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,
         "webtext_training_set": WEBTEXT_STATS_SQL,

@@ -116,51 +116,82 @@ class MinHasher:
 
 
 def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
-    """Explode signatures into (band, band_hash, doc_id) bucket rows."""
-    import polars as pl
-
-    ids, bs, hs = [], [], []
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        sig = np.asarray(sig, dtype=np.uint64)
-        rows_per_band = len(sig) // bands
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            ids.append(doc_id)
-            bs.append(b)
-            hs.append("|".join(map(str, chunk)))
-    bh = pl.Series(hs).hash(seed=0xBA9D).to_numpy().astype(np.uint64)
+    """Explode signatures into (band, band_hash, doc_id) bucket rows — one
+    vectorized (n × bands × rows_per_band) polynomial hash per batch, no
+    per-doc Python. Hash collisions can only ADD candidate pairs, which
+    verification removes."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.uint64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    ids = batch["doc_id"].to_numpy()
+    sig = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(np.uint64)
+    n, num_perm = sig.shape
+    rpb = num_perm // bands
+    chunks = sig[:, : bands * rpb].reshape(n, bands, rpb)
+    with np.errstate(over="ignore"):
+        powers = _SHINGLE_BASE ** np.arange(rpb, dtype=np.uint64)
+        bh = (chunks * powers).sum(axis=2, dtype=np.uint64)
+        # mix the band index in so equal chunks in different bands never
+        # share a bucket
+        bh = bh * np.uint64(0x9E3779B97F4A7C15) + np.arange(
+            bands, dtype=np.uint64
+        )
     return pa.table(
         {
-            "doc_id": pa.array(ids, pa.int64()),
-            "band": pa.array(bs, pa.int32()),
-            "band_hash": pa.array(bh),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
         }
     )
 
 
-def _pairs_for_ids(ids: np.ndarray) -> tuple[list, list]:
-    """(a<b) pairs for one LSH bucket's member ids. A pathological giant
-    bucket means the docs are all near-identical; its pair list is clipped
-    to a star (min-id hub) to stay linear — the component is unchanged."""
-    ids = np.unique(ids)
-    if len(ids) < 2:
-        return [], []
-    if len(ids) > 200:  # star clip: same component, O(n) pairs
-        return [int(ids[0])] * (len(ids) - 1), [int(x) for x in ids[1:]]
-    iu = np.triu_indices(len(ids), k=1)
-    return ids[iu[0]].tolist(), ids[iu[1]].tolist()
+_STAR_CLIP = 200
 
 
 def _bucket_pairs_vec(df: pd.DataFrame) -> pd.DataFrame:
-    """All LSH-bucket pairs within one hash bucket: pandas groupby over the
-    real (band, band_hash) buckets, vectorized pair generation per bucket."""
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for _, g in df.groupby(["band", "band_hash"], sort=False):
-        a, b = _pairs_for_ids(g["doc_id"].to_numpy())
-        out_a.extend(a)
-        out_b.extend(b)
-    return pd.DataFrame({"a": out_a, "b": out_b}, dtype="int64")
+    """All LSH-bucket pairs within one hash bucket, fully vectorized (no
+    per-group Python): a self-merge on the bucket key emits the (a<b)
+    pairs for normal buckets; a pathological giant bucket (> _STAR_CLIP
+    members — the docs are all near-identical) is clipped to a star around
+    its min-id hub, which keeps the pair list linear and the connected
+    component unchanged."""
+    df = df.drop_duplicates(["band", "band_hash", "doc_id"])
+    sizes = df.groupby(["band", "band_hash"], sort=False)["doc_id"].transform(
+        "size"
+    )
+    parts_a: list[np.ndarray] = []
+    parts_b: list[np.ndarray] = []
+    small = df[(sizes > 1) & (sizes <= _STAR_CLIP)]
+    if len(small):
+        m = small.merge(small, on=["band", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        parts_a.append(m["doc_id_x"].to_numpy())
+        parts_b.append(m["doc_id_y"].to_numpy())
+    big = df[sizes > _STAR_CLIP]
+    if len(big):
+        hub = (
+            big.groupby(["band", "band_hash"], sort=False)["doc_id"]
+            .transform("min")
+            .to_numpy()
+        )
+        ids = big["doc_id"].to_numpy()
+        rest = ids != hub
+        parts_a.append(hub[rest])
+        parts_b.append(ids[rest])
+    if not parts_a:
+        return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+    return pd.DataFrame(
+        {
+            "a": np.concatenate(parts_a).astype(np.int64),
+            "b": np.concatenate(parts_b).astype(np.int64),
+        }
+    )
 
 
 def _estimated_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
@@ -283,6 +314,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     verify: str = "exact",  # "exact" (n-gram jaccard) or "estimate" (signature)
     seed: int = 7,
+    prune_margin: float = 0.2,  # exact mode: estimate-prune at threshold-margin
 ):
     """Full near-dup pipeline. Returns (clusters_df, pairs_df):
     clusters_df: doc_id, rep_id (component representative; docs with no
@@ -307,107 +339,115 @@ def minhash_lsh_dedup(
         MinHasher,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=4,
+        concurrency=(2, 16),  # autoscaling actor pool; signature math is the
+        # compute-heavy stage, so let it claim idle cores
         fn_constructor_kwargs={
             "num_perm": num_perm,
             "shingle_k": shingle_k,
             "seed": seed,
         },
     )
-    if verify != "exact":
-        # estimate mode reuses signatures for banding AND both verify
-        # joins; exact mode uses them once (banding), so stay streaming
-        sigs = sigs.materialize()
+    sigs = sigs.materialize()  # read twice: banding + the estimate joins
 
     pairs_ds = bucketed_group_map(
         sigs.map_batches(_band_rows, batch_format="pyarrow", fn_kwargs={"bands": bands}),
         bucket_on="band_hash",
         fn=_bucket_pairs_vec,
-    )
+    ).materialize()
 
-    # Two hash joins attach the verification payload (text for exact mode,
-    # signatures for estimate mode) to each candidate pair; cross-band pair
-    # dedup folds into the first join's bucket task, which is already
-    # co-located on `a`. LSH keeps the candidate set near-linear in the
-    # true-dup count, so scoring candidates directly beats an extra
-    # estimate-prune round trip of two more exchanges.
-    if verify == "exact":
-        payload = ds.map_batches(
-            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
-        )
-        cols = ["doc_id", "text"]
-        in_schema = ds.schema()  # source dataset: schema is metadata-cheap
-        val_type = pa.schema(list(zip(in_schema.names, in_schema.types))).field(
-            "text"
-        ).type
-    else:
-        payload, cols = sigs, ["doc_id", "sig"]
-        val_type = pa.list_(pa.uint64())
+    # Semi-join prefilter: only CANDIDATE docs' payloads enter the verify
+    # exchanges. The distinct candidate-id set is near-linear in the true
+    # dup count (the point of LSH) — orders of magnitude smaller than the
+    # corpus — so it broadcasts into a vectorized `is_in` filter, and the
+    # verification joins then exchange only candidate-sized payloads
+    # instead of re-shipping every doc's text. Per-block distinct → driver
+    # union keeps the id collection bounded by the candidate count.
+    import pyarrow.compute as pc
+
+    def _distinct_ids(pairs) -> np.ndarray:
+        parts = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.unique(
+                        pa.concat_arrays(
+                            [
+                                t["a"].combine_chunks().cast(pa.int64()),
+                                t["b"].combine_chunks().cast(pa.int64()),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return np.unique(parts["doc_id"].to_numpy())
+
+    def only_candidates(t: pa.Table, wanted: np.ndarray) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=pa.array(wanted)))
 
     pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    payload_schema = lambda suf: pa.schema(  # noqa: E731
-        [("doc_id", pa.int64()), (cols[1] + suf, val_type)]
-    )
-    j1 = bucketed_join(
-        pairs_ds,
-        payload.map_batches(
-            lambda t, c: t.rename_columns([c[0], c[1] + "_a"]),
-            batch_format="pyarrow",
-            fn_kwargs={"c": cols},
-        ),
-        left_on="a",
-        right_on="doc_id",
-        left_prep=lambda df: df.drop_duplicates(),
-        left_schema=pairs_schema,
-        right_schema=payload_schema("_a"),
-    )
-    j2 = bucketed_join(
-        j1,
-        payload.map_batches(
-            lambda t, c: t.rename_columns([c[0], c[1] + "_b"]),
-            batch_format="pyarrow",
-            fn_kwargs={"c": cols},
-        ),
-        left_on="b",
-        right_on="doc_id",
-        left_schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), (cols[1] + "_a", val_type)]
-        ),
-        right_schema=payload_schema("_b"),
-    )
 
-    def score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        if verify == "exact":
-            jac = np.array(
-                [
-                    ngram_jaccard(x or "", y or "", shingle_k)
-                    for x, y in zip(
-                        t["text_a"].to_pylist(), t["text_b"].to_pylist()
-                    )
-                ]
-            )
-        else:
-            sa = np.stack(t["sig_a"].to_numpy(zero_copy_only=False))
-            sb = np.stack(t["sig_b"].to_numpy(zero_copy_only=False))
-            jac = (sa == sb).mean(axis=1)
-        return pa.table(
-            {
-                "a": t["a"].cast(pa.int64()),
-                "b": t["b"].cast(pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
-            }
+    def _attach_payload(pairs, payload_ds, col, val_type, dedup_left):
+        """Two hash joins attach (col_a, col_b) to each (a, b) pair;
+        cross-band pair dedup folds into the first join's bucket task,
+        which is already co-located on `a`."""
+        j1 = bucketed_join(
+            pairs,
+            payload_ds.map_batches(
+                lambda t: t.rename_columns(["doc_id", col + "_a"]),
+                batch_format="pyarrow",
+            ),
+            left_on="a",
+            right_on="doc_id",
+            left_prep=(lambda df: df.drop_duplicates()) if dedup_left else None,
+            left_schema=pairs_schema,
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), (col + "_a", val_type)]
+            ),
+        )
+        return bucketed_join(
+            j1,
+            payload_ds.map_batches(
+                lambda t: t.rename_columns(["doc_id", col + "_b"]),
+                batch_format="pyarrow",
+            ),
+            left_on="b",
+            right_on="doc_id",
+            left_schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), (col + "_a", val_type)]
+            ),
+            right_schema=pa.schema(
+                [("doc_id", pa.int64()), (col + "_b", val_type)]
+            ),
         )
 
-    verified_ds = (
-        j2.map_batches(score, batch_format="pyarrow")
-        .filter(expr=f"jaccard >= {threshold!r}")
-        .materialize()
-    )
+    def _empty_scored() -> pa.Table:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+
+    # The verification working set — candidate pairs plus candidate-doc
+    # payloads — is near-linear in the TRUE dup count by LSH construction,
+    # i.e. tiny relative to the corpus. Below the limits it is gathered
+    # once, the estimate runs as one driver-side numpy compare, and the
+    # exact n-gram check fans out as plain Ray tasks over a ray.put text
+    # dict (zero all-to-all rounds). Above the limits — where "tiny" can
+    # still mean billions — verification runs as bucketed hash joins with
+    # nothing corpus-sized on the driver (same output, more exchanges).
+    cand_ids = _distinct_ids(pairs_ds)
+    n_pair_rows = pairs_ds.count()
+    if len(cand_ids) <= _BC_CAND_LIMIT and n_pair_rows <= _BC_PAIR_LIMIT:
+        verified_ds = _verify_broadcast(
+            ds, sigs, pairs_ds, only_candidates, cand_ids,
+            verify, threshold, prune_margin, shingle_k,
+        )
+    else:
+        verified_ds = _verify_joins(
+            ds, sigs, pairs_ds, _distinct_ids, only_candidates, cand_ids,
+            _attach_payload, _empty_scored, verify, threshold, prune_margin,
+            shingle_k,
+        )
 
     n_pairs = verified_ds.count()
     if n_pairs == 0:
@@ -427,6 +467,179 @@ def minhash_lsh_dedup(
         ).astype("int64")
     verified = verified_ds.to_pandas().astype({"a": "int64", "b": "int64"})
     return clusters, verified.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_BC_CAND_LIMIT = 500_000  # candidate docs ≈ 250 MB of signatures
+_BC_PAIR_LIMIT = 5_000_000
+
+
+def _verify_broadcast(
+    ds, sigs, pairs_ds, only_candidates, cand_ids,
+    verify, threshold, prune_margin, shingle_k,
+):
+    """Small-working-set verification: one numpy signature compare on the
+    driver, then the exact n-gram check fanned out as Ray tasks against a
+    broadcast candidate-text dict."""
+    import ray as _ray
+    import ray.data as rd
+
+    sig_pdf = sigs.map_batches(
+        only_candidates, batch_format="pyarrow", fn_kwargs={"wanted": cand_ids}
+    ).to_pandas()
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+    )
+    pp = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
+    if len(pp) == 0 or len(sig_pdf) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    order = np.argsort(sig_pdf["doc_id"].to_numpy())
+    sid = sig_pdf["doc_id"].to_numpy()[order]
+    smat = np.stack(sig_pdf["sig"].to_numpy())[order]
+    a = pp["a"].to_numpy()
+    b = pp["b"].to_numpy()
+    est = (
+        smat[np.searchsorted(sid, a)] == smat[np.searchsorted(sid, b)]
+    ).mean(axis=1)
+
+    if verify != "exact":
+        keep = est >= threshold
+        out = pa.table(
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64()),
+             "jaccard": pa.array(est[keep], pa.float64())}
+        )
+        return rd.from_arrow(out)
+
+    band = est >= max(0.0, threshold - prune_margin)
+    sa, sb = a[band], b[band]
+    if len(sa) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    surv_ids = np.unique(np.concatenate([sa, sb]))
+    texts_pdf = (
+        ds.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+        )
+        .map_batches(
+            only_candidates, batch_format="pyarrow", fn_kwargs={"wanted": surv_ids}
+        )
+        .to_pandas()
+    )
+    text_ref = _ray.put(
+        dict(zip(texts_pdf["doc_id"].to_numpy(), texts_pdf["text"]))
+    )
+
+    @_ray.remote
+    def exact_chunk(aa: np.ndarray, bb: np.ndarray, texts: dict) -> np.ndarray:
+        return np.array(
+            [
+                ngram_jaccard(texts.get(x) or "", texts.get(y) or "", shingle_k)
+                for x, y in zip(aa, bb)
+            ]
+        )
+
+    n_chunks = min(32, max(1, len(sa) // 64))
+    futs = [
+        exact_chunk.remote(ca, cb, text_ref)
+        for ca, cb in zip(np.array_split(sa, n_chunks), np.array_split(sb, n_chunks))
+    ]
+    jac = np.concatenate(_ray.get(futs))
+    keep = jac >= threshold
+    out = pa.table(
+        {"a": pa.array(sa[keep], pa.int64()), "b": pa.array(sb[keep], pa.int64()),
+         "jaccard": pa.array(jac[keep], pa.float64())}
+    )
+    return rd.from_arrow(out)
+
+
+def _verify_joins(
+    ds, sigs, pairs_ds, _distinct_ids, only_candidates, cand_ids,
+    _attach_payload, _empty_scored, verify, threshold, prune_margin, shingle_k,
+):
+    """Fully-distributed verification (the > _BC_*_LIMIT path): signatures
+    then texts attached via bucketed hash joins; estimate-prune between."""
+    sig_payload = sigs.map_batches(
+        only_candidates, batch_format="pyarrow", fn_kwargs={"wanted": cand_ids}
+    ).materialize()  # candidate-sized; read by both stage-1 joins
+    with_sigs = _attach_payload(
+        pairs_ds, sig_payload, "sig", pa.list_(pa.uint64()), dedup_left=True
+    )
+
+    def est_score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_scored()
+        sa = np.stack(t["sig_a"].to_numpy(zero_copy_only=False))
+        sb = np.stack(t["sig_b"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "a": t["a"].cast(pa.int64()),
+                "b": t["b"].cast(pa.int64()),
+                "jaccard": pa.array((sa == sb).mean(axis=1), pa.float64()),
+            }
+        )
+
+    est_ds = with_sigs.map_batches(est_score, batch_format="pyarrow")
+
+    if verify != "exact":
+        verified_ds = est_ds.filter(expr=f"jaccard >= {threshold!r}").materialize()
+    else:
+        # Stage 2: exact n-gram Jaccard, but only for pairs whose estimate
+        # is within ``prune_margin`` of the threshold — the estimate is an
+        # unbiased mean of num_perm Bernoullis (σ ≈ 0.05 at j=0.8,
+        # num_perm=64), so a 0.2 margin is ≈4σ and the survivors are a tiny
+        # near-threshold band. Only THEIR texts ship through the exchanges,
+        # and the per-pair Python set intersection runs on survivors, not
+        # on every banding candidate.
+        survivors = (
+            est_ds.filter(
+                expr=f"jaccard >= {max(0.0, threshold - prune_margin)!r}"
+            )
+            .map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+            .materialize()
+        )
+        surv_ids = _distinct_ids(survivors)
+        in_schema = ds.schema()  # source dataset: schema is metadata-cheap
+        text_type = pa.schema(list(zip(in_schema.names, in_schema.types))).field(
+            "text"
+        ).type
+        text_payload = (
+            ds.map_batches(
+                lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
+            )
+            .map_batches(
+                only_candidates,
+                batch_format="pyarrow",
+                fn_kwargs={"wanted": surv_ids},
+            )
+            .materialize()
+        )
+        with_texts = _attach_payload(
+            survivors, text_payload, "text", text_type, dedup_left=False
+        )
+
+        def exact_score(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return _empty_scored()
+            jac = np.array(
+                [
+                    ngram_jaccard(x or "", y or "", shingle_k)
+                    for x, y in zip(
+                        t["text_a"].to_pylist(), t["text_b"].to_pylist()
+                    )
+                ]
+            )
+            return pa.table(
+                {
+                    "a": t["a"].cast(pa.int64()),
+                    "b": t["b"].cast(pa.int64()),
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+
+        verified_ds = (
+            with_texts.map_batches(exact_score, batch_format="pyarrow")
+            .filter(expr=f"jaccard >= {threshold!r}")
+            .materialize()
+        )
+    return verified_ds
 
 
 # ------------------------------------------------------- exact n-gram Jaccard

@@ -218,6 +218,36 @@ def test_minhash_distributed_cc_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(got_pairs, ref_pairs)
 
 
+def test_minhash_join_verify_path_matches_broadcast(ray_session, monkeypatch):
+    """Force the fully-distributed join verification (working set 'too big'
+    for the broadcast path) and check pair/cluster parity, in both exact
+    and estimate modes."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green meadow near the old stone bridge"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("quiet", "silent")},
+        {"doc_id": 2, "text": "unrelated text about quantum physics"},
+        {"doc_id": 3, "text": base},
+        {"doc_id": 4, "text": base.replace("rain", "snow").replace("dog", "cat")},
+    ]
+    for mode in ("exact", "estimate"):
+        ds = rd.from_items(rows)
+        ref = dedup.minhash_lsh_dedup(ds, threshold=0.8, verify=mode)
+        monkeypatch.setattr(dedup, "_BC_CAND_LIMIT", 0)
+        got = dedup.minhash_lsh_dedup(ds, threshold=0.8, verify=mode)
+        monkeypatch.undo()
+        pd.testing.assert_frame_equal(got[0], ref[0])
+        pd.testing.assert_frame_equal(got[1], ref[1])
+
+
 def test_simhash_pairs(ray_session):
     import ray.data as rd
 

@@ -220,6 +220,19 @@ def _quality_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _repetition_scores(sf_dir: str) -> pd.DataFrame:
+    from crawler_ray.functions.textstats import repetition_scores
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(repetition_scores, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "dup_line_char_ratio", "top_bigram_ratio"]]
+    )
+    for c in ["dup_line_char_ratio", "top_bigram_ratio"]:
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _ann_lsh(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
@@ -347,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
+        "doc_repetition_scores": _repetition_scores,
         "ann_lsh_topk": _ann_lsh,
         "cosine_near_dups": _cosine_near_dups,
         "multimodal_decode": _multimodal_decode,
@@ -394,6 +408,33 @@ SELECT a.vec_id AS a, b.vec_id AS b,
              4) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+#: Repetition-based quality signals (Gopher-style): fraction of chars in
+#: duplicated lines; most-frequent-bigram share. Engine computes both with
+#: vectorized explode/groupby kernels, per-row local (no shuffle).
+REPETITION_SCORES_SQL = r"""
+WITH base AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+ln AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS line FROM base),
+lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l FROM ln GROUP BY 1,2),
+ldup AS (SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c*l ELSE 0 END) AS dup_chars,
+         sum(c*l) AS tot_chars FROM lc GROUP BY 1),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w
+         FROM base WHERE trim(t) <> ''),
+bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+       FROM (SELECT doc_id, w,
+                    unnest(generate_series(1, array_length(w)-1)) AS i
+             FROM toks)),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1,2),
+btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+SELECT base.doc_id,
+       round(CAST(coalesce(ldup.dup_chars,0) AS DOUBLE)
+             / greatest(coalesce(ldup.tot_chars,0),1), 6) AS dup_line_char_ratio,
+       round(CAST(coalesce(btop.mx,0) AS DOUBLE)
+             / greatest(coalesce(btop.tot,0),1), 6) AS top_bigram_ratio
+FROM base LEFT JOIN ldup USING(doc_id) LEFT JOIN btop USING(doc_id)
+ORDER BY base.doc_id
 """
 
 #: Exact word-trigram Jaccard pairs. The engine computes this with NO
@@ -536,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": R.ANN_TOPK_SQL,
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
+        "doc_repetition_scores": REPETITION_SCORES_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
         "ann_lsh_topk": ANN_LSH_SQL,

@@ -72,6 +72,57 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     return out
 
 
+def repetition_scores(batch: pa.Table) -> pa.Table:
+    """Repetition-based quality signals (Gopher-style rule family):
+    ``dup_line_char_ratio`` — fraction of characters in lines that occur
+    more than once in the doc; ``top_bigram_ratio`` — occurrences of the
+    most frequent word bigram over all bigrams. Both per-row local (no
+    shuffle) and computed with vectorized pandas explode/groupby kernels —
+    no per-line or per-bigram Python."""
+    texts = batch["text"].to_pandas().fillna("")
+    n = len(texts)
+    dup_ratio = np.zeros(n, dtype=np.float64)
+    top_ratio = np.zeros(n, dtype=np.float64)
+
+    if n:
+        lines = texts.str.split("\n").explode()
+        ldf = pd.DataFrame({"doc": lines.index, "line": lines.to_numpy()})
+        ldf["chars"] = ldf["line"].str.len()
+        cnt = (
+            ldf.groupby(["doc", "line"], sort=False)["chars"]
+            .agg(c="size", l="first")
+            .reset_index()
+        )
+        cnt["tot"] = cnt["c"] * cnt["l"]
+        cnt["dup"] = np.where(cnt["c"] > 1, cnt["tot"], 0)
+        per = cnt.groupby("doc", sort=False)[["tot", "dup"]].sum()
+        dup_ratio[per.index.to_numpy()] = per["dup"].to_numpy() / np.maximum(
+            per["tot"].to_numpy(), 1
+        )
+
+        words = texts.str.split().explode().dropna()
+        if len(words):
+            wdf = pd.DataFrame({"doc": words.index, "w": words.to_numpy()})
+            wdf["nxt"] = wdf.groupby("doc", sort=False)["w"].shift(-1)
+            bg = wdf.dropna(subset=["nxt"])
+            if len(bg):
+                bc = (
+                    bg.groupby(
+                        ["doc", bg["w"].str.cat(bg["nxt"], sep=" ")], sort=False
+                    )
+                    .size()
+                    .reset_index(name="c")
+                )
+                per2 = bc.groupby("doc", sort=False)["c"].agg(mx="max", tot="sum")
+                top_ratio[per2.index.to_numpy()] = per2["mx"].to_numpy() / np.maximum(
+                    per2["tot"].to_numpy(), 1
+                )
+
+    return batch.append_column(
+        "dup_line_char_ratio", pa.array(dup_ratio, pa.float64())
+    ).append_column("top_bigram_ratio", pa.array(top_ratio, pa.float64()))
+
+
 def fingerprints(batch: pa.Table, window: int = 8) -> pa.Table:
     """Deterministic document fingerprint: 64-bit polynomial hash of the
     whole text plus a winnowed min-hash over ``window``-gram rolling hashes

@@ -41,6 +41,30 @@ def test_quality_scores(docs_ds):
     assert (out["n_chars_txt"] == out["text"].str.len()).all()
 
 
+def test_repetition_scores():
+    from crawler_ray.functions.textstats import repetition_scores
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c\nd e f\na b c\ng",  # dup line "a b c"
+                    "x y x y x y x y",  # top bigram "x y" 4 of 7
+                    "",  # empty: both 0
+                    "one",  # no bigrams
+                    "same\nsame\nsame",  # all lines dup
+                ]
+            ),
+        }
+    )
+    out = repetition_scores(t)
+    dup = out["dup_line_char_ratio"].to_pylist()
+    top = out["top_bigram_ratio"].to_pylist()
+    assert dup[0] == 10 / 16 and dup[2] == 0.0 and dup[4] == 1.0
+    assert abs(top[1] - 4 / 7) < 1e-12 and top[3] == 0.0 and top[4] == 1.0
+
+
 def test_fingerprints_deterministic(docs_ds):
     from crawler_ray.functions.textstats import fingerprints
 

@@ -49,9 +49,6 @@ PARSED_SCHEMA = pa.schema(
     ]
 )
 
-_EMPTY = {name: None for name in PARSED_SCHEMA.names}
-
-
 def build_lookups(
     admitted: pa.Table,
 ) -> tuple[dict[str, list[tuple[str, str, int]]], Counter]:
@@ -110,12 +107,42 @@ def attach_frontier(batch: pa.Table, lookups: dict) -> pa.Table:
     )
 
 
+def _sub_table(rec: str, n: int, **cols) -> pa.Table:
+    """One record type's rows as a PARSED_SCHEMA table: populated columns
+    from ``cols``, everything else null (null columns cost only definition
+    levels in the parquet checkpoint, and the hive rec= partitioning means
+    consumers never read another type's columns)."""
+    arrs = []
+    for f in PARSED_SCHEMA:
+        if f.name == "rec":
+            arrs.append(pa.array([rec] * n, pa.string()))
+        elif f.name in cols:
+            arrs.append(pa.array(cols[f.name], f.type))
+        else:
+            arrs.append(pa.nulls(n, f.type))
+    return pa.table(dict(zip(PARSED_SCHEMA.names, arrs)))
+
+
 def process_wave_batch(batch: pa.Table, faithful_depth: bool = True) -> pa.Table:
     """Parse fetched pages and project fetched images (vector of rows per
     input row; tokenization is inherently per-document, the batch loop is
-    over documents, never over tokens/links)."""
-    out: list[dict] = []
+    over documents, never over tokens/links). Output is built columnar —
+    per-type value lists → one Arrow array per column — not per-row dicts;
+    within each rec type, row order matches the input page order (the
+    cross-type interleaving is irrelevant: the checkpoint is partitioned
+    by rec and every consumer reads one partition)."""
     metrics: Counter = Counter()
+    t_url: list[str] = []
+    t_text: list[str] = []
+    f_src: list[str] = []
+    f_sdep: list[int] = []
+    f_url: list[str] = []
+    f_kind: list[str] = []
+    f_dep: list[int] = []
+    i_url: list[str] = []
+    i_name: list[str] = []
+    i_data: list[bytes | None] = []
+    i_count: list[int] = []
     for url_s, kind, depth, html in zip(
         batch["url"].to_pylist(),
         batch["kind"].to_pylist(),
@@ -125,7 +152,8 @@ def process_wave_batch(batch: pa.Table, faithful_depth: bool = True) -> pa.Table
         u = un.parse(url_s)
         if kind == "page":
             page_links, image_links, text = extract(html)
-            out.append({**_EMPTY, "rec": "t", "url": url_s, "text": text})
+            t_url.append(url_s)
+            t_text.append(text)
             kept_pages, mal_p = un.parse_links(page_links, u)
             kept_images, mal_i = un.parse_links(image_links, u)
             metrics["malformed_links"] += mal_p + mal_i
@@ -135,18 +163,12 @@ def process_wave_batch(batch: pa.Table, faithful_depth: bool = True) -> pa.Table
                 findings[(str(cu), "page", child_depth)] = True
             for cu in kept_images:
                 findings[(str(cu), "image", 0)] = True
-            for f_url, f_kind, f_depth in findings:
-                out.append(
-                    {
-                        **_EMPTY,
-                        "rec": "f",
-                        "src_url": url_s,
-                        "src_depth": depth,
-                        "url": f_url,
-                        "kind": f_kind,
-                        "depth": f_depth,
-                    }
-                )
+            for fu, fk, fd in findings:
+                f_src.append(url_s)
+                f_sdep.append(depth)
+                f_url.append(fu)
+                f_kind.append(fk)
+                f_dep.append(fd)
         else:  # image fetch succeeded; apply the sink projection
             seg = u.last_path_segment()
             if seg is None:
@@ -154,16 +176,34 @@ def process_wave_batch(batch: pa.Table, faithful_depth: bool = True) -> pa.Table
             elif seg == "":
                 metrics["image_sink_error"] += 1  # File::create("…/") fails
             else:
-                out.append(
-                    {
-                        **_EMPTY,
-                        "rec": "i",
-                        "url": url_s,
-                        "filename": seg,
-                        "data": html,
-                        "count": len(html) if html is not None else 0,
-                    }
-                )
-    for name, n in metrics.items():
-        out.append({**_EMPTY, "rec": "m", "metric": name, "count": n})
-    return pa.Table.from_pylist(out, schema=PARSED_SCHEMA)
+                i_url.append(url_s)
+                i_name.append(seg)
+                i_data.append(html)
+                i_count.append(len(html) if html is not None else 0)
+    parts = []
+    if t_url:
+        parts.append(_sub_table("t", len(t_url), url=t_url, text=t_text))
+    if f_url:
+        parts.append(
+            _sub_table(
+                "f", len(f_url), src_url=f_src, src_depth=f_sdep,
+                url=f_url, kind=f_kind, depth=f_dep,
+            )
+        )
+    if i_url:
+        parts.append(
+            _sub_table(
+                "i", len(i_url), url=i_url, filename=i_name,
+                data=i_data, count=i_count,
+            )
+        )
+    if metrics:
+        parts.append(
+            _sub_table(
+                "m", len(metrics), metric=list(metrics),
+                count=[metrics[k] for k in metrics],
+            )
+        )
+    if not parts:
+        return PARSED_SCHEMA.empty_table()
+    return pa.concat_tables(parts)

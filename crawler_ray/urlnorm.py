@@ -117,7 +117,12 @@ def _remove_dot_segments(path: str) -> str:
     # preserve trailing slash when last segment was . or ..
     if path.endswith(("/.", "/..")) and out and out[-1] != "":
         out.append("")
-    return "/".join(out)
+    result = "/".join(out)
+    if path.startswith("/") and result == "":
+        # dot segments consumed the whole path ("/.", "/a/.."): WHATWG
+        # remove-dot-segments leaves the root, never an empty path
+        return "/"
+    return result
 
 
 _PATH_ESCAPE = {" ": "%20", '"': "%22", "<": "%3C", ">": "%3E", "`": "%60"}

@@ -212,6 +212,16 @@ def run_bench() -> dict:
     )
     timings["dedup_minhash"] = time.perf_counter() - t0
 
+    from crawler_ray.functions.dedup import jaccard_ngram_pairs
+
+    t0 = time.perf_counter()
+    jaccard_ngram_pairs(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        n=3,
+        threshold=0.5,
+    )
+    timings["dedup_jaccard"] = time.perf_counter() - t0
+
     ray.shutdown()
 
     result = {

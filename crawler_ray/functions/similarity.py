@@ -24,7 +24,18 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float32)
+    """list<float> column → (n, dim) float32 matrix. Embedding columns are
+    rectangular and null-free, so the values buffer reshapes zero-copy;
+    the to_pylist fallback only runs for ragged/null inputs."""
+    ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if ca.null_count == 0 and len(ca):
+        flat = ca.flatten().to_numpy(zero_copy_only=False)
+        if flat.size % len(ca) == 0:
+            m = flat.reshape(len(ca), -1)
+            widths = np.diff(ca.offsets.to_numpy())
+            if (widths == m.shape[1]).all():
+                return m.astype(np.float32, copy=False)
+    return np.asarray(ca.to_pylist(), dtype=np.float32)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

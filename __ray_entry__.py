@@ -220,6 +220,17 @@ def _quality_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doc_normalized(sf_dir: str) -> pd.DataFrame:
+    from crawler_ray.functions.textstats import normalize_text
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(normalize_text, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "norm_text"]]
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _repetition_scores(sf_dir: str) -> pd.DataFrame:
     from crawler_ray.functions.textstats import repetition_scores
 
@@ -361,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
         "doc_repetition_scores": _repetition_scores,
+        "doc_normalized": _doc_normalized,
         "ann_lsh_topk": _ann_lsh,
         "cosine_near_dups": _cosine_near_dups,
         "multimodal_decode": _multimodal_decode,
@@ -408,6 +420,16 @@ SELECT a.vec_id AS a, b.vec_id AS b,
              4) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+"""
+
+#: Canonical text normalization (lowercase, whitespace collapse, trim) —
+#: pure Arrow kernels in the engine; \s and lower() agree between Arrow
+#: (RE2/utf8proc) and DuckDB on this corpus (ASCII generator).
+DOC_NORMALIZED_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(coalesce(text,'')), '\s+', ' ', 'g'))
+         AS norm_text
+FROM documents ORDER BY doc_id
 """
 
 #: Repetition-based quality signals (Gopher-style): fraction of chars in
@@ -578,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,
+        "doc_normalized": DOC_NORMALIZED_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
         "ann_lsh_topk": ANN_LSH_SQL,

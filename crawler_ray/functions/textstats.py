@@ -72,6 +72,19 @@ def quality_scores(batch: pa.Table) -> pa.Table:
     return out
 
 
+def normalize_text(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Canonical text form for dedup/training: lowercase, collapse
+    whitespace runs to single spaces, strip ends. Pure Arrow kernels
+    (utf8_lower / replace_substring_regex / utf8_trim_whitespace) — no
+    Python per row; per-row local, no shuffle."""
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(pc.coalesce(batch[col], "")), r"\s+", " "
+        )
+    )
+    return batch.append_column("norm_text", norm)
+
+
 def repetition_scores(batch: pa.Table) -> pa.Table:
     """Repetition-based quality signals (Gopher-style rule family):
     ``dup_line_char_ratio`` — fraction of characters in lines that occur

@@ -41,6 +41,19 @@ def test_quality_scores(docs_ds):
     assert (out["n_chars_txt"] == out["text"].str.len()).all()
 
 
+def test_normalize_text():
+    from crawler_ray.functions.textstats import normalize_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["  Hello   WORLD \n x ", "", None]),
+        }
+    )
+    out = normalize_text(t)["norm_text"].to_pylist()
+    assert out == ["hello world x", "", ""]
+
+
 def test_repetition_scores():
     from crawler_ray.functions.textstats import repetition_scores
 

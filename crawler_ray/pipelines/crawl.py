@@ -107,6 +107,10 @@ class CrawlConfig:
     batch_size: int = 256  # pages per parse batch
     ray_state_threshold: int = 50_000  # rows above which state ops go via Ray
     scan_pushdown_limit: int = 10_000  # wave lookups above which scan skips isin
+    scan_task_path_limit: int = 5_000  # dispatches at/below which a wave's
+    # scan+parse+checkpoint runs as driver-orchestrated tasks (no
+    # streaming-executor launches); above it, waves are fat enough that the
+    # Dataset path's parallel write beats the task path's driver write
     max_waves: int | None = None
     priority: str = "canonical"  # | shallow_first | hot_host_first
     respect_robots: bool = False  # robots.txt gate (extension; off = faithful)
@@ -656,15 +660,16 @@ def _run_wave(
         )
         parsed_mat = parsed.materialize()
         parsed_mat.write_parquet(str(parsed_dir), partition_cols=["rec"])
-    elif lookups and admitted.num_rows <= cfg.ray_state_threshold:
+    elif lookups and admitted.num_rows <= cfg.scan_task_path_limit:
         # Small-wave task fast-path: one Ray task per PRUNED corpus file
         # runs probe+parse; the driver writes the hive checkpoint in one
         # pq.write_table per record type. A Ray Data pipeline pays two
         # streaming-executor launches per wave (materialize + write),
         # ~0.5-0.8 s of fixed cost that dwarfs a small wave's actual work
         # — the BFS warmup waves of every crawl are exactly this shape.
-        # Fat waves (> ray_state_threshold dispatches) take the streaming
-        # Dataset path below, where the executor cost amortizes.
+        # Fat waves (> scan_task_path_limit dispatches) take the streaming
+        # Dataset path below, where the executor cost amortizes and the
+        # parallel write wins.
         import ray
 
         sorted_urls = sorted(lookups.keys())

@@ -413,6 +413,105 @@ ORDER BY total_value DESC, user_id LIMIT 10
 """
 
 
+def events_error_click_window(sf_dir: str, window_min: int = 5) -> pd.DataFrame:
+    """Distributed RANGE (interval) JOIN: for every 'error' event, the
+    number of 'click' events with ts in [error.ts, error.ts + window).
+
+    Shape: the time axis is cut into window-width buckets, so any probe
+    interval overlaps at most TWO buckets. Build rows (clicks) go to their
+    bucket; each probe interval is replicated to the ≤2 buckets it
+    overlaps, CLIPPED to the bucket's span. One bucketed exchange
+    co-locates build and probe; inside a bucket the count is two
+    vectorized ``searchsorted`` calls against the sorted click
+    timestamps (intervals never cross a bucket boundary after clipping,
+    and buckets' time spans are disjoint, so a raw-timestamp binary
+    search is exact even when one hash bucket holds many time buckets).
+    A second (event-keyed) exchange sums the ≤2 partials per probe. No
+    sort-merge over the full stream, nothing on the driver but the
+    result."""
+    from ..stages.shuffle import bucketed_group_map
+
+    W = window_min * 60 * 1_000_000  # µs
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        ids = t["event_id"].to_numpy()
+        et = t["event_type"]
+        click = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        err = pc.equal(et, "error").to_numpy(zero_copy_only=False)
+        # build rows: clicks at their own bucket, interval = the point ts
+        c_ts = ts[click]
+        sides = [np.zeros(c_ts.size, dtype=np.int8)]
+        out_id = [ids[click]]
+        tbs = [c_ts // W]
+        los = [c_ts]
+        his = [c_ts]
+        # probe rows: [ts, ts+W) clipped to each overlapped bucket
+        e_ts, e_id = ts[err], ids[err]
+        tb0 = e_ts // W
+        for k, tb in enumerate((tb0, tb0 + 1)):
+            lo = np.maximum(e_ts, tb * W)
+            hi = np.minimum(e_ts + W, (tb + 1) * W)
+            keep = hi > lo if k else np.ones(e_ts.size, dtype=bool)
+            # first replica always kept so zero-click errors still appear
+            sides.append(np.ones(keep.sum(), dtype=np.int8))
+            out_id.append(e_id[keep])
+            tbs.append(tb[keep])
+            los.append(lo[keep])
+            his.append(hi[keep])
+        return pa.table(
+            {
+                "side": pa.array(np.concatenate(sides)),
+                "event_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "tb": pa.array(np.concatenate(tbs), pa.int64()),
+                "lo": pa.array(np.concatenate(los), pa.int64()),
+                "hi": pa.array(np.concatenate(his), pa.int64()),
+            }
+        )
+
+    def count_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        probes = df[df["side"] == 1]
+        if probes.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "n_clicks": pd.Series(dtype="int64")}
+            )
+        cts = np.sort(df.loc[df["side"] == 0, "lo"].to_numpy())
+        n = np.searchsorted(cts, probes["hi"].to_numpy()) - np.searchsorted(
+            cts, probes["lo"].to_numpy()
+        )
+        return pd.DataFrame(
+            {"event_id": probes["event_id"].to_numpy(), "n_clicks": n}
+        ).astype("int64")
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    partials = bucketed_group_map(ds, "tb", count_in_bucket)
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_id", sort=False)["n_clicks"].sum().reset_index()
+
+    out = bucketed_group_map(partials, "event_id", total).to_pandas()
+    return (
+        out.astype({"event_id": "int64", "n_clicks": "int64"})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM events e
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 5 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
 # -------------------------------------------------------------- joins (set)
 
 

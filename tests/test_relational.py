@@ -44,6 +44,7 @@ CASES = [
     (R.docs_punct_ratio, R.PUNCT_RATIO_SQL),
     (R.ann_cosine_topk_sql_compat, R.ANN_TOPK_SQL),
     (R.purchases_asof_click, R.ASOF_SQL),
+    (R.events_error_click_window, R.RANGE_JOIN_SQL),
 ]
 
 

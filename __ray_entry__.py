@@ -361,11 +361,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_images": _crawl_images,
         "crawl_metrics": _crawl_metrics,
         "extract_links": _extract_links,
-        # training-data extensions — SQL-checked where expressible
-        # (doc_quality_scores, cosine_near_dups, dedup_jaccard_pairs;
-        # lang_id_counts and webtext_training_set against pinned
-        # deterministic truths);
-        # rows-only for the rest (stateful/approximate/hash-based)
+        # training-data extensions — every entry below is oracle-checked:
+        # real SQL where expressible, committed deterministic-truth tables
+        # otherwise. Only the crawl-semantics queries above are rows-only
+        # (their oracle is the in-repo pure-Python simulator, pytest-run).
         "dedup_minhash_clusters": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
@@ -575,6 +574,7 @@ ORDER BY event_type
 
 
 def oracle_sql() -> dict[str, str]:
+    from crawler_ray import pinned_oracles as PIN
     from crawler_ray.pipelines import relational as R
 
     return {
@@ -607,6 +607,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
         "ann_lsh_topk": ANN_LSH_SQL,
         "approx_distinct_users": APPROX_DISTINCT_SQL,
+        # big pinned truths (committed expected tables, see the module doc)
+        "doc_fingerprints": PIN.DOC_FINGERPRINTS_SQL,
+        "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,
         "webtext_training_set": WEBTEXT_STATS_SQL,

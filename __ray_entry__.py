@@ -258,6 +258,20 @@ def _ann_lsh(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _ann_ivf(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.similarity import ivf_topk
+
+    full = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    q = np.asarray(list(full["embedding"][:4]), dtype=np.float32)
+    out = ivf_topk(_emb_ds(sf_dir), q, k=10, nprobe=6)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
 def _cosine_near_dups(sf_dir: str) -> pd.DataFrame:
     from crawler_ray.functions.similarity import cosine_near_dup_pairs
 
@@ -374,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_scores": _repetition_scores,
         "doc_normalized": _doc_normalized,
         "ann_lsh_topk": _ann_lsh,
+        "ann_ivf_topk": _ann_ivf,
         "cosine_near_dups": _cosine_near_dups,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
@@ -565,6 +580,21 @@ FROM (VALUES (0,0,1.0,0), (0,423,0.2969,1), (0,272,0.1614,2), (0,436,0.1592,3), 
 ORDER BY query_id, rank
 """
 
+ANN_IVF_SQL = """
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sim AS DOUBLE) AS sim, CAST(rank AS BIGINT) AS rank
+FROM (VALUES (0,0,1.0,0), (0,334,0.3627,1), (0,387,0.3311,2), (0,423,0.2969,3), (0,73,0.2954,4),
+             (0,7,0.2928,5), (0,190,0.2818,6), (0,464,0.2766,7), (0,388,0.2763,8), (0,483,0.2567,9),
+             (1,1,1.0,0), (1,386,0.3715,1), (1,27,0.3482,2), (1,407,0.327,3), (1,195,0.3227,4),
+             (1,64,0.3164,5), (1,124,0.3028,6), (1,402,0.2923,7), (1,472,0.2921,8), (1,220,0.2898,9),
+             (2,2,1.0,0), (2,117,0.3181,1), (2,320,0.255,2), (2,418,0.254,3), (2,112,0.2453,4),
+             (2,350,0.2401,5), (2,172,0.2398,6), (2,440,0.2314,7), (2,109,0.2284,8), (2,97,0.225,9),
+             (3,3,1.0,0), (3,130,0.3999,1), (3,343,0.3085,2), (3,174,0.3035,3), (3,231,0.2988,4),
+             (3,192,0.2908,5), (3,474,0.2767,6), (3,463,0.2609,7), (3,134,0.2506,8), (3,349,0.2486,9))
+     AS t(query_id, vec_id, sim, rank)
+ORDER BY query_id, rank
+"""
+
 APPROX_DISTINCT_SQL = """
 SELECT event_type, CAST(approx_distinct AS BIGINT) AS approx_distinct
 FROM (VALUES ('click', 150), ('error', 150), ('purchase', 150),
@@ -606,6 +636,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
         "ann_lsh_topk": ANN_LSH_SQL,
+        "ann_ivf_topk": ANN_IVF_SQL,
         "approx_distinct_users": APPROX_DISTINCT_SQL,
         # big pinned truths (committed expected tables, see the module doc)
         "doc_fingerprints": PIN.DOC_FINGERPRINTS_SQL,

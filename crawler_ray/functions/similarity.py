@@ -201,6 +201,120 @@ def lsh_topk(
     return res
 
 
+class IVFIndex:
+    """Coarse quantizer for IVF-style ANN: k-means centroids trained once
+    (deterministic Lloyd iterations, spherical — centroids re-normalized
+    each round so assignment is cosine). At query time a query probes its
+    ``nprobe`` nearest centroids and scans only vectors assigned to them —
+    the inverted-file shape (probe lists = the coarse buckets). Same probe
+    structure as a trained FAISS IVF-flat, minus the codec."""
+
+    def __init__(
+        self, train: np.ndarray, n_centroids: int = 16, seed: int = 13,
+        iters: int = 10,
+    ) -> None:
+        rng = np.random.default_rng(seed)
+        m = _normalize(np.asarray(train, dtype=np.float32))
+        pick = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+        c = m[np.sort(pick)].copy()
+        for _ in range(iters):
+            assign = (m @ c.T).argmax(axis=1)
+            for j in range(len(c)):
+                members = m[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _normalize(c)
+        self.centroids = c
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return (m @ self.centroids.T).argmax(axis=1)
+
+    def probe(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        """(n_queries, nprobe) nearest-centroid ids per query."""
+        sims = q @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :nprobe]
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+    train_sample: int = 4096,
+) -> pd.DataFrame:
+    """IVF approximate cosine top-k — the trained-quantizer sibling of
+    ``lsh_topk``. Train on a bounded head sample (driver-held, ≤
+    ``train_sample`` rows — at 100 TB the train set is still a constant),
+    broadcast (centroids, probe lists) once, then ONE streaming pass:
+    each batch assigns its vectors to centroids with a matmul, builds the
+    (batch × queries) candidate mask from probe-list membership, scores
+    candidates only, and emits per-query partial top-k. Driver merges
+    k×blocks rows. Same output schema as brute_force_topk; recall rises
+    with ``nprobe`` (= all centroids ⇒ exact)."""
+    import ray
+
+    train = _to_matrix(
+        pa.chunked_array(
+            [
+                b["embedding"].combine_chunks()
+                for b in ds.limit(train_sample).iter_batches(
+                    batch_format="pyarrow", batch_size=train_sample
+                )
+            ]
+        )
+    )
+    index = IVFIndex(train, n_centroids=n_centroids, seed=seed)
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    probed = index.probe(qm, nprobe)  # (nq, nprobe)
+    ref = ray.put((index.centroids, qm, probed))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        centroids, qm_, probed_ = ray.get(ref)
+        m = _normalize(_to_matrix(batch["embedding"]))
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cent = (m @ centroids.T).argmax(axis=1)
+        cand = (cent[:, None, None] == probed_[None, :, :]).any(axis=2)
+        rows = cand.any(axis=1)
+        if not rows.any():
+            return empty
+        sims = m[rows] @ qm_.T
+        vi, qi = np.nonzero(cand[rows])
+        df = pd.DataFrame(
+            {
+                "query_id": qi.astype(np.int64),
+                "vec_id": ids[rows][vi],
+                "sim": sims[vi, qi].astype(np.float64),
+            }
+        ).sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+        part = df.groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": [], "rank": []})
+    res = (
+        partials.sort_values(
+            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    res["rank"] = res.groupby("query_id").cumcount()
+    return res
+
+
 def cosine_near_dup_pairs(
     ds,
     threshold: float = 0.95,

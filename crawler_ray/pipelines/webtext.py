@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -50,14 +51,20 @@ def build_training_set(
     min_words: int = 5,
     max_punct_ratio: float = 0.3,
     min_stopword_ratio: float = 0.0,
+    max_dup_line_ratio: float | None = None,
+    max_top_bigram_ratio: float | None = None,
 ) -> pd.DataFrame:
     """Run the curation chain; writes ``dest/lang=XX/*.parquet`` and returns
-    the per-language stats frame (docs, tokens, mean quality)."""
+    the per-language stats frame (docs, tokens, mean quality). The
+    repetition gates (Gopher-style ``max_dup_line_ratio`` /
+    ``max_top_bigram_ratio``) are off by default and add one stateless
+    vectorized stage when set."""
     from ..functions.dedup import exact_dedup
     from ..functions.textstats import (
         LangId,
         fingerprints,
         quality_scores,
+        repetition_scores,
         token_counts,
     )
 
@@ -82,6 +89,32 @@ def build_training_set(
         return t.filter(mask)
 
     ds = ds.map_batches(keep, batch_format="pyarrow")
+
+    if max_dup_line_ratio is not None or max_top_bigram_ratio is not None:
+        ds = ds.map_batches(
+            repetition_scores, batch_format="pyarrow", batch_size=4096
+        )
+
+        def keep_rep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pa.array(np.ones(t.num_rows, dtype=bool))
+            if max_dup_line_ratio is not None:
+                mask = pc.and_(
+                    mask,
+                    pc.less_equal(t["dup_line_char_ratio"], max_dup_line_ratio),
+                )
+            if max_top_bigram_ratio is not None:
+                mask = pc.and_(
+                    mask,
+                    pc.less_equal(t["top_bigram_ratio"], max_top_bigram_ratio),
+                )
+            return t.filter(mask).drop_columns(
+                ["dup_line_char_ratio", "top_bigram_ratio"]
+            )
+
+        ds = ds.map_batches(keep_rep, batch_format="pyarrow")
+
     ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, batch_size=2048)
     ds = ds.map_batches(token_counts, batch_format="pyarrow", batch_size=4096)
     ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=4096)

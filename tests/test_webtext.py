@@ -46,3 +46,22 @@ def test_training_set_deterministic(t1_corpus, tmp_path):
     s1 = build_training_set(str(tmp_path / "c1"), str(tmp_path / "o1"))
     s2 = build_training_set(str(tmp_path / "c1"), str(tmp_path / "o2"))
     assert s1.equals(s2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repetition_gate_only_removes(t1_corpus, tmp_path):
+    path, _ = t1_corpus
+    run_crawl(
+        path, fixtures.default_seeds(5), str(tmp_path / "c1"), CrawlConfig(num_seen_shards=2)
+    )
+    base = build_training_set(str(tmp_path / "c1"), str(tmp_path / "base"))
+    gated = build_training_set(
+        str(tmp_path / "c1"),
+        str(tmp_path / "gated"),
+        max_top_bigram_ratio=0.12,  # aggressive: synthetic pages repeat phrases
+        max_dup_line_ratio=0.5,
+    )
+    assert gated["docs"].sum() < base["docs"].sum()  # the gate actually fires
+    # off-by-default path is byte-identical to the pre-gate behavior
+    again = build_training_set(str(tmp_path / "c1"), str(tmp_path / "again"))
+    assert again.equals(base)

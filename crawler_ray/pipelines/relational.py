@@ -370,6 +370,67 @@ FROM events GROUP BY 1
 """
 
 
+def events_hopping_window(
+    sf_dir: str, size_min: int = 60, hop_min: int = 15
+) -> pd.DataFrame:
+    """Sliding/hopping WINDOW AGGREGATE (the streaming-window shape):
+    count + value sum per [start, start+size) window at hop boundaries.
+    An event at ts belongs to exactly size/hop windows, so one vectorized
+    ``np.repeat``/arange explode replicates each event to its windows,
+    per-batch partials combine, and ONE bucketed exchange merges — the
+    same partial-agg shuffle as every grouped operator here, just with
+    window replication as the (linear, size/hop-bounded) fan-out."""
+    assert size_min % hop_min == 0, "window size must be a hop multiple"
+    reps = size_min // hop_min
+    hop_us = hop_min * 60 * 1_000_000
+
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy()
+        val = t["value"].to_numpy()
+        hb = ts // hop_us
+        wb = (hb[:, None] - np.arange(reps - 1, -1, -1)[None, :]).reshape(-1)
+        return pa.table(
+            {
+                "window_start": pa.array(wb * hop_us, pa.int64()),
+                "value": pa.array(np.repeat(val, reps), pa.float64()),
+            }
+        )
+
+    df = partial_sum_count(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["window_start"],
+        {"total_value": "value"},
+        count_name="n",
+    )
+    df["window_start"] = pd.to_datetime(df["window_start"], unit="us").astype(
+        "datetime64[us]"
+    )
+    df["total_value"] = df["total_value"].round(2)
+    return (
+        df[["window_start", "n", "total_value"]]
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+
+HOPPING_WINDOW_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch_us(ts) / (15 * 60 * 1000000)) AS BIGINT) AS hb,
+         value
+  FROM events
+),
+x AS (
+  SELECT unnest(generate_series(hb - 3, hb)) AS wb, value FROM e
+)
+SELECT make_timestamp(wb * 15 * 60 * 1000000) AS window_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY wb ORDER BY window_start
+"""
+
+
 def events_first3_per_user(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts"])
 

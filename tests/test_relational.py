@@ -45,6 +45,7 @@ CASES = [
     (R.ann_cosine_topk_sql_compat, R.ANN_TOPK_SQL),
     (R.purchases_asof_click, R.ASOF_SQL),
     (R.events_error_click_window, R.RANGE_JOIN_SQL),
+    (R.events_hopping_window, R.HOPPING_WINDOW_SQL),
 ]
 
 

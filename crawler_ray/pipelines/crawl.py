@@ -415,26 +415,43 @@ def _reduce_probe_bucket(
     if not parts:
         return None
     t = pa.concat_tables(parts)
-    df = t.to_pandas().sort_values(
-        ["url", "kind", "depth", "src_url", "src_depth"]
-    ).drop_duplicates("fkey", keep="first")
-    keys = df["fkey"].tolist()
-    shard_of = (hash64(keys) % np.uint64(num_shards)).astype(np.int64)
-    mask = np.zeros(len(keys), dtype=bool)
+    order = pc.sort_indices(
+        t,
+        sort_keys=[
+            (c, "ascending")
+            for c in ("url", "kind", "depth", "src_url", "src_depth")
+        ],
+    )
+    t = t.take(order)
+    k = t["fkey"].combine_chunks()
+    if len(k) > 1:
+        # sorted on the key fields ⇒ equal fkeys are adjacent
+        neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first = np.concatenate([[True], neq])
+    else:
+        first = np.ones(len(k), dtype=bool)
+    t = t.filter(pa.array(first))
+    keys_arr = t["fkey"].combine_chunks()
+    shard_of = (hash64(keys_arr) % np.uint64(num_shards)).astype(np.int64)
+    mask = np.zeros(len(keys_arr), dtype=bool)
     futures, positions = [], []
     for s in range(num_shards):
         pos = np.nonzero(shard_of == s)[0]
         if len(pos):
+            # Arrow slice ships via the buffer protocol; the string→Python
+            # conversion happens inside the shard (parallel), not here
             futures.append(
                 shards[s].probe_and_insert.remote(
-                    [keys[i] for i in pos], (epoch, "wavebucket", bucket_id, s)
+                    keys_arr.take(pa.array(pos)),
+                    (epoch, "wavebucket", bucket_id, s),
                 )
             )
             positions.append(pos)
     for pos, m in zip(positions, ray.get(futures)):
         mask[pos] = m
-    out = df.loc[mask].drop(columns=["fkey"])
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return t.filter(pa.array(mask)).drop_columns(["fkey"])
 
 
 def _probe_new_streaming(

@@ -90,3 +90,79 @@ def test_matches_duckdb(con, fn, sql):
     got = fn(SF)
     want = con.execute(sql).fetchdf()
     driver_style_compare(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_boundaries(tmp_path):
+    """Exact-boundary semantics the random testdata never hits: a click at
+    ts+window is excluded (half-open), at ts included, and an error whose
+    window straddles a time-bucket boundary still counts clicks on both
+    sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    W = 5 * 60 * 1_000_000  # the operator's 5-min window in µs
+    base = 3 * W + 1234  # error NOT on a bucket boundary; window straddles
+    rows = {
+        "event_id": [0, 1, 2, 3, 4, 5, 6],
+        "ts": [
+            base,          # error
+            base,          # click at exactly error.ts -> counted
+            base + W - 1,  # click at last µs of window -> counted
+            base + W,      # click at exactly ts+W -> excluded
+            (base // W + 1) * W,  # click just over the bucket line -> counted
+            4 * W,         # error exactly ON a bucket boundary
+            4 * W + W,     # click at its ts+W -> excluded
+        ],
+        "user_id": [1] * 7,
+        "event_type": ["error", "click", "click", "click", "click", "error", "click"],
+        "value": [0.0] * 7,
+        "props": ["{}"] * 7,
+    }
+    t = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"]),
+            "value": pa.array(rows["value"], pa.float64()),
+            "props": pa.array(rows["props"]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = R.events_error_click_window(str(d))
+    by_id = dict(zip(got["event_id"], got["n_clicks"]))
+    # error 0: clicks 1, 2, 4 (straddles the bucket line); click 3 at
+    # exactly ts+W is excluded (half-open)
+    assert by_id[0] == 3
+    # error 5 on the boundary [4W, 5W): clicks 2, 3, 4 count; click 6 at 5W no
+    assert by_id[5] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_window_boundary(tmp_path):
+    """An event exactly on a hop boundary belongs to exactly size/hop
+    windows, the newest starting at its own timestamp."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    HOP = 15 * 60 * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array([0], pa.int64()),
+            "ts": pa.array([8 * HOP], pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([2.5], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    got = R.events_hopping_window(str(d))
+    starts = (got["window_start"].astype("int64") // HOP).tolist()
+    assert starts == [5, 6, 7, 8] and (got["n"] == 1).all()
+    assert (got["total_value"] == 2.5).all()

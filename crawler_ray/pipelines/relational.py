@@ -415,6 +415,83 @@ def events_hopping_window(
     )
 
 
+def doc_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Corpus-statistics operator: top-k TF-IDF terms per document.
+
+    Distributed shape — TWO bucketed exchanges total:
+      1. token-keyed: term counts (tf) AND document frequencies (df) are
+         both token-local after the exchange, so the tf table, the df
+         aggregate and their join all happen inside one bucket task;
+      2. doc-keyed: per-document top-k (sort + grouped head, vectorized).
+    IDF uses the ratio form (N+1)/(df+1) — pure IEEE division, so the
+    DuckDB oracle reproduces it bit-for-bit (no libm transcendentals)."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("").str.lower().str.split()
+        toks = texts.explode().dropna()
+        ids = t["doc_id"].to_numpy()[toks.index.to_numpy()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tok": pa.array(toks.to_numpy(), pa.string()),
+            }
+        )
+
+    def tf_df(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df.groupby(["tok", "doc_id"], sort=False).size().reset_index(name="tf")
+        dfreq = (
+            tf.groupby("tok", sort=False)["doc_id"].size().reset_index(name="df")
+        )
+        return tf.merge(dfreq, on="tok")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = df["tf"] * ((n_docs + 1.0) / (df["df"] + 1.0))
+        out = (
+            df.sort_values(
+                ["doc_id", "score", "tok"], ascending=[True, False, True]
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        out["score"] = out["score"].round(6)
+        return out[["doc_id", "tok", "tf", "score"]]
+
+    scored = bucketed_group_map(
+        ds.map_batches(explode, batch_format="pyarrow"), "tok", tf_df
+    )
+    out = bucketed_group_map(scored, "doc_id", topk).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "tf": "int64", "score": "float64"})
+        .sort_values(["doc_id", "score", "tok"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, tok, CAST(tf.tf AS BIGINT) AS tf,
+       round(tf.tf * (CAST(n.n + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+FROM tf JOIN df USING (tok), n
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY tf.tf * (CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) DESC, tok
+) <= 3
+ORDER BY doc_id, score DESC, tok
+"""
+
+
 HOPPING_WINDOW_SQL = """
 WITH e AS (
   SELECT CAST(floor(epoch_us(ts) / (15 * 60 * 1000000)) AS BIGINT) AS hb,

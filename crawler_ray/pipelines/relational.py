@@ -472,6 +472,39 @@ def doc_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
     )
 
 
+def docs_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hash of the id — the standard reproducible-split pattern for training
+    corpora (content-independent, stable across runs and partitionings,
+    no shuffle: pure per-row map). Knuth multiplicative constant; integer
+    math is exact in both engines so the SQL oracle reproduces it. At
+    10^10-id scale the same formula runs on wrapping uint64."""
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (ids * 2654435761) % 10
+        split = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
+            WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
 TFIDF_SQL = r"""
 WITH toks AS (
   SELECT doc_id,

@@ -460,8 +460,9 @@ lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l FROM ln GROUP BY 1,
 ldup AS (SELECT doc_id,
          sum(CASE WHEN c > 1 THEN c*l ELSE 0 END) AS dup_chars,
          sum(c*l) AS tot_chars FROM lc GROUP BY 1),
-toks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w
-         FROM base WHERE trim(t) <> ''),
+toks AS (SELECT doc_id,
+                list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS w
+         FROM base),
 bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
        FROM (SELECT doc_id, w,
                     unnest(generate_series(1, array_length(w)-1)) AS i
@@ -483,8 +484,10 @@ ORDER BY base.doc_id
 #: identity relationally: Jaccard = common / (n_a + n_b - common).
 JACCARD_PAIRS_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
 ),
 idx AS (
   SELECT doc_id, w, unnest(generate_series(1, array_length(w) - 2)) AS i

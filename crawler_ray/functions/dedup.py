@@ -314,7 +314,9 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     verify: str = "exact",  # "exact" (n-gram jaccard) or "estimate" (signature)
     seed: int = 7,
-    prune_margin: float = 0.2,  # exact mode: estimate-prune at threshold-margin
+    prune_margin: float | None = None,  # exact mode: estimate-prune at
+    # threshold - max(margin, 4σ); None = the 4σ floor alone, which scales
+    # with num_perm (σ = sqrt(t(1-t)/num_perm): 0.2 at t=0.8, num_perm=64)
 ):
     """Full near-dup pipeline. Returns (clusters_df, pairs_df):
     clusters_df: doc_id, rep_id (component representative; docs with no
@@ -435,14 +437,31 @@ def minhash_lsh_dedup(
     # dict (zero all-to-all rounds). Above the limits — where "tiny" can
     # still mean billions — verification runs as bucketed hash joins with
     # nothing corpus-sized on the driver (same output, more exchanges).
-    cand_ids = _distinct_ids(pairs_ds)
-    n_pair_rows = pairs_ds.count()
-    if len(cand_ids) <= _BC_CAND_LIMIT and n_pair_rows <= _BC_PAIR_LIMIT:
+    # Prune margin for exact mode: 4σ of the signature estimate at the
+    # threshold, floored by the caller's value — keeps the recall loss of
+    # skipping the exact check below ~1e-4 at ANY num_perm (a fixed margin
+    # is only ~2σ at num_perm=16).
+    sigma4 = 4.0 * float(np.sqrt(threshold * (1 - threshold) / num_perm))
+    prune_margin = max(prune_margin or 0.0, sigma4)
+
+    n_pair_rows = pairs_ds.count()  # block metadata on the materialized pairs
+    pp = cand_ids = None
+    if n_pair_rows <= _BC_PAIR_LIMIT:
+        # one gather serves the pair list, its dedup AND the candidate ids
+        pp = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
+        cand_ids = (
+            np.unique(np.concatenate([pp["a"].to_numpy(), pp["b"].to_numpy()]))
+            if len(pp)
+            else np.array([], dtype=np.int64)
+        )
+    if pp is not None and len(cand_ids) <= _BC_CAND_LIMIT:
         verified_ds = _verify_broadcast(
-            ds, sigs, pairs_ds, only_candidates, cand_ids,
+            ds, sigs, pp, only_candidates, cand_ids,
             verify, threshold, prune_margin, shingle_k,
         )
     else:
+        if cand_ids is None:
+            cand_ids = _distinct_ids(pairs_ds)
         verified_ds = _verify_joins(
             ds, sigs, pairs_ds, _distinct_ids, only_candidates, cand_ids,
             _attach_payload, _empty_scored, verify, threshold, prune_margin,
@@ -474,12 +493,13 @@ _BC_PAIR_LIMIT = 5_000_000
 
 
 def _verify_broadcast(
-    ds, sigs, pairs_ds, only_candidates, cand_ids,
+    ds, sigs, pp, only_candidates, cand_ids,
     verify, threshold, prune_margin, shingle_k,
 ):
     """Small-working-set verification: one numpy signature compare on the
-    driver, then the exact n-gram check fanned out as Ray tasks against a
-    broadcast candidate-text dict."""
+    driver (``pp`` = the already-gathered, deduped pair frame), then the
+    exact n-gram check fanned out as Ray tasks against a broadcast
+    candidate-text dict."""
     import ray as _ray
     import ray.data as rd
 
@@ -489,7 +509,6 @@ def _verify_broadcast(
     out_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
     )
-    pp = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
     if len(pp) == 0 or len(sig_pdf) == 0:
         return rd.from_arrow(out_schema.empty_table())
     order = np.argsort(sig_pdf["doc_id"].to_numpy())

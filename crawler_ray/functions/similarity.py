@@ -29,6 +29,11 @@ def _to_matrix(col) -> np.ndarray:
     the to_pylist fallback only runs for ragged/null inputs."""
     ca = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if ca.null_count == 0 and len(ca):
+        if pa.types.is_fixed_size_list(ca.type):
+            flat = ca.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(ca), ca.type.list_size).astype(
+                np.float32, copy=False
+            )
         flat = ca.flatten().to_numpy(zero_copy_only=False)
         if flat.size % len(ca) == 0:
             m = flat.reshape(len(ca), -1)
@@ -255,16 +260,16 @@ def ivf_topk(
     with ``nprobe`` (= all centroids ⇒ exact)."""
     import ray
 
-    train = _to_matrix(
-        pa.chunked_array(
-            [
-                b["embedding"].combine_chunks()
-                for b in ds.limit(train_sample).iter_batches(
-                    batch_format="pyarrow", batch_size=train_sample
-                )
-            ]
+    chunks = [
+        b["embedding"].combine_chunks()
+        for b in ds.limit(train_sample).iter_batches(
+            batch_format="pyarrow", batch_size=train_sample
         )
-    )
+        if b.num_rows
+    ]
+    if not chunks:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "sim": [], "rank": []})
+    train = _to_matrix(pa.chunked_array(chunks))
     index = IVFIndex(train, n_centroids=n_centroids, seed=seed)
     qm = _normalize(np.asarray(queries, dtype=np.float32))
     probed = index.probe(qm, nprobe)  # (nq, nprobe)

@@ -166,12 +166,21 @@ def fingerprints(batch: pa.Table, window: int = 8) -> pa.Table:
             if n < window:
                 winnow[i] = full[i]
                 continue
-            wins = np.lib.stride_tricks.sliding_window_view(data, window).astype(
-                np.uint64
-            )
-            winnow[i] = (
-                (wins * pows[window - 1 :: -1]).sum(axis=1, dtype=np.uint64).min()
-            )
+            # window-gram hashes in bounded slices: the (chunk × window)
+            # uint64 temp stays ~64 MB even for multi-GB documents
+            wpows = pows[window - 1 :: -1]
+            n_win = n - window + 1
+            chunk = 1 << 20
+            best = np.uint64(0xFFFFFFFFFFFFFFFF)
+            for s in range(0, n_win, chunk):
+                e = min(s + chunk, n_win)
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    data[s : e + window - 1], window
+                ).astype(np.uint64)
+                m = (wins * wpows).sum(axis=1, dtype=np.uint64).min()
+                if m < best:
+                    best = m
+            winnow[i] = best
     return batch.append_column(
         "fingerprint", pa.array(full, pa.uint64())
     ).append_column("min_gram_hash", pa.array(winnow, pa.uint64()))

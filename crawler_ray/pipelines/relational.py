@@ -476,14 +476,21 @@ def docs_split_assign(sf_dir: str) -> pd.DataFrame:
     """Deterministic train/val/test split (80/10/10) by multiplicative
     hash of the id — the standard reproducible-split pattern for training
     corpora (content-independent, stable across runs and partitionings,
-    no shuffle: pure per-row map). Knuth multiplicative constant; integer
-    math is exact in both engines so the SQL oracle reproduces it. At
-    10^10-id scale the same formula runs on wrapping uint64."""
+    no shuffle: pure per-row map). Knuth multiplicative hash over Z/2^32:
+    h = ((id mod 2^32) * 2654435761 mod 2^32) mod 10 — the mod-2^32
+    BEFORE the multiply makes the product fit uint64 exactly for every
+    int64 id (multiplication is a ring homomorphism mod 2^32), and the
+    SQL oracle computes the identical value via HUGEINT."""
     ds = _rp(sf_dir, "documents", ["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        h = (ids * 2654435761) % 10
+        h = (
+            (ids.astype(np.uint64) % np.uint64(2**32))
+            * np.uint64(2654435761)
+            % np.uint64(2**32)
+            % np.uint64(10)
+        )
         split = np.where(h < 8, "train", np.where(h == 8, "val", "test"))
         return pa.table(
             {
@@ -497,19 +504,27 @@ def docs_split_assign(sf_dir: str) -> pd.DataFrame:
 
 
 DOCS_SPLIT_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+              % 4294967296 % 10 AS BIGINT) AS hv
+  FROM documents
+)
 SELECT doc_id,
-       CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
-            WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+       CASE WHEN hv < 8 THEN 'train'
+            WHEN hv = 8 THEN 'val'
             ELSE 'test' END AS split
-FROM documents ORDER BY doc_id
+FROM h ORDER BY doc_id
 """
 
 
 TFIDF_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS tok
-  FROM documents WHERE trim(text) <> ''
+         lower(unnest(list_filter(
+             regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> ''))) AS tok
+  FROM documents
 ),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
 df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
@@ -894,9 +909,8 @@ def docs_token_totals(sf_dir: str) -> pd.DataFrame:
 
 TOKEN_TOTALS_SQL = r"""
 SELECT lang,
-       CAST(sum(CASE WHEN trim(text) = '' THEN 0
-                ELSE array_length(regexp_split_to_array(trim(text), '\s+'))
-                END) AS BIGINT) AS ws_tokens
+       CAST(sum(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS ws_tokens
 FROM documents GROUP BY lang
 """
 

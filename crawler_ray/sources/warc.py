@@ -36,24 +36,38 @@ CORPUS_SCHEMA = pa.schema(
 
 
 def iter_warc_records(data: bytes):
-    """Yield (headers: dict[str, str], payload: bytes) per record."""
+    """Yield (headers: dict[str, str], payload: bytes) per record. A
+    malformed record (missing version line or Content-Length) is skipped
+    by resyncing to the next ``WARC/`` marker instead of desyncing into
+    payload bytes and losing the rest of the file."""
     i, n = 0, len(data)
     while i < n:
         while data.startswith(_CRLF, i):
             i += 2
         if i >= n:
             return
+        if not data.startswith(b"WARC/", i):
+            nxt = data.find(b"\r\nWARC/", i)
+            if nxt < 0:
+                return
+            i = nxt + 2
+            continue
         hdr_end = data.find(_SEP, i)
         if hdr_end < 0:
             return
         headers: dict[str, str] = {}
         lines = data[i:hdr_end].decode("utf-8", "replace").split("\r\n")
-        if not lines[0].startswith("WARC/"):
-            raise ValueError(f"not a WARC record at byte {i}: {lines[0]!r}")
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        if "content-length" not in headers:
+            # cannot frame the payload: skip this record, resync
+            nxt = data.find(b"\r\nWARC/", hdr_end)
+            if nxt < 0:
+                return
+            i = nxt + 2
+            continue
+        length = int(headers["content-length"])
         payload = data[hdr_end + 4 : hdr_end + 4 + length]
         yield headers, payload
         i = hdr_end + 4 + length

@@ -216,7 +216,7 @@ def _quality_scores(sf_dir: str) -> pd.DataFrame:
     ]
     out = out[cols]
     for c in ["punct_ratio", "stopword_ratio", "mean_word_len"]:
-        out[c] = out[c].round(6)
+        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -240,7 +240,7 @@ def _repetition_scores(sf_dir: str) -> pd.DataFrame:
         .to_pandas()[["doc_id", "dup_line_char_ratio", "top_bigram_ratio"]]
     )
     for c in ["dup_line_char_ratio", "top_bigram_ratio"]:
-        out[c] = out[c].round(6)
+        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -759,7 +759,9 @@ def jaccard_ngram_pairs(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
-    out["jaccard"] = out["jaccard"].round(6)
+    # half-up to match DuckDB round() (pandas .round is half-even and
+    # diverges on exact .5 boundaries, e.g. union sizes dividing 10^7)
+    out["jaccard"] = np.floor(out["jaccard"] * 1e6 + 0.5) / 1e6
     return (
         out.astype({"a": "int64", "b": "int64"})
         .sort_values(["a", "b"])

@@ -458,7 +458,9 @@ def doc_tfidf_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
             .groupby("doc_id", sort=False)
             .head(k)
         )
-        out["score"] = out["score"].round(6)
+        # half-up to match DuckDB round(); pandas .round is half-even and
+        # diverges on exact .5 boundaries (scores are always positive)
+        out["score"] = np.floor(out["score"] * 1e6 + 0.5) / 1e6
         return out[["doc_id", "tok", "tf", "score"]]
 
     scored = bucketed_group_map(

@@ -85,6 +85,26 @@ def normalize_text(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("norm_text", norm)
 
 
+#: PII-ish scrubbing patterns (curation-stage redaction). RE2 syntax —
+#: pyarrow.compute and DuckDB both run RE2, so the same patterns behave
+#: identically in the engine and in SQL (tested in test_functions.py).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\d{8,}", "<NUM>"),
+)
+
+
+def redact_pii(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Replace emails, URLs and long digit runs with placeholder tokens —
+    chained Arrow regex kernels, no per-row Python; per-row local, no
+    shuffle."""
+    out = pc.coalesce(batch[col], "")
+    for pat, repl in PII_PATTERNS:
+        out = pc.replace_substring_regex(out, pat, replacement=repl)
+    return batch.append_column("red_text", out)
+
+
 def repetition_scores(batch: pa.Table) -> pa.Table:
     """Repetition-based quality signals (Gopher-style rule family):
     ``dup_line_char_ratio`` — fraction of characters in lines that occur

@@ -520,6 +520,61 @@ FROM h ORDER BY doc_id
 """
 
 
+def docs_pack_chunks(sf_dir: str, capacity: int = 2048) -> pd.DataFrame:
+    """Training-sequence packing: assign doc_id-ordered documents to
+    fixed-capacity token chunks — chunk_id = exclusive-prefix-sum(tokens)
+    // capacity, the contiguous-stream packing used when concatenating a
+    corpus into fixed-length examples. The cumulative sum needs a TOTAL
+    order, which no per-batch operator can see; it runs on the
+    ``with_prefix_sum`` two-phase parallel scan (per-block sums → O(blocks)
+    driver prefix → per-block offsets), so the data never funnels through
+    one task."""
+    from ..stages.shuffle import with_prefix_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pandas().fillna("")
+        n = texts.str.split().map(len).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "ws_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    scanned = with_prefix_sum(
+        ds.map_batches(tokens, batch_format="pyarrow"),
+        order_col="doc_id",
+        value_col="ws_tokens",
+        out_col="cum_before",
+    )
+    out = scanned.to_pandas()
+    out["chunk_id"] = out["cum_before"] // capacity
+    return (
+        out[["doc_id", "ws_tokens", "chunk_id"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+PACK_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS ws_tokens
+  FROM documents
+)
+SELECT doc_id, ws_tokens,
+       CAST((sum(ws_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - ws_tokens) // 2048
+            AS BIGINT) AS chunk_id
+FROM t ORDER BY doc_id
+"""
+
+
 TFIDF_SQL = r"""
 WITH toks AS (
   SELECT doc_id,

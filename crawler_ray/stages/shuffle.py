@@ -235,6 +235,43 @@ def bucketed_exchange_tasks(
     return pa.concat_tables(parts).combine_chunks()
 
 
+def with_prefix_sum(ds, order_col: str, value_col: str, out_col: str):
+    """Global ORDERED prefix scan — the two-phase parallel-scan primitive
+    Ray Data has no operator for (cumulative aggregates need a total order,
+    which map_batches can't see). Phase 0: range-partitioned sort on
+    ``order_col`` (blocks come back globally ordered). Phase 1: one tiny
+    task per block computes its value sum; the driver takes the exclusive
+    prefix over the B block sums (B scalars — never the data). Phase 2:
+    one task per block adds ``out_col`` = global exclusive running sum for
+    each row. Both task waves are embarrassingly parallel; the only serial
+    work is an O(B) cumsum of Python ints. Returns a new Dataset."""
+    import ray
+    import ray.data as rd
+
+    refs = ds.sort(order_col).to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        import pyarrow.compute as pc
+
+        return int(pc.sum(t[value_col]).as_py() or 0)
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+
+    @ray.remote
+    def add_prefix(t: pa.Table, off: int) -> pa.Table:
+        v = t[value_col].to_numpy() if t.num_rows else np.zeros(0, dtype=np.int64)
+        pre = off + np.cumsum(v) - v
+        return t.append_column(out_col, pa.array(pre.astype(np.int64)))
+
+    return rd.from_arrow_refs(
+        [add_prefix.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
 def bucketed_group_agg(
     ds,
     keys: list[str],

@@ -54,6 +54,35 @@ def test_normalize_text():
     assert out == ["hello world x", "", ""]
 
 
+def test_redact_pii_matches_duckdb_re2():
+    """Engine (Arrow RE2) and DuckDB (also RE2) agree on the same
+    patterns — the property a SQL oracle would rely on."""
+    import duckdb
+
+    from crawler_ray.functions.textstats import PII_PATTERNS, redact_pii
+
+    texts = [
+        "mail me at jane.doe+x@example.co.uk today",
+        "see https://a.test/path?q=1#f and http://b.test",
+        "card 12345678901234 and short 1234567 stays",
+        "no pii here",
+        "",
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    got = redact_pii(t)["red_text"].to_pylist()
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "see <URL> and <URL>"
+    assert got[2] == "card <NUM> and short 1234567 stays"
+
+    expr = "coalesce(text, '')"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"text": texts}))
+    want = [r[0] for r in con.execute(f"SELECT {expr} FROM d").fetchall()]
+    assert got == want
+
+
 def test_repetition_scores():
     from crawler_ray.functions.textstats import repetition_scores
 

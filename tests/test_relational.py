@@ -48,6 +48,7 @@ CASES = [
     (R.events_hopping_window, R.HOPPING_WINDOW_SQL),
     (R.doc_tfidf_topk, R.TFIDF_SQL),
     (R.docs_split_assign, R.DOCS_SPLIT_SQL),
+    (R.docs_pack_chunks, R.PACK_CHUNKS_SQL),
 ]
 
 

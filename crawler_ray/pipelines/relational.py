@@ -559,6 +559,47 @@ def docs_pack_chunks(sf_dir: str, capacity: int = 2048) -> pd.DataFrame:
     )
 
 
+def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified (mixture-weight) sampling — the
+    language-rebalancing step of corpus curation: keep 100% of en, 50% of
+    fr, 25% of de, 10% of anything else, decided per row by the same
+    mod-2^32 multiplicative hash as the split operator (content-independent
+    and reproducible; no shuffle, no RNG state). Vectorized rate lookup +
+    one filter per batch."""
+    rates = {"en": 100, "fr": 50, "de": 25}
+    default_rate = 10
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (
+            (ids.astype(np.uint64) % np.uint64(2**32))
+            * np.uint64(2654435761)
+            % np.uint64(2**32)
+            % np.uint64(100)
+        )
+        langs = t["lang"].to_pandas()
+        rate = langs.map(rates).fillna(default_rate).to_numpy(dtype=np.uint64)
+        return t.filter(pa.array(h < rate))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+              % 4294967296 % 100 AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE hv < CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 50
+                     WHEN 'de' THEN 25 ELSE 10 END
+ORDER BY doc_id
+"""
+
+
 PACK_CHUNKS_SQL = r"""
 WITH t AS (
   SELECT doc_id,

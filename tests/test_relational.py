@@ -49,6 +49,7 @@ CASES = [
     (R.doc_tfidf_topk, R.TFIDF_SQL),
     (R.docs_split_assign, R.DOCS_SPLIT_SQL),
     (R.docs_pack_chunks, R.PACK_CHUNKS_SQL),
+    (R.docs_stratified_sample, R.STRATIFIED_SAMPLE_SQL),
 ]
 
 

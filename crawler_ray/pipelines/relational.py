@@ -697,6 +697,50 @@ ORDER BY total_value DESC, user_id LIMIT 10
 """
 
 
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``props`` column with ONE vectorized RE2 kernel
+    (pyarrow.compute.extract_regex — no per-row json.loads), then the
+    standard partial-agg exchange per event_type. DuckDB's regexp_extract
+    is also RE2, so the oracle parses identically."""
+    ds = _rp(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            pc.coalesce(t["props"], ""), r'"k":\s*(?P<k>\d+)'
+        )
+        k = pc.if_else(
+            pc.is_valid(m),
+            pc.cast(pc.struct_field(m, "k"), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    df = partial_sum_count(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        {"sum_k": "k"},
+        count_name="n",
+    )
+    df["sum_k"] = df["sum_k"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return (
+        df[["event_type", "n", "sum_k"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+PROPS_STATS_SQL = r"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(coalesce(CAST(NULLIF(regexp_extract(coalesce(props, ''),
+                                                    '"k":\s*(\d+)', 1),
+                               '') AS BIGINT), 0)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def events_error_click_window(sf_dir: str, window_min: int = 5) -> pd.DataFrame:
     """Distributed RANGE (interval) JOIN: for every 'error' event, the
     number of 'click' events with ts in [error.ts, error.ts + window).

@@ -46,6 +46,7 @@ CASES = [
     (R.purchases_asof_click, R.ASOF_SQL),
     (R.events_error_click_window, R.RANGE_JOIN_SQL),
     (R.events_hopping_window, R.HOPPING_WINDOW_SQL),
+    (R.events_props_stats, R.PROPS_STATS_SQL),
     (R.doc_tfidf_topk, R.TFIDF_SQL),
     (R.docs_split_assign, R.DOCS_SPLIT_SQL),
     (R.docs_pack_chunks, R.PACK_CHUNKS_SQL),

@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_click_window": R.events_error_click_window,
         "events_hopping_window": R.events_hopping_window,
         "events_props_stats": R.events_props_stats,
+        "events_value_quantiles": R.events_value_quantiles,
         "doc_tfidf_topk": R.doc_tfidf_topk,
         "docs_split_assign": R.docs_split_assign,
         "docs_pack_chunks": R.docs_pack_chunks,
@@ -630,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "events_error_click_window": R.RANGE_JOIN_SQL,
         "events_hopping_window": R.HOPPING_WINDOW_SQL,
         "events_props_stats": R.PROPS_STATS_SQL,
+        "events_value_quantiles": R.QUANTILES_SQL,
         "doc_tfidf_topk": R.TFIDF_SQL,
         "docs_split_assign": R.DOCS_SPLIT_SQL,
         "docs_pack_chunks": R.PACK_CHUNKS_SQL,

@@ -741,6 +741,45 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def events_value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """EXACT grouped quantiles: one bucketed exchange co-locates each
+    event_type's values; per bucket a numpy sort + inverted-CDF element
+    selection — pure element picking, no interpolation arithmetic, so the
+    result is byte-identical to DuckDB's quantile_disc. (For groups too
+    large to sort in one task, the mergeable-sketch shape of
+    functions/sketches.py is the scale path; group-local exact quantiles
+    are the right tool at this cardinality.)"""
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy())
+            for q in qs:
+                rows.append(
+                    (et, q, float(np.quantile(v, q, method="inverted_cdf")))
+                )
+        return pd.DataFrame(rows, columns=["event_type", "q", "value"])
+
+    out = bucketed_group_map(ds, "event_type", quant).to_pandas()
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+QUANTILES_SQL = """
+SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.99 AS q, quantile_disc(value, 0.99) AS value
+FROM events GROUP BY event_type
+ORDER BY event_type, q
+"""
+
+
 def events_error_click_window(sf_dir: str, window_min: int = 5) -> pd.DataFrame:
     """Distributed RANGE (interval) JOIN: for every 'error' event, the
     number of 'click' events with ts in [error.ts, error.ts + window).

@@ -47,6 +47,7 @@ CASES = [
     (R.events_error_click_window, R.RANGE_JOIN_SQL),
     (R.events_hopping_window, R.HOPPING_WINDOW_SQL),
     (R.events_props_stats, R.PROPS_STATS_SQL),
+    (R.events_value_quantiles, R.QUANTILES_SQL),
     (R.doc_tfidf_topk, R.TFIDF_SQL),
     (R.docs_split_assign, R.DOCS_SPLIT_SQL),
     (R.docs_pack_chunks, R.PACK_CHUNKS_SQL),

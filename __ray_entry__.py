@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         "events_props_stats": R.events_props_stats,
         "events_value_quantiles": R.events_value_quantiles,
+        "events_user_running_total": R.events_user_running_total,
         "doc_tfidf_topk": R.doc_tfidf_topk,
         "docs_split_assign": R.docs_split_assign,
         "docs_pack_chunks": R.docs_pack_chunks,
@@ -632,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": R.HOPPING_WINDOW_SQL,
         "events_props_stats": R.PROPS_STATS_SQL,
         "events_value_quantiles": R.QUANTILES_SQL,
+        "events_user_running_total": R.RUNNING_TOTAL_SQL,
         "doc_tfidf_topk": R.TFIDF_SQL,
         "docs_split_assign": R.DOCS_SPLIT_SQL,
         "docs_pack_chunks": R.PACK_CHUNKS_SQL,

@@ -780,6 +780,53 @@ ORDER BY event_type, q
 """
 
 
+def events_user_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-key cumulative aggregate (grouped running total): one bucketed
+    exchange co-locates each user's events; inside the bucket a single
+    sort + grouped cumsum computes every user's running total vectorized.
+    Accumulation is in INTEGER CENTS — double summation is order-exact but
+    DuckDB's windowed sum differs in the last ulp (verified), while the
+    integer sum is bit-exact in both engines."""
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "ts": t["ts"],
+                "cents": pa.array(v, pa.int64()),
+            }
+        )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        df["running_total_cents"] = df.groupby("user_id", sort=False)[
+            "cents"
+        ].cumsum()
+        return df[["event_id", "user_id", "running_total_cents"]]
+
+    out = bucketed_group_map(
+        ds.map_batches(cents, batch_format="pyarrow"), "user_id", running
+    ).to_pandas()
+    return (
+        out.astype("int64").sort_values("event_id").reset_index(drop=True)
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS running_total_cents
+FROM events ORDER BY event_id
+"""
+
+
 def events_error_click_window(sf_dir: str, window_min: int = 5) -> pd.DataFrame:
     """Distributed RANGE (interval) JOIN: for every 'error' event, the
     number of 'click' events with ts in [error.ts, error.ts + window).

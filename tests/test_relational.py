@@ -48,6 +48,7 @@ CASES = [
     (R.events_hopping_window, R.HOPPING_WINDOW_SQL),
     (R.events_props_stats, R.PROPS_STATS_SQL),
     (R.events_value_quantiles, R.QUANTILES_SQL),
+    (R.events_user_running_total, R.RUNNING_TOTAL_SQL),
     (R.doc_tfidf_topk, R.TFIDF_SQL),
     (R.docs_split_assign, R.DOCS_SPLIT_SQL),
     (R.docs_pack_chunks, R.PACK_CHUNKS_SQL),

@@ -54,6 +54,31 @@ def test_normalize_text():
     assert out == ["hello world x", "", ""]
 
 
+def test_with_prefix_sum_multi_block(ray_session):
+    """The two-phase parallel scan gives the exact global running sum
+    regardless of block boundaries or input block order."""
+    import ray.data as rd
+
+    from crawler_ray.stages.shuffle import with_prefix_sum
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(1000)  # unsorted input: the scan must sort first
+    vals = rng.integers(0, 50, size=1000)
+    ds = rd.from_items(
+        [{"k": int(i), "v": int(v)} for i, v in zip(ids, vals)]
+    ).repartition(7)  # force multiple blocks
+    out = (
+        with_prefix_sum(ds, order_col="k", value_col="v", out_col="pre")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(ids)
+    expect = np.cumsum(vals[order]) - vals[order]
+    assert (out["pre"].to_numpy() == expect).all()
+    assert out["k"].tolist() == sorted(ids.tolist())
+
+
 def test_redact_pii_matches_duckdb_re2():
     """Engine (Arrow RE2) and DuckDB (also RE2) agree on the same
     patterns — the property a SQL oracle would rely on."""

@@ -68,6 +68,100 @@ class HyperLogLog:
         return h
 
 
+class HistogramSketch:
+    """Mergeable equi-width histogram over a FIXED [lo, hi] range — the
+    quantile counterpart of HyperLogLog in this module: per-batch partials
+    are dense count vectors that merge by addition, so the exchange
+    carries bins × 8 bytes per (group, block) instead of the raw values.
+    Quantile error ≤ one bin width ((hi-lo)/bins); the range comes from a
+    cheap exact min/max pre-pass."""
+
+    def __init__(self, lo: float, hi: float, bins: int = 4096) -> None:
+        self.lo, self.hi, self.bins = float(lo), float(hi), bins
+        self.counts = np.zeros(bins, dtype=np.int64)
+
+    def add(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        span = max(self.hi - self.lo, 1e-300)
+        idx = np.clip(
+            ((values - self.lo) / span * self.bins).astype(np.int64),
+            0,
+            self.bins - 1,
+        )
+        np.add.at(self.counts, idx, 1)
+
+    def merge(self, other: "HistogramSketch") -> "HistogramSketch":
+        assert (self.lo, self.hi, self.bins) == (other.lo, other.hi, other.bins)
+        out = HistogramSketch(self.lo, self.hi, self.bins)
+        out.counts = self.counts + other.counts
+        return out
+
+    def quantile(self, q: float) -> float:
+        n = int(self.counts.sum())
+        if n == 0:
+            return float("nan")
+        target = max(1, int(np.ceil(q * n)))
+        cum = np.cumsum(self.counts)
+        b = int(np.searchsorted(cum, target))
+        # right edge of the containing bin: error ≤ one bin width
+        return self.lo + (self.hi - self.lo) * (b + 1) / self.bins
+
+    def serialize(self) -> bytes:
+        import struct
+
+        return struct.pack("<ddq", self.lo, self.hi, self.bins) + self.counts.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "HistogramSketch":
+        import struct
+
+        lo, hi, bins = struct.unpack("<ddq", data[:24])
+        h = cls(lo, hi, int(bins))
+        h.counts = np.frombuffer(data[24:], dtype=np.int64).copy()
+        return h
+
+
+def approx_quantiles_per_group(
+    ds, group_col: str, value_col: str, qs=(0.5, 0.9, 0.99), bins: int = 4096
+) -> pd.DataFrame:
+    """Grouped approximate quantiles at sketch cost: exact global min/max
+    pre-pass (two scalars), then per-batch per-group histogram partials →
+    additive merge per group. Error ≤ (max-min)/bins per quantile. The
+    scale path the exact operator (relational.events_value_quantiles)
+    points to for groups too large to sort in one task."""
+    import pyarrow.compute as pc
+
+    stats = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t[value_col]).as_py()]),
+                "hi": pa.array([pc.max(t[value_col]).as_py()]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi = float(stats["lo"].min()), float(stats["hi"].max())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in df.groupby(group_col, sort=False):
+            h = HistogramSketch(lo, hi, bins)
+            h.add(g[value_col].to_numpy(dtype=np.float64))
+            rows.append({group_col: key, "sketch": h.serialize()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    out = []
+    for key, g in parts.groupby(group_col, sort=True):
+        merged = HistogramSketch(lo, hi, bins)
+        for blob in g["sketch"]:
+            merged = merged.merge(HistogramSketch.deserialize(blob))
+        for q in qs:
+            out.append({group_col: key, "q": q, "value": merged.quantile(q)})
+    return pd.DataFrame(out)
+
+
 def approx_distinct_per_group(ds, group_col: str, value_col: str, p: int = 12) -> pd.DataFrame:
     """Grouped approximate distinct count: per-batch per-group HLL sketches
     (combiner) → merge per group — only (groups × blocks) 4 KB sketches

@@ -87,3 +87,42 @@ def test_gen_corpus_ray_matches_driver_side(tmp_path):
     )
     local_tbl = fixtures.gen_corpus(4, 6).sort_by([("url", "ascending")])
     assert ray_tbl.cast(local_tbl.schema).equals(local_tbl)
+
+
+def test_histogram_sketch_quantiles_close_to_exact(ray_session):
+    """Sketch quantiles within one bin width of exact, and merge order
+    doesn't matter (additive counts)."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_ray.functions.sketches import (
+        HistogramSketch,
+        approx_quantiles_per_group,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vals = {"a": rng.exponential(10, 4000), "b": rng.normal(50, 5, 4000)}
+    for k, v in vals.items():
+        rows += [{"g": k, "v": float(x)} for x in v]
+    ds = rd.from_items(rows)
+    got = approx_quantiles_per_group(ds, "g", "v", qs=(0.5, 0.9), bins=4096)
+    lo = min(v.min() for v in vals.values())
+    hi = max(v.max() for v in vals.values())
+    width = (hi - lo) / 4096
+    for r in got.itertuples():
+        exact = float(np.quantile(vals[r.g], r.q, method="inverted_cdf"))
+        assert abs(r.value - exact) <= width + 1e-9, (r, exact)
+
+    # mergeability: (A + B) == (B + A), and equals one-shot
+    h1 = HistogramSketch(0.0, 100.0, 64)
+    h2 = HistogramSketch(0.0, 100.0, 64)
+    a, b = rng.uniform(0, 100, 500), rng.uniform(0, 100, 500)
+    h1.add(a)
+    h2.add(b)
+    one = HistogramSketch(0.0, 100.0, 64)
+    one.add(np.concatenate([a, b]))
+    m12 = h1.merge(h2)
+    m21 = HistogramSketch.deserialize(h2.serialize()).merge(h1)
+    assert (m12.counts == one.counts).all()
+    assert (m21.counts == one.counts).all()

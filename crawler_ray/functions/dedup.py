@@ -782,28 +782,47 @@ class SimHasher:
         self.tok = re.compile(r"\w+")
 
     def simhash(self, text: str) -> np.uint64:
+        return self.simhash_batch([text])[0]
+
+    def simhash_batch(self, texts: list) -> np.ndarray:
+        """Whole-batch signature computation: ONE vectorized hash call over
+        every token in the batch, per-doc bit votes via segment-reduce
+        (np.add.reduceat), and signatures assembled with a single
+        shift-multiply-sum — no per-doc or per-bit Python loop (only the
+        regex tokenize itself is per-doc, which is inherent)."""
         import polars as pl
 
-        toks = self.tok.findall((text or "").lower())
-        if not toks:
-            return np.uint64(0)
-        hs = pl.Series(toks).hash(seed=0x51A4).to_numpy().astype(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
+        tok_lists = [self.tok.findall((t or "").lower()) for t in texts]
+        n_docs = len(tok_lists)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+        sigs = np.zeros(n_docs, dtype=np.uint64)
+        total = int(counts.sum())
+        if total == 0:
+            return sigs
+        all_toks = [tok for lst in tok_lists for tok in lst]
+        hs = pl.Series(all_toks).hash(seed=0x51A4).to_numpy().astype(np.uint64)
+        # per-token ±1 votes for each of the 64 bit positions
+        signs = (
+            ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            .astype(np.int32)
+            * 2
+            - 1
         )
-        votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            out |= np.uint64(1) << np.uint64(i)
-        return out
+        nonempty = np.nonzero(counts)[0]
+        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
+        votes = np.add.reduceat(signs, offsets, axis=0)  # (n_nonempty, 64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sigs[nonempty] = ((votes > 0).astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "simhash": pa.array(
-                    [self.simhash(t) for t in batch["text"].to_pylist()],
-                    pa.uint64(),
+                    self.simhash_batch(batch["text"].to_pylist()), pa.uint64()
                 ),
             }
         )
@@ -816,27 +835,19 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
 
     def chunks(batch: pa.Table) -> pa.Table:
-        ids, cis, cvs = [], [], []
-        for doc_id, h in zip(
-            batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()
-        ):
-            for c in range(4):
-                ids.append(doc_id)
-                cis.append(c)
-                cvs.append((int(h) >> (16 * c)) & 0xFFFF)
+        # vectorized 4-way explode: doc-major order (chunk index inner)
+        ids = batch["doc_id"].to_numpy()
+        sh = batch["simhash"].to_numpy().astype(np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        cvs = ((sh[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "chunk": pa.array(cis, pa.int32()),
-                "chunk_val": pa.array(cvs, pa.int32()),
-                "simhash": pa.array(
-                    [
-                        h
-                        for h in batch["simhash"].to_pylist()
-                        for _ in range(4)
-                    ],
-                    pa.uint64(),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "chunk": pa.array(
+                    np.tile(np.arange(4, dtype=np.int32), len(ids)), pa.int32()
                 ),
+                "chunk_val": pa.array(cvs.ravel(), pa.int32()),
+                "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
             }
         )
 
@@ -852,7 +863,8 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
             sh = rows["simhash"].to_numpy(dtype=np.uint64)
             iu = np.triu_indices(len(ids), k=1)
             x = sh[iu[0]] ^ sh[iu[1]]
-            d = np.array([bin(int(v)).count("1") for v in x])
+            # vectorized popcount: view each u64 as 8 bytes, unpack, sum
+            d = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
             keep = d <= max_hamming
             if keep.any():
                 out.append(

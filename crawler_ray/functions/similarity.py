@@ -62,7 +62,7 @@ def brute_force_topk(
         q = ray.get(q_ref)
         m = _normalize(_to_matrix(batch["embedding"]))
         sims = m @ q.T  # (batch, n_queries)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
         # per-batch partial top-k per query
         out_q, out_id, out_sim = [], [], []
         kk = min(k, len(ids))
@@ -171,7 +171,7 @@ def lsh_topk(
             return empty
         qm_, qtb_ = ray.get(q_ref)
         m = _normalize(_to_matrix(batch["embedding"]))
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
         btb = lsh.tb_of(m)  # (tables, n)
         cand = np.zeros((m.shape[0], qm_.shape[0]), dtype=bool)
         for t in range(btb.shape[0]):
@@ -287,7 +287,7 @@ def ivf_topk(
             return empty
         centroids, qm_, probed_ = ray.get(ref)
         m = _normalize(_to_matrix(batch["embedding"]))
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
         cent = (m @ centroids.T).argmax(axis=1)
         cand = (cent[:, None, None] == probed_[None, :, :]).any(axis=2)
         rows = cand.any(axis=1)

@@ -119,11 +119,33 @@ _ENDTAGFIND = _hp.endtagfind
 # html.parser's cdata-mode `interesting` regex is the FULL closing form
 # (set_cdata_mode: r'</\s*TAG\s*>'): rawtext ends exactly at the first
 # match; '</scriptx>' or '</script foo>' never match and stay rawtext data
-# (dropped inside script/style). Emulate with the same regex per tag.
-_RAWTEXT_END = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE) for t in _RAWTEXT}
+# (dropped inside script/style). DERIVE the pattern from the running
+# interpreter's html.parser rather than hard-coding CPython 3.11's form —
+# newer CPythons have changed set_cdata_mode, and the fast path's bit-parity
+# promise is against whatever html.parser this process runs.
+def _derive_rawtext_end() -> dict:
+    pats = {}
+    probe = _hp.HTMLParser()
+    for t in _RAWTEXT:
+        probe.set_cdata_mode(t)
+        pats[t] = re.compile(probe.interesting.pattern, re.IGNORECASE)
+    return pats
+
+
+_RAWTEXT_END = _derive_rawtext_end()
+
+# The fast path's rawtext skip assumes the interesting pattern is the full
+# closing form (ends in '>').  If a future interpreter changes the shape,
+# the fast path can no longer prove where rawtext ends — bail every body
+# to the reference tokenizer (correct, just slower) instead of guessing.
+_RAWTEXT_FAST_OK = all(
+    p.pattern.rstrip(")").endswith(">") for p in _RAWTEXT_END.values()
+)
 
 
 def _find_rawtext_end(body: str, tag: str, i: int) -> int:
+    if not _RAWTEXT_FAST_OK:
+        raise _Bail
     m = _RAWTEXT_END[tag].search(body, i)
     return m.start() if m else -1
 

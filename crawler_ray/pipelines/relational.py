@@ -185,8 +185,9 @@ def q3_segment_top_orders(sf_dir: str, segment: str = "BUILDING", k: int = 10) -
             .reset_index()
         )
         # round before the partial top-k so partial and final use the same
-        # (revenue, orderkey) ordering at the k boundary
-        out["revenue"] = out["revenue"].round(2)
+        # (revenue, orderkey) ordering at the k boundary; half-up on the
+        # cent grid to match DuckDB round() (pandas .round is half-even)
+        out["revenue"] = np.floor(out["revenue"] * 100 + 0.5) / 100
         return out.sort_values(
             ["revenue", "l_orderkey"], ascending=[False, True]
         ).head(k)
@@ -226,37 +227,27 @@ LIMIT 10
 
 def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     """Star join at scale shape: region⋈nation (tiny dims) merge on the
-    driver; customer gets its nation by broadcast; orders⋈customer and
-    lineitem⋈orders are bucketed hash joins (custkey, then orderkey) —
-    no fact table is ever driver-read or broadcast. The second join fuses
-    the per-nation revenue partial inside the bucket, so the driver only
-    merges nations×buckets partial rows."""
+    driver; the region-filtered customer list is DIMENSION-sized (~|cust|/5)
+    so it broadcast-joins onto orders (`bjoin`: one `ray.put`, probed per
+    batch) — only lineitem⋈orders, the single fact⋈fact edge, pays a
+    bucketed all-to-all. The fact join fuses the per-nation revenue partial
+    inside each bucket, so the driver only merges nations×buckets partial
+    rows. (r2 used a second bucketed join for orders⋈customer — four
+    all-to-alls, 2.5× slower for a dimension-sized right side.)"""
     from ..stages.shuffle import bucketed_join
 
     reg = _read_pd(sf_dir, "region")
     nat = _read_pd(sf_dir, "nation")
     dims = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     dims = dims[dims["r_name"] == region][["n_nationkey", "n_name"]]
-    cust_ds = bjoin(
-        _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
-        dims.rename(columns={"n_nationkey": "c_nationkey"}),
-        on="c_nationkey",
-    ).map_batches(
-        lambda df: df[["c_custkey", "n_name"]],
-        batch_format="pandas",
-        batch_size=65536,
-    )
-    orders_ds = bucketed_join(
+    cust = _read_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.merge(
+        dims.rename(columns={"n_nationkey": "c_nationkey"}), on="c_nationkey"
+    )[["c_custkey", "n_name"]]
+    orders_ds = bjoin(
         _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-        cust_ds,
-        left_on="o_custkey",
-        right_on="c_custkey",
-        left_schema=pa.schema(
-            [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
-        ),
-        right_schema=pa.schema(
-            [("c_custkey", pa.int64()), ("n_name", pa.string())]
-        ),
+        cust.rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey",
     ).map_batches(
         lambda df: df[["o_orderkey", "n_name"]],
         batch_format="pandas",
@@ -289,9 +280,9 @@ def q5_region_nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
         joined.to_pandas()
         .groupby("n_name", sort=False)["revenue"]
         .sum()
-        .round(2)
         .reset_index()
     )
+    agg["revenue"] = np.floor(agg["revenue"] * 100 + 0.5) / 100  # half-up
     return agg.sort_values("n_name").reset_index(drop=True)
 
 
@@ -792,7 +783,8 @@ def events_user_running_total(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def cents(t: pa.Table) -> pa.Table:
-        v = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        # half-up like DuckDB round(value*100, 0); values are positive
+        v = np.floor(t["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         return pa.table(
             {
                 "event_id": t["event_id"].cast(pa.int64()),

@@ -60,14 +60,18 @@ def iter_warc_records(data: bytes):
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        if "content-length" not in headers:
-            # cannot frame the payload: skip this record, resync
+        try:
+            length = int(headers["content-length"])
+            if length < 0:
+                raise ValueError(length)
+        except (KeyError, ValueError):
+            # missing or non-numeric Content-Length: cannot frame the
+            # payload — skip this record, resync to the next marker
             nxt = data.find(b"\r\nWARC/", hdr_end)
             if nxt < 0:
                 return
             i = nxt + 2
             continue
-        length = int(headers["content-length"])
         payload = data[hdr_end + 4 : hdr_end + 4 + length]
         yield headers, payload
         i = hdr_end + 4 + length

@@ -28,6 +28,18 @@ from ..keys import hash64, hash_pair
 from .filters import BloomFilter, CuckooFilter
 
 
+def _first_occurrence(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """First-occurrence mask over the 128-bit hash pair, all numpy (used on
+    the approx path, where a 2^-128 pair collision is far below the bloom
+    false-positive rate anyway)."""
+    pair = np.empty(len(h1), dtype=[("a", np.uint64), ("b", np.uint64)])
+    pair["a"], pair["b"] = h1, h2
+    _, idx = np.unique(pair, return_index=True)
+    first = np.zeros(len(h1), dtype=bool)
+    first[idx] = True
+    return first
+
+
 @ray.remote(num_cpus=0.25)
 class SeenShard:
     """One hash-partition of the archive. Bloom + (optional) exact set."""
@@ -43,9 +55,12 @@ class SeenShard:
             CuckooFilter(capacity) if filter_kind == "cuckoo" else BloomFilter(capacity, fpp)
         )
         self.exact: set[str] | None = None if approx_only else set()
-        # probe_id → mask memo making probes idempotent under Ray task
-        # retry / lineage re-execution (cleared per wave via clear_applied)
-        self.applied: dict[tuple, np.ndarray] = {}
+        # epoch → {digest → mask} memos making probes idempotent under Ray
+        # task retry / lineage re-execution. Keyed by epoch so stale memos
+        # self-expire: the first probe of a NEW epoch drops every older
+        # epoch's memos, so a caller that forgets end_epoch() leaks at most
+        # one epoch's masks instead of one per batch for the process life.
+        self.applied: dict[int, dict[tuple, np.ndarray]] = {}
 
     def probe_and_insert(
         self, keys: "list[str] | pa.Array", probe_id: tuple | None = None
@@ -65,45 +80,58 @@ class SeenShard:
         Driver-coordinated probes (small waves) pass no id; their recovery
         is wave-level resume."""
         if probe_id is not None:
-            memo = self.applied.get(probe_id)
+            memo = self.applied.get(probe_id[0], {}).get(probe_id[1:])
             if memo is not None:
                 return memo
-        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-            keys = keys.to_pylist()
-        import pandas as pd
-
+        # keys stay Arrow through hashing (hash_pair is a vectorized polars
+        # kernel over the Arrow column — no per-key Python on this path)
         h1, h2 = hash_pair(keys)
-        s = pd.Series(keys, dtype="object")
-        first = ~s.duplicated().to_numpy()  # intra-call: first occurrence wins
         if self.exact is not None:
-            # one C-level membership pass instead of a per-key Python loop
+            # test-scale exact mode: one string materialization, then
+            # C-level hash-table passes (duplicated/isin) — no per-key loop
+            import pandas as pd
+
+            if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+                keys = keys.to_pylist()
+            s = pd.Series(keys, dtype="object")
+            first = ~s.duplicated().to_numpy()  # intra-call: first wins
             out = first & ~s.isin(self.exact).to_numpy()
             self.exact.update(s[out])
-            self.bloom.add(h1[out], h2[out])
-            if probe_id is not None:
-                self.applied[probe_id] = out
-            return out
-        out = ~self.bloom.contains(h1, h2) & first
+        else:
+            # design-scale approx mode: fully numeric — intra-call first
+            # occurrence on the 128-bit hash pair, never a Python string
+            out = ~self.bloom.contains(h1, h2) & _first_occurrence(h1, h2)
         self.bloom.add(h1[out], h2[out])
         if probe_id is not None:
-            self.applied[probe_id] = out
+            self._memoize(probe_id, out)
         return out
+
+    def _memoize(self, probe_id: tuple, out: np.ndarray) -> None:
+        # probe_id = (epoch, *content-derived discriminators)
+        epoch, digest = probe_id[0], probe_id[1:]
+        if epoch not in self.applied:
+            # first probe of a new epoch: older epochs are committed —
+            # drop their memos even if the caller missed end_epoch()
+            for stale in [e for e in self.applied if e < epoch]:
+                del self.applied[stale]
+            self.applied[epoch] = {}
+        self.applied[epoch][digest] = out
 
     def clear_applied(self) -> int:
         """Drop the idempotency memos (end of wave/epoch)."""
-        n = len(self.applied)
+        n = sum(len(m) for m in self.applied.values())
         self.applied.clear()
         return n
 
     def insert(self, keys: "list[str] | pa.Array") -> int:
         """Insert without probing (checkpoint restore path)."""
-        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
-            keys = keys.to_pylist()
         h1, h2 = hash_pair(keys)
         if self.exact is not None:
+            if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+                keys = keys.to_pylist()
             self.exact.update(keys)
         self.bloom.add(h1, h2)
-        return len(keys)
+        return len(h1)
 
     def stats(self) -> dict:
         return {
@@ -205,22 +233,28 @@ class SeenSet:
                 keys = batch[key_col].combine_chunks()
             else:
                 keys = finding_keys(batch["url"], batch["kind"], batch["depth"])
-            shard_of = (hash64(keys) % np.uint64(n)).astype(np.int64)
-            key_list = keys.to_pylist()
+            # keys stay Arrow end-to-end: route on the vectorized 64-bit
+            # hash, ship zero-copy Arrow slices to the shards, and derive
+            # the retry-idempotency digest from the hash array's raw bytes
+            # (content-derived, C-speed) — no per-key Python in this task.
+            h = hash64(keys)
+            shard_of = (h % np.uint64(n)).astype(np.int64)
             mask = np.zeros(batch.num_rows, dtype=bool)
             futures, positions = [], []
             for s in range(n):
                 pos = np.nonzero(shard_of == s)[0]
                 if len(pos):
-                    sub = [key_list[i] for i in pos]
                     pid = None
                     if epoch is not None:
                         digest = hashlib.blake2b(
-                            "\x00".join(sub).encode("utf-8", "surrogatepass"),
-                            digest_size=16,
+                            h[pos].tobytes(), digest_size=16
                         ).hexdigest()
                         pid = (epoch, digest)
-                    futures.append(shards[s].probe_and_insert.remote(sub, pid))
+                    futures.append(
+                        shards[s].probe_and_insert.remote(
+                            keys.take(pa.array(pos)), pid
+                        )
+                    )
                     positions.append(pos)
             for pos, m in zip(positions, ray.get(futures)):
                 mask[pos] = m

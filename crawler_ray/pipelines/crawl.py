@@ -49,8 +49,8 @@ from ..keys import finding_keys
 from ..stages import politeness
 from ..stages.parse import (
     PARSED_SCHEMA,
-    attach_frontier,
-    build_lookups,
+    attach_frontier_join,
+    build_lookup_table,
     process_wave_batch,
 )
 from ..stages.robots import RobotsCache
@@ -61,12 +61,24 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
+@dataclass
+class FrontierRef:
+    """Handle to a frontier that stays OUT of driver memory: a parquet
+    path (file or part-dir) plus its row count (from footers/probe
+    counters). Waves above ``ray_state_threshold`` pass this between
+    supersteps instead of a driver-held Arrow table; admission then reads
+    it as a Dataset and runs the distributed politeness prep."""
+
+    path: str
+    num_rows: int  # same accessor name as pa.Table, so callers are agnostic
+
+
 @functools.lru_cache(maxsize=4)
 def _cached_get(ref):
-    """Per-worker-process deserialization cache for broadcast objects:
-    ``ray.get`` re-unpickles a Python dict on every call, which at one call
-    per 256-row batch dominated the fetch-join stage; the lookup dict is
-    immutable for the wave, so cache it by ObjectRef."""
+    """Per-worker-process cache for broadcast objects. Arrow tables read
+    zero-copy from plasma, but ``ray.get`` still pays a per-call lookup and
+    wrapper rebuild; the lookup table is immutable for the wave, so cache
+    it by ObjectRef."""
     import ray
 
     return ray.get(ref)
@@ -84,9 +96,9 @@ def _scan_parse_file_task():
         import ray
 
         @ray.remote
-        def scan_parse_file(path: str, lookups: dict, faithful_depth: bool):
+        def scan_parse_file(path: str, lookups: pa.Table, faithful_depth: bool):
             t = pq.read_table(path, columns=["url", "html"])
-            t = attach_frontier(t, lookups)
+            t = attach_frontier_join(t, lookups)
             if t.num_rows == 0:
                 return None
             return process_wave_batch(t, faithful_depth=faithful_depth)
@@ -238,7 +250,28 @@ class CrawlRun:
         return self._concat("admitted.parquet")
 
     def archive(self) -> pa.Table:
-        return self._concat("archive_delta.parquet", FRONTIER_SCHEMA)
+        """Per-wave deltas in canonical (kind, url, depth) order, waves
+        concatenated in order. The driver probe path writes each delta
+        pre-sorted (sort is a no-op); the streaming sink path writes one
+        part per exchange bucket, so the read applies the canonical sort —
+        new-finding sets are order-insensitive, the sort just pins the
+        cross-path bit layout."""
+        parts = []
+        for d in self.wave_dirs():
+            p = d / "archive_delta.parquet"
+            if p.exists():
+                parts.append(
+                    pq.read_table(p).sort_by(
+                        [
+                            ("kind", "ascending"),
+                            ("url", "ascending"),
+                            ("depth", "ascending"),
+                        ]
+                    )
+                )
+        if not parts:
+            return FRONTIER_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
 
     def host_counts(self) -> Counter:
         dirs = self.wave_dirs()
@@ -395,8 +428,13 @@ def _split_by_key_hash(block: pa.Table, n: int) -> list:
 
 
 def _reduce_probe_bucket(
-    epoch: int, bucket_id: int, shards: list, num_shards: int, *parts
-) -> "pa.Table | None":
+    epoch: int,
+    bucket_id: int,
+    shards: list,
+    num_shards: int,
+    out_spec: "tuple | None",
+    *parts,
+) -> "pa.Table | tuple | None":
     """Reduce side: all wave rows whose key hashes to this bucket. One
     vectorized sort+dedup picks the canonical discoverer per Finding key
     (min (url, kind, depth, src_url, src_depth) — in faithful mode all
@@ -451,23 +489,52 @@ def _reduce_probe_bucket(
             positions.append(pos)
     for pos, m in zip(positions, ray.get(futures)):
         mask[pos] = m
-    return t.filter(pa.array(mask)).drop_columns(["fkey"])
+    new = t.filter(pa.array(mask)).drop_columns(["fkey"])
+    if out_spec is None:
+        return new
+    # SINK MODE: this reduce task writes its bucket's slice of the wave's
+    # archive delta and (depth-gated) next frontier straight to the
+    # checkpoint — the new-finding stream never lands on the driver; only
+    # two scalar counts return per bucket. Within-part rows are in
+    # canonical order; the cross-part order is by bucket id (file name),
+    # and readers that need the global canonical order sort per wave
+    # (CrawlRun.archive) — new-finding sets are order-insensitive.
+    archive_dir, frontier_dir, depth_limit = out_spec
+    new = _canonical_findings_sort(new.cast(_FINDINGS_SCHEMA))
+    n_new = new.num_rows
+    if n_new:
+        pq.write_table(
+            new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),
+            Path(archive_dir) / f"part-{bucket_id:05d}.parquet",
+        )
+    nf = new.filter(pc.less(new["src_depth"], depth_limit)).select(
+        ["url", "kind", "depth"]
+    ).cast(FRONTIER_SCHEMA)
+    if nf.num_rows:
+        pq.write_table(nf, Path(frontier_dir) / f"part-{bucket_id:05d}.parquet")
+    return n_new, nf.num_rows
 
 
 def _probe_new_streaming(
-    rd, parsed_dir: Path, seen: SeenSet, wave: int, parsed_mat=None
-) -> pa.Table:
+    rd, parsed_dir: Path, seen: SeenSet, wave: int, parsed_mat=None, sink=None
+) -> "pa.Table | tuple[int, int]":
     """Large-wave seen probe: the raw finding stream never lands on the
     driver. One streaming pipeline reads the wave's findings and attaches
     keys (blocks stay in the object store); an explicit two-round task
     exchange then hash-partitions by Finding key and, per bucket, dedups
     to the canonical discoverer and probes the shard pool — dedup and
     probe fused in the reduce task, no Ray-Data sort machinery on the hot
-    per-wave path. Only the NEW findings (bounded by first-discovery
-    volume, a small fraction of the fan-in×-duplicated stream) return to
-    the driver for the wave checkpoint. Recovery: reduce-task retries are
-    idempotent via shard probe-id memos; anything harsher falls back to
-    wave-level resume like the rest of the wave machinery."""
+    per-wave path. Recovery: reduce-task retries are idempotent via shard
+    probe-id memos; anything harsher falls back to wave-level resume like
+    the rest of the wave machinery.
+
+    ``sink=(wave_dir, depth_limit)``: the reduce tasks write the wave's
+    archive-delta and depth-gated next-frontier parquet parts DIRECTLY
+    (one part per bucket under ``wave_dir/{archive_delta,
+    next_frontier}.parquet/``) and the call returns only the scalar pair
+    ``(n_new, n_next_frontier)`` — nothing frontier-sized ever returns to
+    the driver. Without ``sink`` the probed table returns driver-side
+    (small-wave/test form)."""
     import ray
 
     if parsed_mat is not None:
@@ -490,6 +557,14 @@ def _probe_new_streaming(
             .to_arrow_refs()
         )
     n_buckets = max(16, seen.num_shards * 2)
+    out_spec = None
+    if sink is not None:
+        wave_dir, depth_limit = sink
+        archive_dir = Path(wave_dir) / "archive_delta.parquet"
+        frontier_dir = Path(wave_dir) / "next_frontier.parquet"
+        archive_dir.mkdir(parents=True, exist_ok=True)
+        frontier_dir.mkdir(parents=True, exist_ok=True)
+        out_spec = (str(archive_dir), str(frontier_dir), depth_limit)
     split = ray.remote(_split_by_key_hash)
     reduce = ray.remote(_reduce_probe_bucket)
     slices = [
@@ -497,12 +572,27 @@ def _probe_new_streaming(
     ]
     futures = [
         reduce.remote(
-            wave, b, seen.shards, seen.num_shards, *[s[b] for s in slices]
+            wave, b, seen.shards, seen.num_shards, out_spec,
+            *[s[b] for s in slices],
         )
         for b in range(n_buckets)
     ]
-    parts = [t for t in ray.get(futures) if t is not None and t.num_rows]
+    results = ray.get(futures)
     seen.end_epoch()
+    if out_spec is not None:
+        n_new = sum(r[0] for r in results if r is not None)
+        n_next = sum(r[1] for r in results if r is not None)
+        # a dir a reader may open must contain ≥1 parquet file
+        if n_new == 0:
+            pq.write_table(
+                FRONTIER_SCHEMA.empty_table(), archive_dir / "part-empty.parquet"
+            )
+        if n_next == 0:
+            pq.write_table(
+                FRONTIER_SCHEMA.empty_table(), frontier_dir / "part-empty.parquet"
+            )
+        return n_new, n_next
+    parts = [t for t in results if t is not None and t.num_rows]
     if not parts:
         return _FINDINGS_SCHEMA.empty_table()
     new = pa.concat_tables(parts)
@@ -547,7 +637,17 @@ def run_crawl(
             seen.restore(
                 finding_keys(archive["url"], archive["kind"], archive["depth"])
             )
-        frontier = pq.read_table(last / "next_frontier.parquet")
+        fpath = last / "next_frontier.parquet"
+        n_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in (fpath.glob("*.parquet") if fpath.is_dir() else [fpath])
+        )
+        # footer-count only: the carried frontier is read into the driver
+        # only when small; big frontiers resume as a lazy reference
+        if n_rows <= cfg.ray_state_threshold:
+            frontier = pq.read_table(fpath)
+        else:
+            frontier = FrontierRef(str(fpath), n_rows)
     else:
         if out.exists():
             shutil.rmtree(out)
@@ -601,19 +701,33 @@ def _run_wave(
         _t = now
 
     # ---- robots gate (extension) then politeness gate (ST2) ---------------
-    frontier = politeness.with_host(frontier)
-    if robots is not None:
-        frontier, n_robots = robots.filter_frontier(frontier)
-        if n_robots:
-            wave_metrics["dropped_robots"] = n_robots
-    if frontier.num_rows <= cfg.ray_state_threshold:
-        admitted, m = politeness.admit_local(
-            frontier, counts, cfg.host_limit, cfg.priority
+    if isinstance(frontier, FrontierRef) and (
+        robots is not None or frontier.num_rows <= cfg.ray_state_threshold
+    ):
+        # robots filtering is a driver-table extension; small frontiers
+        # are cheaper on the driver fast-path anyway
+        frontier = pq.read_table(frontier.path)
+    if isinstance(frontier, FrontierRef):
+        # big frontier: it never enters driver memory — lazy parquet read
+        # + distributed politeness prep (per-block host attach and
+        # top-(limit+1) combiner inside admit_ray's Dataset branch)
+        admitted, m = politeness.admit_ray(
+            rd.read_parquet(frontier.path), counts, cfg.host_limit, cfg.priority
         )
     else:
-        admitted, m = politeness.admit_ray(
-            frontier, counts, cfg.host_limit, cfg.priority
-        )
+        frontier = politeness.with_host(frontier)
+        if robots is not None:
+            frontier, n_robots = robots.filter_frontier(frontier)
+            if n_robots:
+                wave_metrics["dropped_robots"] = n_robots
+        if frontier.num_rows <= cfg.ray_state_threshold:
+            admitted, m = politeness.admit_local(
+                frontier, counts, cfg.host_limit, cfg.priority
+            )
+        else:
+            admitted, m = politeness.admit_ray(
+                frontier, counts, cfg.host_limit, cfg.priority
+            )
     wave_metrics.update(m)
     _mark("politeness")
 
@@ -625,34 +739,25 @@ def _run_wave(
     pq.write_table(order, wave_dir / "admitted.parquet")
 
     # ---- fetch (corpus pushdown scan) + parse + image projection ----------
-    lookups, m = build_lookups(admitted)
+    # the lookup side is built VECTORIZED (Arrow kernels, no per-row driver
+    # parse) and broadcast as an Arrow table — zero-copy plasma reads in
+    # every scan task, not a pickled Python dict
+    lookup_tbl, m = build_lookup_table(admitted)
     wave_metrics.update(m)
     parsed_dir = wave_dir / "parsed"
     n_files_pruned = 0
     parsed_mat = None
-    n_pages_dispatched = sum(
-        1 for v in lookups.values() for e in v if e[1] == "page"
-    )
-    n_images_dispatched = sum(
-        1 for v in lookups.values() for e in v if e[1] == "image"
-    )
-    if lookups and fetcher_cls is not None:
+    n_pages_dispatched = pc.sum(
+        pc.cast(pc.equal(lookup_tbl["kind"], "page"), pa.int64())
+    ).as_py() or 0
+    n_images_dispatched = lookup_tbl.num_rows - n_pages_dispatched
+    if lookup_tbl.num_rows and fetcher_cls is not None:
         # pluggable fetch path (stages/fetch.py): actor-pool fetch over the
         # admitted dispatches; downstream parse identical to the scan path
         from ..stages.fetch import FETCH_IN_SCHEMA
 
-        rows = [
-            (fu, url_s, kind, depth)
-            for fu, entries in sorted(lookups.items())
-            for (url_s, kind, depth) in entries
-        ]
-        fetch_tbl = pa.table(
-            {
-                "fetch_url": pa.array([r[0] for r in rows], pa.string()),
-                "url": pa.array([r[1] for r in rows], pa.string()),
-                "kind": pa.array([r[2] for r in rows], pa.string()),
-                "depth": pa.array([r[3] for r in rows], pa.int32()),
-            }
+        fetch_tbl = lookup_tbl.sort_by(
+            [(c, "ascending") for c in ("fetch_url", "url", "kind", "depth")]
         ).cast(FETCH_IN_SCHEMA)
         n_blocks = max(1, min(32, fetch_tbl.num_rows // max(1, cfg.batch_size)))
         parsed = (
@@ -677,7 +782,7 @@ def _run_wave(
         )
         parsed_mat = parsed.materialize()
         parsed_mat.write_parquet(str(parsed_dir), partition_cols=["rec"])
-    elif lookups and admitted.num_rows <= cfg.scan_task_path_limit:
+    elif lookup_tbl.num_rows and admitted.num_rows <= cfg.scan_task_path_limit:
         # Small-wave task fast-path: one Ray task per PRUNED corpus file
         # runs probe+parse; the driver writes the hive checkpoint in one
         # pq.write_table per record type. A Ray Data pipeline pays two
@@ -689,12 +794,12 @@ def _run_wave(
         # parallel write wins.
         import ray
 
-        sorted_urls = sorted(lookups.keys())
+        sorted_urls = sorted(set(lookup_tbl["fetch_url"].to_pylist()))
         files = index.files_for(sorted_urls)
         n_files_pruned = len(index.files) - len(files)
         if files:
             task = _scan_parse_file_task()
-            lookups_ref = ray.put(lookups)
+            lookups_ref = ray.put(lookup_tbl)
             parts = ray.get(
                 [
                     task.remote(f, lookups_ref, cfg.faithful_depth)
@@ -712,13 +817,13 @@ def _run_wave(
                         pq.write_table(
                             sub.drop_columns(["rec"]), d / "part-00000.parquet"
                         )
-    elif lookups:
+    elif lookup_tbl.num_rows:
         import ray
 
-        lookups_ref = ray.put(lookups)
+        lookups_ref = ray.put(lookup_tbl)
 
         def attach(batch: pa.Table) -> pa.Table:
-            return attach_frontier(batch, _cached_get(lookups_ref))
+            return attach_frontier_join(batch, _cached_get(lookups_ref))
 
         # Two-level probe-side pruning. FILE level: parquet footer url
         # ranges (CorpusIndex) — a wave only reads files that can contain
@@ -728,12 +833,13 @@ def _run_wave(
         # non-matched html out of the object store; for LARGE waves the
         # expression itself (10^5 strings serialized into every read task,
         # hash-set rebuilt per row group) costs more than it prunes, so
-        # the broadcast lookup dict inside attach_frontier filters instead.
-        sorted_urls = sorted(lookups.keys())
+        # the broadcast lookup table inside attach_frontier_join filters
+        # instead.
+        sorted_urls = sorted(set(lookup_tbl["fetch_url"].to_pylist()))
         files = index.files_for(sorted_urls)
         n_files_pruned = len(index.files) - len(files)
         if files:  # else: no file can hold an admitted url — all misses
-            if len(lookups) <= cfg.scan_pushdown_limit:
+            if len(sorted_urls) <= cfg.scan_pushdown_limit:
                 ds = rd.read_parquet(
                     files,
                     columns=["url", "html"],
@@ -812,20 +918,30 @@ def _run_wave(
 
     if findings is not None:
         new = _probe_new(findings, seen, cfg.faithful_depth)
+        _mark("seen_probe")
+        pq.write_table(
+            new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),
+            wave_dir / "archive_delta.parquet",
+        )
+        # depth gate (on the discovering response's depth, main.rs:132-134)
+        gated = new.filter(pc.less(new["src_depth"], cfg.depth_limit))
+        next_frontier = (
+            gated.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA)
+        )
+        pq.write_table(next_frontier, wave_dir / "next_frontier.parquet")
+        n_new, n_next = new.num_rows, next_frontier.num_rows
     else:
-        new = _probe_new_streaming(rd, parsed_dir, seen, wave, parsed_mat)
-    _mark("seen_probe")
-    pq.write_table(
-        new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),
-        wave_dir / "archive_delta.parquet",
-    )
-
-    # ---- depth gate (on the discovering response's depth, main.rs:132-134)
-    gated = new.filter(pc.less(new["src_depth"], cfg.depth_limit))
-    next_frontier = (
-        gated.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA)
-    )
-    pq.write_table(next_frontier, wave_dir / "next_frontier.parquet")
+        # streaming probe in SINK mode: the reduce tasks write this wave's
+        # archive delta and depth-gated next frontier directly (one part
+        # per bucket); the driver receives two integers, nothing else
+        n_new, n_next = _probe_new_streaming(
+            rd, parsed_dir, seen, wave, parsed_mat,
+            sink=(wave_dir, cfg.depth_limit),
+        )
+        _mark("seen_probe")
+        next_frontier = FrontierRef(
+            str(wave_dir / "next_frontier.parquet"), n_next
+        )
 
     # ---- carried state snapshots + lineage --------------------------------
     pq.write_table(
@@ -854,8 +970,8 @@ def _run_wave(
         frontier_rows=frontier.num_rows,
         admitted=admitted.num_rows,
         findings=n_findings,
-        new_findings=new.num_rows,
-        next_frontier=next_frontier.num_rows,
+        new_findings=n_new,
+        next_frontier=n_next,
         metrics=dict(wave_metrics),
     )
     _mark("state_writes")

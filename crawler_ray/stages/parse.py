@@ -9,11 +9,13 @@ write, main.rs:264-281), re-expressed as one Ray Data pass per wave:
       → map_batches(process_wave_batch)     # parse pages, project images
 
 The corpus scan IS the join: the admitted frontier (small side, bounded by
-politeness at 257/host) is broadcast as a lookup dict via ``ray.put``, and
-the ``isin`` filter prunes corpus row groups at the read (predicate
-pushdown), so only the wave's pages leave storage. At 10^10-frontier scale
-with a corpus laid out in hash(url) buckets this becomes a bucket-pruned
-scan; the broadcast-probe shape is unchanged.
+politeness at 257/host) is broadcast as an Arrow lookup TABLE via
+``ray.put`` (zero-copy plasma reads per task) and each scan task runs an
+``is_in`` semi-filter + Arrow hash join, and the ``isin`` filter prunes
+corpus row groups at the read (predicate pushdown), so only the wave's
+pages leave storage. At 10^10-frontier scale with a corpus laid out in
+hash(url) buckets this becomes a bucket-pruned scan; the broadcast-probe
+shape is unchanged.
 
 Output is a single tagged stream (rec ∈ {'f','t','i','m'}) so one
 write_parquet both checkpoints the wave and feeds the seen-probe read-back:
@@ -29,9 +31,19 @@ from __future__ import annotations
 from collections import Counter
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import urlnorm as un
 from ..html_extract import extract
+
+LOOKUP_SCHEMA = pa.schema(
+    [
+        ("fetch_url", pa.string()),
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("depth", pa.int32()),
+    ]
+)
 
 PARSED_SCHEMA = pa.schema(
     [
@@ -72,6 +84,90 @@ def build_lookups(
             (url_s, kind, int(depth))
         )
     return lookups, metrics
+
+
+def build_lookup_table(admitted: pa.Table) -> tuple[pa.Table, Counter]:
+    """Vectorized ``build_lookups``: admitted frontier rows → a LOOKUP_SCHEMA
+    table of (fetch_url, url, kind, depth) — the per-wave join side against
+    the corpus. Frontier URLs are canonical serializations (seeds and
+    parse_links both round-trip through urlnorm — same invariant
+    ``with_host`` relies on), so the scheme is the text before the first
+    ``:`` and the fetch key is the url with its fragment stripped: two Arrow
+    kernels, no per-row ``un.parse`` on the driver. Differential-tested
+    against the reference-semantics ``build_lookups`` in
+    test_crawl_engine.py. The broadcast unit is an Arrow table (zero-copy
+    plasma reads in every scan task), not a pickled Python dict."""
+    metrics: Counter = Counter()
+    if admitted.num_rows == 0:
+        return LOOKUP_SCHEMA.empty_table(), metrics
+    urls = admitted["url"]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    scheme = pc.struct_field(pc.extract_regex(urls, r"^(?P<s>[^:]*):"), "s")
+    ok = pc.fill_null(
+        pc.is_in(scheme, value_set=pa.array(["http", "https"])), False
+    )
+    n_bad = admitted.num_rows - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+    if n_bad:
+        # non-http/https schemes fail at the fetch layer (reqwest builder
+        # error, main.rs:111-117) — dropped with a metric; they already
+        # counted against the host budget at dispatch (main.rs:103-107)
+        metrics["fetch_unsupported_scheme"] += int(n_bad)
+        admitted = admitted.filter(ok)
+        urls = admitted["url"].combine_chunks()
+        if admitted.num_rows == 0:
+            return LOOKUP_SCHEMA.empty_table(), metrics
+    fetch = pc.replace_substring_regex(urls, pattern=r"(?s)#.*$", replacement="")
+    tbl = pa.table(
+        {
+            "fetch_url": fetch,
+            "url": urls,
+            "kind": admitted["kind"],
+            "depth": admitted["depth"],
+        }
+    ).cast(LOOKUP_SCHEMA)
+    return tbl.combine_chunks(), metrics
+
+
+def attach_frontier_join(batch: pa.Table, lookups: pa.Table) -> pa.Table:
+    """Vectorized form of ``attach_frontier``: corpus (url, html) rows →
+    one row per admitted frontier entry resolving to them, via an ``is_in``
+    semi-filter (unmatched html never leaves Arrow) + one Arrow hash join.
+    Output is sorted (url, kind, depth) so the parsed checkpoint's row
+    order is deterministic regardless of scan order."""
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "kind": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "html": batch["html"].slice(0, 0)
+            if "html" in batch.column_names
+            else pa.array([], pa.binary()),
+        }
+    )
+    if batch.num_rows == 0 or lookups.num_rows == 0:
+        return empty
+    m = pc.is_in(batch["url"], value_set=lookups["fetch_url"].combine_chunks())
+    sub = batch.select(["url", "html"]).filter(m)
+    if sub.num_rows == 0:
+        return empty
+    joined = sub.join(
+        lookups.rename_columns(["fetch_url", "frontier_url", "kind", "depth"]),
+        keys="url",
+        right_keys="fetch_url",
+        join_type="inner",
+    )
+    out = pa.table(
+        {
+            "url": joined["frontier_url"],
+            "kind": joined["kind"],
+            "depth": joined["depth"],
+            "html": joined["html"],
+        }
+    )
+    return out.sort_by(
+        [("url", "ascending"), ("kind", "ascending"), ("depth", "ascending")]
+    )
 
 
 def attach_frontier(batch: pa.Table, lookups: dict) -> pa.Table:

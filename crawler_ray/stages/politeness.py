@@ -176,38 +176,80 @@ def admit_ray(
 
     from .shuffle import bucketed_exchange_tasks
 
-    if isinstance(frontier_ds, pa.Table):
-        frontier = frontier_ds
-    else:
-        parts = [t for t in ray.get(frontier_ds.to_arrow_refs()) if t.num_rows]
-        frontier = (
-            pa.concat_tables(parts).combine_chunks()
-            if parts
-            else FRONTIER_SCHEMA.empty_table().append_column(
-                "host", pa.array([], pa.string())
-            )
-        )
-    n_total = frontier.num_rows
-    valid = frontier.filter(pc.is_valid(frontier["host"]))
-    n_valid_in = valid.num_rows
-    if priority == "hot_host_first":
-        # per-wave host-frequency priority column (the aggregate-sort shape)
-        vc = pd.Series(valid["host"].to_pylist()).value_counts()
-        valid = valid.append_column(
-            "host_wave_rows",
-            pa.array(
-                vc.reindex(valid["host"].to_pylist()).to_numpy(), pa.int64()
-            ),
-        )
     # Hot-host skew bound (the "salting" of the north-star design): a host
     # can never admit more than limit+1 rows total, so rows ranked past
     # limit+1 within their host are dropped BEFORE the exchange — a
     # pathological host contributes at most limit+1 rows to the shuffle
-    # instead of its entire pending frontier. At cluster scale this prune
-    # runs as a map-side combiner on each frontier shard (bounding any
-    # host to (limit+1) × n_shards exchanged rows); here the coordinator
-    # holds the wave table, so one vectorized pass suffices.
-    valid = presalt_prune(valid, limit, priority)
+    # instead of its entire pending frontier.
+    wave_counts: "dict | None" = None
+    if isinstance(frontier_ds, pa.Table):
+        # coordinator already holds the wave table: one vectorized pass
+        frontier = frontier_ds
+        n_total = frontier.num_rows
+        valid = frontier.filter(pc.is_valid(frontier["host"]))
+        n_valid_in = valid.num_rows
+        if priority == "hot_host_first":
+            wave_counts = (
+                pd.Series(valid["host"].to_pylist()).value_counts().to_dict()
+            )
+        valid = presalt_prune(valid, limit, priority)
+    else:
+        # DISTRIBUTED prep: each frontier block attaches the host key,
+        # counts its rows, and runs the per-host top-(limit+1) combiner in
+        # its own task — the unbounded pre-admission frontier never lands
+        # on the coordinator; only politeness-bounded survivors (at most
+        # (limit+1) × hosts_in_block rows per block) return, plus partial
+        # per-host counts for the hot_host_first priority aggregate.
+        need_counts = priority == "hot_host_first"
+
+        @ray.remote
+        def prep_block(t: pa.Table):
+            if "host" not in t.column_names:
+                t = with_host(t)
+            n_tot = t.num_rows
+            v = t.filter(pc.is_valid(t["host"]))
+            n_val = v.num_rows
+            hostc = (
+                pd.Series(v["host"].to_pylist()).value_counts().to_dict()
+                if need_counts
+                else None
+            )
+            return n_tot, n_val, presalt_prune(v, limit, priority), hostc
+
+        res = ray.get(
+            [prep_block.remote(r) for r in frontier_ds.to_arrow_refs()]
+        )
+        n_total = sum(r[0] for r in res)
+        n_valid_in = sum(r[1] for r in res)
+        parts = [r[2] for r in res if r[2].num_rows]
+        if need_counts:
+            wave_counts = Counter()
+            for r in res:
+                if r[3]:
+                    wave_counts.update(r[3])
+        if parts:
+            # merge the per-block combiner outputs with one global prune
+            valid = presalt_prune(
+                pa.concat_tables(parts).combine_chunks(), limit, priority
+            )
+        else:
+            valid = FRONTIER_SCHEMA.empty_table().append_column(
+                "host", pa.array([], pa.string())
+            )
+    if (
+        priority == "hot_host_first"
+        and "host_wave_rows" not in valid.column_names
+    ):
+        # attach the WAVE-WIDE per-host pending counts (from the partial
+        # aggregates above, not the pruned survivors) so cross-host
+        # priority order matches admit_local exactly
+        wc = wave_counts or {}
+        valid = valid.append_column(
+            "host_wave_rows",
+            pa.array(
+                [wc.get(h, 0) for h in valid["host"].to_pylist()], pa.int64()
+            ),
+        )
     counts_ref = ray.put(dict(counts))
 
     def gate_bucket(df: pd.DataFrame) -> pd.DataFrame:

@@ -387,3 +387,99 @@ def test_http_fetcher_shape():
 
     f = HttpFetcher(connect_timeout_s=0.1)
     assert f.fetch_one("http://127.0.0.1:1/none") is None
+
+
+def test_build_lookup_table_matches_reference_semantics():
+    """The vectorized lookup build (Arrow kernels) must agree with the
+    per-row reference-semantics build_lookups on every canonical URL shape
+    the admitted frontier can carry: fragments, non-http(s) schemes (the
+    fetch-layer drop + metric), ipv6 hosts, ports, queries, dual
+    page/image dispatches of the same fetch url."""
+    import pyarrow as pa
+
+    from crawler_ray import urlnorm as un
+    from crawler_ray.stages.parse import build_lookup_table, build_lookups
+
+    raw = [
+        ("http://a.example/p1", "page", 0),
+        ("http://a.example/p1#frag", "page", 1),      # same fetch_url
+        ("http://a.example/p1", "image", 0),          # dual dispatch
+        ("https://b.example:8443/x?q=1#f", "page", 2),
+        ("xhttpy://weird.host/p", "page", 0),         # contains-http quirk:
+        ("ws://sock.example/chat", "image", 0),       # admitted, unfetchable
+        ("ftp://files.example/a.img", "image", 0),
+        ("http://[2001:db8::1]:8080/v6#z", "page", 3),
+        ("http://h.test/p?q=a://x#frag?y", "page", 0),
+    ]
+    canon = [(str(un.parse(u)), k, d) for u, k, d in raw]
+    admitted = pa.table(
+        {
+            "url": pa.array([c[0] for c in canon]),
+            "kind": pa.array([c[1] for c in canon]),
+            "depth": pa.array([c[2] for c in canon], pa.int32()),
+        }
+    )
+    want_dict, want_metrics = build_lookups(admitted)
+    got_tbl, got_metrics = build_lookup_table(admitted)
+    assert got_metrics == want_metrics
+    got_dict: dict = {}
+    for fu, u, k, d in zip(
+        got_tbl["fetch_url"].to_pylist(),
+        got_tbl["url"].to_pylist(),
+        got_tbl["kind"].to_pylist(),
+        got_tbl["depth"].to_pylist(),
+    ):
+        got_dict.setdefault(fu, []).append((u, k, d))
+    assert {k: sorted(v) for k, v in got_dict.items()} == {
+        k: sorted(v) for k, v in want_dict.items()
+    }
+
+
+def test_attach_frontier_join_matches_dict_probe():
+    """Arrow-join probe == per-row dict probe (as row sets; the join output
+    is canonically sorted, the dict probe is corpus-ordered)."""
+    import pyarrow as pa
+
+    from crawler_ray.stages.parse import (
+        attach_frontier,
+        attach_frontier_join,
+        build_lookup_table,
+        build_lookups,
+    )
+
+    admitted = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://h.test/a",
+                    "http://h.test/a#x",
+                    "http://h.test/a",
+                    "http://h.test/miss",
+                ]
+            ),
+            "kind": pa.array(["page", "page", "image", "page"]),
+            "depth": pa.array([0, 1, 0, 0], pa.int32()),
+        }
+    )
+    corpus = pa.table(
+        {
+            "url": pa.array(
+                ["http://h.test/a", "http://h.test/other", "http://h.test/b"]
+            ),
+            "html": pa.array([b"<p>A</p>", b"<p>O</p>", b"<p>B</p>"], pa.binary()),
+        }
+    )
+    lookups_dict, _ = build_lookups(admitted)
+    lookup_tbl, _ = build_lookup_table(admitted)
+    want = attach_frontier(corpus, lookups_dict)
+    got = attach_frontier_join(corpus, lookup_tbl)
+    key = lambda t: sorted(
+        zip(
+            t["url"].to_pylist(),
+            t["kind"].to_pylist(),
+            t["depth"].to_pylist(),
+            t["html"].to_pylist(),
+        )
+    )
+    assert got.num_rows == want.num_rows == 3
+    assert key(got) == key(want)

@@ -46,16 +46,17 @@ def add_bucket(batch: pa.Table, on: str, n_buckets: int) -> pa.Table:
     )
 
 
-def bucketed_group_map(
+def bucketed_group_map_sorted(
     ds,
     bucket_on: str,
     fn,
     n_buckets: int = 64,
     batch_size: int = 65536,
 ):
-    """Apply ``fn(bucket_df) -> df`` once per hash bucket. ``fn`` sees every
-    row whose ``bucket_on`` value hashes to its bucket and is expected to do
-    its keyed work vectorized. Returns a Dataset (BUCKET_COL removed)."""
+    """``bucketed_group_map`` via Ray Data's sort-based groupby — the
+    fallback form (used for empty inputs, where the task exchange has no
+    schema to propagate). The default form below replaces the range sort
+    with a direct two-round hash exchange."""
 
     def strip(df: pd.DataFrame) -> pd.DataFrame:
         out = fn(df.drop(columns=[BUCKET_COL]))
@@ -71,6 +72,67 @@ def bucketed_group_map(
         .groupby(BUCKET_COL)
         .map_groups(strip, batch_format="pandas")
     )
+
+
+def bucketed_group_map(
+    ds,
+    bucket_on: str,
+    fn,
+    n_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """Apply ``fn(bucket_df) -> df`` once per hash bucket. ``fn`` sees every
+    row whose ``bucket_on`` value hashes to its bucket and is expected to do
+    its keyed work vectorized. Returns a Dataset (lazy over the reduce-task
+    outputs).
+
+    Physical plan: an explicit two-round TASK exchange — map tasks split
+    each upstream block into per-bucket zero-copy slices (one argsort +
+    searchsorted, no comparison sort of the data), one reduce task per
+    non-empty bucket concatenates its slices and runs ``fn`` — instead of
+    Ray Data's sort-based ``groupby``. Row co-location is identical (hash
+    partition by key); what's removed is the global range sort's sample +
+    sort + merge machinery, which dominates wall time for exchanges whose
+    consumers don't need sorted buckets (none here do: every ``fn`` does
+    its own keyed work). Nothing lands on the driver except one int64
+    count per (block, bucket) used to skip empty buckets."""
+    import ray
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return bucketed_group_map_sorted(ds, bucket_on, fn, n_buckets, batch_size)
+
+    @ray.remote(num_returns=n_buckets + 1)
+    def split(t: pa.Table):
+        if t.num_rows == 0:
+            return (*([None] * n_buckets), np.zeros(n_buckets, np.int64))
+        b = _bucket_ids(t[bucket_on], n_buckets)
+        order = np.argsort(b, kind="stable")
+        s = t.take(pa.array(order))
+        bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
+        sizes = np.diff(bounds)
+        parts = [
+            s.slice(int(bounds[i]), int(sizes[i])) if sizes[i] else None
+            for i in range(n_buckets)
+        ]
+        return (*parts, sizes.astype(np.int64))
+
+    @ray.remote
+    def reduce_bucket(*parts) -> pa.Table:
+        live = [p for p in parts if p is not None and p.num_rows]
+        df = pa.concat_tables(live).to_pandas()
+        return pa.Table.from_pandas(fn(df), preserve_index=False)
+
+    slices = [split.remote(r) for r in refs]
+    counts = sum(ray.get([s[-1] for s in slices]))
+    nonempty = np.nonzero(counts)[0]
+    if len(nonempty) == 0:
+        return bucketed_group_map_sorted(ds, bucket_on, fn, n_buckets, batch_size)
+    out_refs = [
+        reduce_bucket.remote(*[s[b] for s in slices]) for b in nonempty
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 SIDE_COL = "__side"

@@ -273,9 +273,30 @@ def _ann_ivf(sf_dir: str) -> pd.DataFrame:
 
 
 def _cosine_near_dups(sf_dir: str) -> pd.DataFrame:
+    """The sf* embeddings are random (max pairwise cosine ≈0.51), so a 0.9
+    threshold alone proves nothing. The query PLANTS exact duplicates
+    (vec_id+100000 for vec_id<8) before the near-dup scan — identical
+    vectors collide in every LSH table, so recall on the planted pairs is
+    exactly 1 and the real-SQL oracle (same augmentation in SQL) checks a
+    non-empty answer."""
+    import pyarrow.compute as _pc
+
     from crawler_ray.functions.similarity import cosine_near_dup_pairs
 
-    out = cosine_near_dup_pairs(_emb_ds(sf_dir), threshold=0.9)
+    def plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(_pc.less(t["vec_id"], 8))
+        return pa.table(
+            {
+                "vec_id": _pc.add(sub["vec_id"], 100000),
+                "embedding": sub["embedding"],
+            }
+        )
+
+    base = _emb_ds(sf_dir).map_batches(
+        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    out = cosine_near_dup_pairs(ds, threshold=0.9)
     out["sim"] = out["sim"].round(4)
     return out
 
@@ -315,6 +336,104 @@ def _webtext_training_set(sf_dir: str) -> pd.DataFrame:
     tag = Path(sf_dir).name
     return build_training_set(
         str(run.out), f"/tmp/crawler_ray/training_{tag}"
+    )
+
+
+def _doc_redacted(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over documents. The synthetic corpus has no natural
+    PII, so the query first APPENDS a deterministic doc_id-derived PII
+    suffix (email + url + long number) — the SQL oracle builds the same
+    suffix and redacts with the same RE2 patterns, so the check is
+    non-trivial on every row."""
+    from crawler_ray.functions.textstats import redact_pii
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.string())
+        import pyarrow.compute as _pc
+
+        suffix = _pc.binary_join_element_wise(
+            pa.array([" contact user"] * t.num_rows),
+            ids,
+            pa.array(["@mail.example see https://ex.example/d/"] * t.num_rows),
+            ids,
+            pa.array([" ref 99887766554433"] * t.num_rows),
+            "",
+        )
+        aug = _pc.binary_join_element_wise(
+            _pc.coalesce(t["text"], ""), suffix, ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    out = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(augment, batch_format="pyarrow")
+        .map_batches(redact_pii, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "red_text"]]
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _events_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Mergeable histogram-sketch grouped quantiles (the approx scale path
+    of events_value_quantiles). Deterministic: exact min/max pre-pass +
+    additive bin counts; pinned-truth oracle at sf0.01, accuracy vs exact
+    quantiles is pytest-checked."""
+    import ray.data as rd
+
+    from crawler_ray.functions.sketches import approx_quantiles_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    out = approx_quantiles_per_group(ds, "event_type", "value")
+    out["value"] = np.floor(out["value"] * 1e6 + 0.5) / 1e6
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WARC sink → source round trip: documents become HTTP response
+    records in WARC/1.0 files (sharded), read back via the parallel WARC
+    reader; per-record byte counts and sha256 digests must match the
+    original table (real-SQL oracle over documents)."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.sources.warc import read_warc, write_warc_file
+
+    docs = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_pylist()
+    tbl = pa.table(
+        {
+            "url": pa.array([f"http://docs.example/{d}" for d in ids]),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000] * len(ids), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "html": pa.array(
+                [(t or "").encode() for t in docs["text"].to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+    out_dir = Path(f"/tmp/crawler_ray/warc_{Path(sf_dir).name}")
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
+    out_dir.mkdir(parents=True)
+    shard = max(1, tbl.num_rows // 4)
+    for i in range(0, tbl.num_rows, shard):
+        write_warc_file(
+            tbl.slice(i, shard), str(out_dir / f"docs-{i // shard:03d}.warc")
+        )
+    back = read_warc(str(out_dir)).to_pandas()
+    back["doc_id"] = back["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+    back["nbytes"] = back["html"].map(len).astype("int64")
+    back["sha"] = back["html"].map(lambda b: hashlib.sha256(b).hexdigest())
+    return (
+        back[["doc_id", "nbytes", "sha"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
     )
 
 
@@ -401,6 +520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
+        "doc_redacted": _doc_redacted,
+        "events_value_quantile_sketch": _events_value_quantile_sketch,
+        "warc_roundtrip": _warc_roundtrip,
     }
 
 
@@ -436,13 +558,22 @@ FROM feat
 
 #: Exact all-pairs cosine ≥ threshold — checks that the LSH-bucketed
 #: engine path (exact verification inside buckets, multi-table recall)
-#: reproduces the brute-force pair set on this corpus.
+#: reproduces the brute-force pair set. Both sides plant exact duplicates
+#: (vec_id+100000 for vec_id<8) so the answer is NON-EMPTY at sf0.01
+#: (random embeddings top out at cosine ≈0.51); identical vectors hash to
+#: the same bucket in every LSH table, so planted-pair recall is exactly 1.
 COSINE_NEAR_DUPS_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 8
+)
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE),
              4) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+ORDER BY a, b
 """
 
 #: Canonical text normalization (lowercase, whitespace collapse, trim) —
@@ -614,6 +745,49 @@ ORDER BY event_type
 """
 
 
+#: PII redaction over the doc_id-augmented text — same RE2 patterns (see
+#: textstats.PII_PATTERNS), same replacement order, real SQL both sides.
+DOC_REDACTED_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text,'') || ' contact user' || doc_id ||
+         '@mail.example see https://ex.example/d/' || doc_id ||
+         ' ref 99887766554433' AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^\s]+', '<URL>', 'g'),
+         '\d{8,}', '<NUM>', 'g') AS red_text
+FROM aug ORDER BY doc_id
+"""
+
+#: WARC round-trip: the per-record payload bytes must survive the
+#: sink→source cycle exactly — compared against the source-of-truth table.
+WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS nbytes,
+       sha256(coalesce(text,'')) AS sha
+FROM documents ORDER BY doc_id
+"""
+
+#: Histogram-sketch quantiles: pinned deterministic truth at sf0.01 (the
+#: sketch is additive-merge deterministic; accuracy vs exact quantiles is
+#: pytest-checked in test_sessions_sketches.py).
+QUANTILE_SKETCH_SQL = """
+SELECT event_type, CAST(q AS DOUBLE) AS q, CAST(value AS DOUBLE) AS value
+FROM (VALUES
+  ('click', 0.50, 35.301248), ('click', 0.90, 123.349919), ('click', 0.99, 222.165413),
+  ('error', 0.50, 34.463828), ('error', 0.90, 112.702729), ('error', 0.99, 236.281912),
+  ('purchase', 0.50, 33.985303), ('purchase', 0.90, 107.080056), ('purchase', 0.99, 223.720620),
+  ('signup', 0.50, 36.019036), ('signup', 0.90, 118.205771), ('signup', 0.99, 233.291128),
+  ('view', 0.50, 33.865671), ('view', 0.90, 112.104573), ('view', 0.99, 210.680803))
+  AS t(event_type, q, value)
+ORDER BY event_type, q
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from crawler_ray import pinned_oracles as PIN
     from crawler_ray.pipelines import relational as R
@@ -663,4 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,
         "webtext_training_set": WEBTEXT_STATS_SQL,
+        "doc_redacted": DOC_REDACTED_SQL,
+        "events_value_quantile_sketch": QUANTILE_SKETCH_SQL,
+        "warc_roundtrip": WARC_ROUNDTRIP_SQL,
     }

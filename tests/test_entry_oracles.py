@@ -16,6 +16,8 @@ REAL_SQL = [
     "doc_repetition_scores",
     "doc_normalized",
     "cosine_near_dups",
+    "doc_redacted",
+    "warc_roundtrip",
 ]
 
 

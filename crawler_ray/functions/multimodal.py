@@ -64,19 +64,54 @@ def wrap_binary(batch: pa.Table, data_col: str, kind: str) -> pa.Table:
 
 
 class DecodeImage:
-    """Actor-pool decode stage. __init__ loads the codec once per actor
-    (stubbed); __call__ decodes a batch and appends width/height/channels
-    plus a small feature vector."""
+    """Actor-pool decode stage. ``__init__`` loads the codec ONCE per actor:
+    it import-tries PIL and keeps the module handles if present; without a
+    codec library the deterministic fake decode substitutes (``codec="fake"``
+    forces it, ``codec="pil"`` requires the real one). ``strict=True`` means
+    "never fake": with PIL present strict mode exercises the REAL decode
+    path; without it (this container ships no image library) the codec
+    boundary raises NotImplementedError — the honest production stub."""
 
-    def __init__(self, strict: bool = False) -> None:
+    def __init__(self, strict: bool = False, codec: str = "auto") -> None:
         self.strict = strict
-        self.codec = None  # a real build would load PIL/turbojpeg here
+        self.codec = None
+        if codec in ("auto", "pil"):
+            try:
+                import io as _io
+
+                from PIL import Image as _Image  # optional, not shipped here
+
+                self.codec = (_Image, _io)
+            except ImportError:
+                if codec == "pil":
+                    raise
 
     def _decode(self, data: bytes) -> tuple[int, int, int, np.ndarray]:
+        if self.codec is not None:
+            _Image, _io = self.codec
+            try:
+                img = _Image.open(_io.BytesIO(data or b""))
+                img.load()
+                w, h = img.size
+                c = len(img.getbands())
+                # small deterministic feature vector: 4×4 grayscale grid
+                feats = (
+                    np.asarray(
+                        img.convert("L").resize((4, 4)), dtype=np.float32
+                    ).reshape(-1)
+                    / 255.0
+                )
+                return w, h, c, feats
+            except NotImplementedError:
+                raise
+            except Exception:
+                if self.strict:
+                    raise  # undecodable bytes are an error in strict mode
+                # else fall through to the deterministic fake
         if self.strict:
             raise NotImplementedError(
                 "image codec not available in this environment; "
-                "install pillow/turbojpeg and load it in __init__"
+                "install pillow/turbojpeg (DecodeImage picks it up per actor)"
             )
         # deterministic fake decode: dims + features derived from content
         h = hashlib.blake2b(data or b"", digest_size=16).digest()

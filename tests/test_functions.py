@@ -551,3 +551,55 @@ def test_multimodal_plumbing(ray_session):
         DecodeImage(strict=True)._decode(b"")
 
     assert suggest_batch_size(1 << 20) == 64
+
+
+def test_decode_image_real_codec_path():
+    """DecodeImage's real-codec branch (taken when PIL imports): validate
+    the dispatch and feature plumbing with a minimal stand-in codec, since
+    this container ships no image library. With a codec wired in, strict
+    mode must use it (not raise), decode errors must fall back to the fake
+    in lenient mode, and ``codec='pil'`` must raise here (PIL absent)."""
+    import io
+
+    import numpy as np
+    import pytest as _pytest
+
+    from crawler_ray.functions.multimodal import DecodeImage
+
+    class _Img:
+        size = (320, 200)
+
+        def load(self):
+            pass
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return np.zeros((4, 4), dtype=np.uint8) + 128
+
+    class _ImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(3) != b"IMG":
+                raise ValueError("not an image")
+            return _Img()
+
+    d = DecodeImage(strict=True)
+    d.codec = (_ImageMod, io)
+    w, h, c, feats = d._decode(b"IMG....")
+    assert (w, h, c) == (320, 200, 3)
+    assert feats.shape == (16,) and np.allclose(feats, 128 / 255.0)
+    with _pytest.raises(ValueError):  # strict: undecodable bytes surface
+        d._decode(b"garbage")
+
+    lenient = DecodeImage(strict=False)
+    lenient.codec = (_ImageMod, io)
+    w2, h2, c2, f2 = lenient._decode(b"garbage")  # falls back to the fake
+    assert c2 == 3 and f2.shape == (16,)
+
+    with _pytest.raises(ImportError):
+        DecodeImage(codec="pil")  # no PIL in this container

@@ -107,6 +107,56 @@ def _scan_parse_file_task():
     return _SCAN_TASK
 
 
+_FPW_TASK = None
+
+
+def _fetch_parse_write_task():
+    """Lazily-decorated Ray task: parse ONE shard's fetched pages and write
+    its slice of the wave checkpoint directly (rec=*/part-{shard}.parquet)
+    — the driver receives one integer per shard, never page bytes."""
+    global _FPW_TASK
+    if _FPW_TASK is None:
+        import ray
+
+        @ray.remote
+        def fetch_parse_write(
+            fetched: "pa.Table | None",
+            parsed_dir: str,
+            part: int,
+            faithful_depth: bool,
+            codec: str,
+            batch_size: int,
+        ) -> int:
+            if fetched is None or fetched.num_rows == 0:
+                return 0
+            outs = []
+            for off in range(0, fetched.num_rows, batch_size):
+                o = process_wave_batch(
+                    fetched.slice(off, batch_size),
+                    faithful_depth=faithful_depth,
+                )
+                if o.num_rows:
+                    outs.append(o)
+            if not outs:
+                return 0
+            t = pa.concat_tables(outs)
+            pdir = Path(parsed_dir)
+            for rec in ("f", "t", "i", "m"):
+                sub = t.filter(pc.equal(t["rec"], rec))
+                if sub.num_rows:
+                    d = pdir / f"rec={rec}"
+                    d.mkdir(parents=True, exist_ok=True)
+                    pq.write_table(
+                        sub.drop_columns(["rec"]),
+                        d / f"part-{part:05d}.parquet",
+                        compression=codec,
+                    )
+            return t.num_rows
+
+        _FPW_TASK = fetch_parse_write
+    return _FPW_TASK
+
+
 @dataclass
 class CrawlConfig:
     depth_limit: int = 4
@@ -139,6 +189,13 @@ class CrawlConfig:
     # checkpoint — the wave's text/image payloads never occupy the object
     # store twice, which is the only layout that fits a 10^8-page wave.
     # Measured (same A/B): streaming 17.2 s vs materialize 21.2 s.
+    use_fetch_service: bool = False  # fetch via the sharded in-memory
+    # corpus service (stages/fetch.CorpusFetchService) instead of per-wave
+    # corpus scans: corpus bytes are read ONCE (async build, overlapped
+    # with the BFS warmup waves) and each wave then moves only the admitted
+    # pages' bytes — the cost model of a real fetch fleet, where bytes/wave
+    # ∝ dispatches and fetch capacity scales with nodes.
+    fetch_service_shards: int | None = None  # default: num_seen_shards
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -674,15 +731,28 @@ def run_crawl(
 
     robots = RobotsCache(corpus_path) if cfg.respect_robots else None
     index = CorpusIndex(corpus_path)
+    fetch_service = None
+    if cfg.use_fetch_service and fetcher_cls is None:
+        from ..stages.fetch import CorpusFetchService
+
+        # build starts NOW, asynchronously: the corpus streams into the
+        # shard actors while the small BFS warmup waves run on the
+        # pruned-scan fast path; the first fat wave blocks on ready()
+        fetch_service = CorpusFetchService(
+            list(index.files),
+            n_shards=cfg.fetch_service_shards or cfg.num_seen_shards,
+        )
     try:
         while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
             frontier = _run_wave(
                 rd, index, frontier, counts, seen, out, wave, cfg, robots,
-                fetcher_cls, fetcher_kwargs,
+                fetcher_cls, fetcher_kwargs, fetch_service,
             )
             wave += 1
     finally:
         seen.shutdown()
+        if fetch_service is not None:
+            fetch_service.shutdown()
     return run
 
 
@@ -698,6 +768,7 @@ def _run_wave(
     robots: "RobotsCache | None" = None,
     fetcher_cls: "type | None" = None,
     fetcher_kwargs: "dict | None" = None,
+    fetch_service=None,
 ) -> pa.Table:
     # _COMPLETE is the atomic wave-commit marker (resume only trusts marked
     # dirs); writing in place avoids a rename that would invalidate lazily
@@ -769,7 +840,37 @@ def _run_wave(
         pc.cast(pc.equal(lookup_tbl["kind"], "page"), pa.int64())
     ).as_py() or 0
     n_images_dispatched = lookup_tbl.num_rows - n_pages_dispatched
-    if lookup_tbl.num_rows and fetcher_cls is not None:
+    if lookup_tbl.num_rows and fetch_service is not None and (
+        fetch_service.is_ready()
+        or admitted.num_rows > cfg.scan_task_path_limit
+    ):
+        # Sharded fetch-service path: bytes/wave ∝ dispatches. The lookup
+        # table is hash-routed to the shard actors (same url hash the build
+        # used); each shard's hits feed one fetch_parse_write task that
+        # parses and writes its checkpoint slice directly — per wave the
+        # driver ships one lookup slice per shard and gets back one integer
+        # per shard. Warmup waves fall through to the pruned-scan fast path
+        # until the async service build seals.
+        import ray
+
+        fetch_service.ready()
+        task = _fetch_parse_write_task()
+        futures = []
+        for b, part in enumerate(fetch_service.route(lookup_tbl)):
+            if part is not None and part.num_rows:
+                fetched_ref = fetch_service.shards[b].fetch.remote(part)
+                futures.append(
+                    task.remote(
+                        fetched_ref,
+                        str(parsed_dir),
+                        b,
+                        cfg.faithful_depth,
+                        cfg.checkpoint_compression,
+                        cfg.batch_size,
+                    )
+                )
+        ray.get(futures)
+    elif lookup_tbl.num_rows and fetcher_cls is not None:
         # pluggable fetch path (stages/fetch.py): actor-pool fetch over the
         # admitted dispatches; downstream parse identical to the scan path
         from ..stages.fetch import FETCH_IN_SCHEMA
@@ -1050,6 +1151,13 @@ def main() -> None:
     ap.add_argument("--increment-depth", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--fetch-service",
+        action="store_true",
+        help="fetch via the sharded in-memory corpus service (one-pass "
+        "corpus load, per-wave bytes proportional to dispatches) instead "
+        "of per-wave corpus scans",
+    )
     args = ap.parse_args()
 
     if not ray.is_initialized():
@@ -1071,6 +1179,7 @@ def main() -> None:
             depth_limit=args.recursion_depth_limit,
             host_limit=args.host_limit,
             faithful_depth=not args.increment_depth,
+            use_fetch_service=args.fetch_service,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(

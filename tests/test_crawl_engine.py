@@ -380,6 +380,56 @@ def test_fetcher_seam_bit_identical(t1_corpus, tmp_path):
     assert fetched.metrics() == scan.metrics()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_service_bit_identical(t1_corpus, tmp_path):
+    """The sharded corpus fetch service (one-pass async build, hash-routed
+    per-wave fetches, per-shard parse+checkpoint tasks) must reproduce the
+    corpus-scan crawl exactly — including resume from a checkpoint written
+    by the OTHER path."""
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    scan = run_crawl(
+        path, seeds, str(tmp_path / "scan"), CrawlConfig(num_seen_shards=2)
+    )
+    svc = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "svc"),
+        CrawlConfig(
+            num_seen_shards=2, use_fetch_service=True, fetch_service_shards=3
+        ),
+    )
+    assert svc.n_waves() == scan.n_waves()
+    assert svc.order().equals(scan.order())
+    assert svc.archive().equals(scan.archive())
+    assert svc.host_counts() == scan.host_counts()
+    assert svc.texts() == scan.texts()
+    assert svc.image_files() == scan.image_files()
+    assert svc.metrics() == scan.metrics()
+
+    # cross-path resume: truncate the scan-path run and resume it THROUGH
+    # the service path — checkpoint layout differences must not matter
+    run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "xres"),
+        CrawlConfig(num_seen_shards=2, max_waves=2),
+    )
+    resumed = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "xres"),
+        CrawlConfig(
+            num_seen_shards=2, use_fetch_service=True, fetch_service_shards=3
+        ),
+        resume=True,
+    )
+    assert resumed.order().equals(scan.order())
+    assert resumed.archive().equals(scan.archive())
+    assert resumed.texts() == scan.texts()
+    assert resumed.metrics() == scan.metrics()
+
+
 def test_http_fetcher_shape():
     """HttpFetcher constructs without network (client built in __init__)
     and reports a miss, not an exception, on unreachable URLs."""

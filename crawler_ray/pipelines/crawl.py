@@ -118,7 +118,7 @@ def _fetch_parse_write_task():
     if _FPW_TASK is None:
         import ray
 
-        @ray.remote
+        @ray.remote(num_returns=2)
         def fetch_parse_write(
             fetched: "pa.Table | None",
             parsed_dir: str,
@@ -126,9 +126,13 @@ def _fetch_parse_write_task():
             faithful_depth: bool,
             codec: str,
             batch_size: int,
-        ) -> int:
+        ) -> "tuple[int, pa.Table | None]":
+            """Returns ``(rows_written, findings_slice)``: the findings stay
+            in the OBJECT STORE as the probe's direct input — the seen probe
+            never re-reads the checkpoint and never waits for a Ray Data
+            executor launch."""
             if fetched is None or fetched.num_rows == 0:
-                return 0
+                return 0, None
             outs = []
             for off in range(0, fetched.num_rows, batch_size):
                 o = process_wave_batch(
@@ -138,9 +142,10 @@ def _fetch_parse_write_task():
                 if o.num_rows:
                     outs.append(o)
             if not outs:
-                return 0
+                return 0, None
             t = pa.concat_tables(outs)
             pdir = Path(parsed_dir)
+            findings = None
             for rec in ("f", "t", "i", "m"):
                 sub = t.filter(pc.equal(t["rec"], rec))
                 if sub.num_rows:
@@ -151,10 +156,35 @@ def _fetch_parse_write_task():
                         d / f"part-{part:05d}.parquet",
                         compression=codec,
                     )
-            return t.num_rows
+                    if rec == "f":
+                        findings = sub.select(
+                            ["src_url", "src_depth", "url", "kind", "depth"]
+                        )
+            return t.num_rows, findings
 
         _FPW_TASK = fetch_parse_write
     return _FPW_TASK
+
+
+_READ_FINDINGS_TASK = None
+
+
+def _read_findings_task():
+    """Lazily-decorated Ray task: read ONE rec=f checkpoint part (scan-path
+    probe input) — plain tasks instead of a Ray Data pipeline, saving the
+    per-wave streaming-executor launch."""
+    global _READ_FINDINGS_TASK
+    if _READ_FINDINGS_TASK is None:
+        import ray
+
+        @ray.remote
+        def read_findings(path: str) -> pa.Table:
+            return pq.read_table(
+                path, columns=["src_url", "src_depth", "url", "kind", "depth"]
+            )
+
+        _READ_FINDINGS_TASK = read_findings
+    return _READ_FINDINGS_TASK
 
 
 @dataclass
@@ -472,8 +502,8 @@ def _split_by_key_hash(block: pa.Table, n: int) -> list:
     text/image columns are dropped before anything ships)."""
     from ..keys import hash64
 
-    if block.num_rows == 0 or "url" not in block.column_names:
-        return [None] * n  # empty / schemaless blocks appear on empty waves
+    if block is None or block.num_rows == 0 or "url" not in block.column_names:
+        return [None] * n  # empty / schemaless / no-finding blocks
     if "rec" in block.column_names:
         block = block.filter(pc.equal(block["rec"], "f")).select(
             ["src_url", "src_depth", "url", "kind", "depth"]
@@ -591,7 +621,13 @@ def _reduce_probe_bucket(
 
 
 def _probe_new_streaming(
-    rd, parsed_dir: Path, seen: SeenSet, wave: int, parsed_mat=None, sink=None
+    rd,
+    parsed_dir: Path,
+    seen: SeenSet,
+    wave: int,
+    parsed_mat=None,
+    sink=None,
+    finding_refs=None,
 ) -> "pa.Table | tuple[int, int]":
     """Large-wave seen probe: the raw finding stream never lands on the
     driver. One streaming pipeline reads the wave's findings and attaches
@@ -612,25 +648,23 @@ def _probe_new_streaming(
     (small-wave/test form)."""
     import ray
 
-    if parsed_mat is not None:
+    if finding_refs is not None:
+        # fetch-service path: the parse tasks returned their findings
+        # slices as plasma refs — probe them directly, no checkpoint
+        # re-read, no Ray Data executor launch
+        refs = list(finding_refs)
+    elif parsed_mat is not None:
         # the wave's blocks are already in the object store — split tasks
         # project them to finding rows; no disk re-read
         refs = parsed_mat.to_arrow_refs()
     else:
-
-        def add_key(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "fkey", finding_keys(t["url"], t["kind"], t["depth"])
-            )
-
-        refs = (
-            rd.read_parquet(
-                str(parsed_dir / "rec=f"),
-                columns=["src_url", "src_depth", "url", "kind", "depth"],
-            )
-            .map_batches(add_key, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
+        # scan path: plain read tasks over the rec=f checkpoint parts —
+        # one task per part file, no per-wave streaming-executor launch
+        read = _read_findings_task()
+        refs = [
+            read.remote(str(f))
+            for f in sorted((parsed_dir / "rec=f").glob("*.parquet"))
+        ]
     n_buckets = max(16, seen.num_shards * 2)
     out_spec = None
     if sink is not None:
@@ -836,6 +870,7 @@ def _run_wave(
     parsed_dir = wave_dir / "parsed"
     n_files_pruned = 0
     parsed_mat = None
+    svc_finding_refs = None
     n_pages_dispatched = pc.sum(
         pc.cast(pc.equal(lookup_tbl["kind"], "page"), pa.int64())
     ).as_py() or 0
@@ -855,21 +890,22 @@ def _run_wave(
 
         fetch_service.ready()
         task = _fetch_parse_write_task()
-        futures = []
+        count_refs = []
+        svc_finding_refs = []
         for b, part in enumerate(fetch_service.route(lookup_tbl)):
             if part is not None and part.num_rows:
                 fetched_ref = fetch_service.shards[b].fetch.remote(part)
-                futures.append(
-                    task.remote(
-                        fetched_ref,
-                        str(parsed_dir),
-                        b,
-                        cfg.faithful_depth,
-                        cfg.checkpoint_compression,
-                        cfg.batch_size,
-                    )
+                cref, fref = task.remote(
+                    fetched_ref,
+                    str(parsed_dir),
+                    b,
+                    cfg.faithful_depth,
+                    cfg.checkpoint_compression,
+                    cfg.batch_size,
                 )
-        ray.get(futures)
+                count_refs.append(cref)
+                svc_finding_refs.append(fref)
+        ray.get(count_refs)  # checkpoint-written barrier (counts read next)
     elif lookup_tbl.num_rows and fetcher_cls is not None:
         # pluggable fetch path (stages/fetch.py): actor-pool fetch over the
         # admitted dispatches; downstream parse identical to the scan path
@@ -1082,6 +1118,7 @@ def _run_wave(
         n_new, n_next = _probe_new_streaming(
             rd, parsed_dir, seen, wave, parsed_mat,
             sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+            finding_refs=svc_finding_refs,
         )
         _mark("seen_probe")
         next_frontier = FrontierRef(

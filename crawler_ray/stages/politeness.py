@@ -127,13 +127,18 @@ def admit_local(
         frontier = frontier.filter(pc.invert(hostless))
     frontier = priority_sort(frontier, priority)
 
-    hosts = frontier["host"].to_pylist()
-    keep = np.zeros(len(hosts), dtype=bool)
-    for i, h in enumerate(hosts):
-        if counts[h] > limit:
-            continue
-        counts[h] += 1
-        keep[i] = True
+    # vectorized 257-semantics admission: a row at in-order rank r within
+    # its host (0-based, in wave priority order) is admitted iff
+    # prior + r <= limit — identical to the reference's check-then-count
+    # loop (counts[h] > limit skip, else admit and increment)
+    import pandas as pd
+
+    hosts_pd = pd.Series(frontier["host"].to_pandas())
+    prior = hosts_pd.map(dict(counts)).fillna(0).to_numpy(dtype=np.int64)
+    rank = hosts_pd.groupby(hosts_pd, sort=False).cumcount().to_numpy()
+    keep = (prior + rank) <= limit
+    for h, c in hosts_pd[keep].value_counts().items():
+        counts[h] += int(c)
     metrics["dropped_budget"] = int((~keep).sum())
     admitted = frontier.filter(pa.array(keep))
     if "host_wave_rows" in admitted.column_names:

@@ -111,9 +111,13 @@ _FPW_TASK = None
 
 
 def _fetch_parse_write_task():
-    """Lazily-decorated Ray task: parse ONE shard's fetched pages and write
-    its slice of the wave checkpoint directly (rec=*/part-{shard}.parquet)
-    — the driver receives one integer per shard, never page bytes."""
+    """Lazily-decorated Ray task: parse ONE SLICE of a shard's fetched pages
+    and write its piece of the wave checkpoint directly
+    (rec=*/part-{id}.parquet) — the driver receives one integer per task,
+    never page bytes. A fat shard fans out into several of these (slice
+    bounds over the shard's fetched table, still one plasma object), so
+    parse parallelism is decoupled from the shard count and a skewed shard
+    can't straggle the wave."""
     global _FPW_TASK
     if _FPW_TASK is None:
         import ray
@@ -126,6 +130,8 @@ def _fetch_parse_write_task():
             faithful_depth: bool,
             codec: str,
             batch_size: int,
+            off0: int = 0,
+            length: "int | None" = None,
         ) -> "tuple[int, pa.Table | None]":
             """Returns ``(rows_written, findings_slice)``: the findings stay
             in the OBJECT STORE as the probe's direct input — the seen probe
@@ -133,6 +139,10 @@ def _fetch_parse_write_task():
             executor launch."""
             if fetched is None or fetched.num_rows == 0:
                 return 0, None
+            if length is not None:
+                fetched = fetched.slice(off0, length)
+                if fetched.num_rows == 0:
+                    return 0, None
             outs = []
             for off in range(0, fetched.num_rows, batch_size):
                 o = process_wave_batch(
@@ -892,19 +902,33 @@ def _run_wave(
         task = _fetch_parse_write_task()
         count_refs = []
         svc_finding_refs = []
+        # parse-task granularity is decoupled from the shard count: a fat
+        # shard's fetched table (one plasma object) fans out into slice
+        # tasks of ~8 parse batches each, so stragglers are bounded by the
+        # chunk, not by the biggest shard
+        chunk = max(1, cfg.batch_size * 8)
+        part_id = 0
         for b, part in enumerate(fetch_service.route(lookup_tbl)):
-            if part is not None and part.num_rows:
-                fetched_ref = fetch_service.shards[b].fetch.remote(part)
+            if part is None or part.num_rows == 0:
+                continue
+            fetched_ref = fetch_service.shards[b].fetch.remote(part)
+            # bounds from the routed lookup count (an upper bound on the
+            # fetched rows — misses emit no row; trailing slices that fall
+            # past the fetched end are empty and write nothing)
+            for off0 in range(0, part.num_rows, chunk):
                 cref, fref = task.remote(
                     fetched_ref,
                     str(parsed_dir),
-                    b,
+                    part_id,
                     cfg.faithful_depth,
                     cfg.checkpoint_compression,
                     cfg.batch_size,
+                    off0,
+                    chunk,
                 )
                 count_refs.append(cref)
                 svc_finding_refs.append(fref)
+                part_id += 1
         ray.get(count_refs)  # checkpoint-written barrier (counts read next)
     elif lookup_tbl.num_rows and fetcher_cls is not None:
         # pluggable fetch path (stages/fetch.py): actor-pool fetch over the

@@ -537,31 +537,17 @@ def _split_by_key_hash(block: pa.Table, n: int) -> list:
     ]
 
 
-def _reduce_probe_bucket(
-    epoch: int,
-    bucket_id: int,
-    shards: list,
-    num_shards: int,
-    out_spec: "tuple | None",
-    *parts,
-) -> "pa.Table | tuple | None":
-    """Reduce side: all wave rows whose key hashes to this bucket. One
-    vectorized sort+dedup picks the canonical discoverer per Finding key
-    (min (url, kind, depth, src_url, src_depth) — in faithful mode all
-    key-sharers agree on everything downstream reads EXCEPT image depths,
-    which is exactly why the winner must be canonical, see oracle.py),
-    then the bucket's now-unique keys probe the shard actors. The probe id
-    is just (epoch, bucket_id, shard): bucket content is a deterministic
-    function of the wave's parsed output, so a retried reduce task
-    re-presents identical keys and the shard memo replays the original
-    mask instead of double-mutating (state/seen.py)."""
-    import ray
-
-    from ..keys import hash64
-
+def _dedup_bucket(*parts) -> "tuple[pa.Table | None, pa.Array | None]":
+    """Reduce side, step 1 (pure, no actor calls): all wave rows whose key
+    hashes to this bucket. One vectorized sort+dedup picks the canonical
+    discoverer per Finding key (min (url, kind, depth, src_url, src_depth)
+    — in faithful mode all key-sharers agree on everything downstream reads
+    EXCEPT image depths, which is exactly why the winner must be canonical,
+    see oracle.py). Returns ``(deduped_rows, unique_keys)`` as two objects:
+    the keys go to the bucket's seen shard, the rows to the finalize task."""
     parts = [p for p in parts if p is not None and p.num_rows]
     if not parts:
-        return None
+        return None, None
     t = pa.concat_tables(parts)
     order = pc.sort_indices(
         t,
@@ -581,24 +567,24 @@ def _reduce_probe_bucket(
     else:
         first = np.ones(len(k), dtype=bool)
     t = t.filter(pa.array(first))
-    keys_arr = t["fkey"].combine_chunks()
-    shard_of = (hash64(keys_arr) % np.uint64(num_shards)).astype(np.int64)
-    mask = np.zeros(len(keys_arr), dtype=bool)
-    futures, positions = [], []
-    for s in range(num_shards):
-        pos = np.nonzero(shard_of == s)[0]
-        if len(pos):
-            # Arrow slice ships via the buffer protocol; the string→Python
-            # conversion happens inside the shard (parallel), not here
-            futures.append(
-                shards[s].probe_and_insert.remote(
-                    keys_arr.take(pa.array(pos)),
-                    (epoch, "wavebucket", bucket_id, s),
-                )
-            )
-            positions.append(pos)
-    for pos, m in zip(positions, ray.get(futures)):
-        mask[pos] = m
+    return t, t["fkey"].combine_chunks()
+
+
+def _finalize_bucket(
+    t: "pa.Table | None",
+    mask,
+    bucket_id: int,
+    out_spec: "tuple | None",
+) -> "pa.Table | tuple | None":
+    """Reduce side, step 2: filter the bucket's deduped rows by the shard's
+    new-mask and emit. Runs as a plain task whose args are OBJECT REFS
+    (dedup output + shard mask) — Ray resolves them before scheduling, so
+    no worker ever sits blocked in a ``ray.get`` (a blocked get inside a
+    task makes the raylet spawn surplus workers and thrash the node; the
+    round-3 profile measured intermittent 5-30 s probe spikes from exactly
+    that before this split)."""
+    if t is None:
+        return None
     new = t.filter(pa.array(mask)).drop_columns(["fkey"])
     if out_spec is None:
         return new
@@ -640,14 +626,18 @@ def _probe_new_streaming(
     finding_refs=None,
 ) -> "pa.Table | tuple[int, int]":
     """Large-wave seen probe: the raw finding stream never lands on the
-    driver. One streaming pipeline reads the wave's findings and attaches
-    keys (blocks stay in the object store); an explicit two-round task
-    exchange then hash-partitions by Finding key and, per bucket, dedups
-    to the canonical discoverer and probes the shard pool — dedup and
-    probe fused in the reduce task, no Ray-Data sort machinery on the hot
-    per-wave path. Recovery: reduce-task retries are idempotent via shard
-    probe-id memos; anything harsher falls back to wave-level resume like
-    the rest of the wave machinery.
+    driver. An explicit task exchange hash-partitions the wave's findings
+    by Finding key; per bucket a dedup task picks the canonical discoverer,
+    its unique keys flow (as an object ref) into ONE probe call on the
+    bucket's seen shard, and a finalize task joins rows+mask and emits —
+    a pure dataflow chain submitted entirely from the driver, so no worker
+    ever blocks in ``ray.get`` (blocked in-task gets make the raylet spawn
+    surplus workers and thrash the node). Bucket count is a multiple of the
+    shard count and both route by the same ``hash64(fkey)``, so every
+    bucket's keys land on exactly one shard: shard = bucket % num_shards.
+    Recovery: probe calls are idempotent via shard probe-id memos (a
+    re-executed dedup task re-presents identical keys); anything harsher
+    falls back to wave-level resume like the rest of the wave machinery.
 
     ``sink=(wave_dir, depth_limit, codec)``: the reduce tasks write the wave's
     archive-delta and depth-gated next-frontier parquet parts DIRECTLY
@@ -675,7 +665,9 @@ def _probe_new_streaming(
             read.remote(str(f))
             for f in sorted((parsed_dir / "rec=f").glob("*.parquet"))
         ]
-    n_buckets = max(16, seen.num_shards * 2)
+    # multiple of num_shards ⇒ hash64 % n_buckets determines hash64 %
+    # num_shards, so one bucket probes exactly one shard (single actor call)
+    n_buckets = seen.num_shards * max(2, -(-16 // seen.num_shards))
     out_spec = None
     if sink is not None:
         wave_dir, depth_limit, codec = sink
@@ -685,17 +677,19 @@ def _probe_new_streaming(
         frontier_dir.mkdir(parents=True, exist_ok=True)
         out_spec = (str(archive_dir), str(frontier_dir), depth_limit, codec)
     split = ray.remote(_split_by_key_hash)
-    reduce = ray.remote(_reduce_probe_bucket)
+    dedup = ray.remote(num_returns=2)(_dedup_bucket)
+    finalize = ray.remote(_finalize_bucket)
     slices = [
         split.options(num_returns=n_buckets).remote(r, n_buckets) for r in refs
     ]
-    futures = [
-        reduce.remote(
-            wave, b, seen.shards, seen.num_shards, out_spec,
-            *[s[b] for s in slices],
+    futures = []
+    for b in range(n_buckets):
+        t_ref, keys_ref = dedup.remote(*[s[b] for s in slices])
+        s = b % seen.num_shards
+        mask_ref = seen.shards[s].probe_and_insert.remote(
+            keys_ref, (wave, "wavebucket", b, s)
         )
-        for b in range(n_buckets)
-    ]
+        futures.append(finalize.remote(t_ref, mask_ref, b, out_spec))
     results = ray.get(futures)
     seen.end_epoch()
     if out_spec is not None:
@@ -899,6 +893,7 @@ def _run_wave(
         import ray
 
         fetch_service.ready()
+        _mark("svc_build_wait")
         task = _fetch_parse_write_task()
         count_refs = []
         svc_finding_refs = []
@@ -929,6 +924,7 @@ def _run_wave(
                 count_refs.append(cref)
                 svc_finding_refs.append(fref)
                 part_id += 1
+        _mark("svc_route_dispatch")
         ray.get(count_refs)  # checkpoint-written barrier (counts read next)
     elif lookup_tbl.num_rows and fetcher_cls is not None:
         # pluggable fetch path (stages/fetch.py): actor-pool fetch over the

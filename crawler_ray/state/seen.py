@@ -79,6 +79,9 @@ class SeenShard:
         streaming probe, so equal content implies the same logical probe.
         Driver-coordinated probes (small waves) pass no id; their recovery
         is wave-level resume."""
+        if keys is None or len(keys) == 0:
+            # empty bucket in the streaming-probe exchange ships None
+            return np.zeros(0, dtype=bool)
         if probe_id is not None:
             memo = self.applied.get(probe_id[0], {}).get(probe_id[1:])
             if memo is not None:

@@ -145,15 +145,23 @@ def run_bench() -> dict:
     # (identical outputs; the scan path is timed separately below).
     out_dir = f"/tmp/crawler_ray/bench_run_{tag}_{NUM_CPUS}"
     t0 = time.perf_counter()
-    # seen-set shards scale LINEARLY with the cluster (a 4N-node cluster
-    # runs 4N shards) so shard-side probe work is never a fixed serial
-    # term in the scaling comparison; archive contents are
-    # routing-independent
+    # Shard-actor count scales with the CLUSTER (nodes), not with cores:
+    # a 4N-node cluster runs 4N shard processes, but one node hosts only a
+    # handful — state actors are io/index-bound, and packing one actor
+    # PROCESS per core starves the parse/scan task pool of worker slots
+    # (measured here: 32 seen + 32 fetch shards on a 32-CPU node spawn a
+    # 128-process worker storm and 3-20x the crawl wall time vs 8+8, which
+    # no multi-node cluster would see). cpus/4 keeps shard counts growing
+    # with the measured "cluster size" at each scaling level while staying
+    # inside one node's process budget; archive contents and crawl outputs
+    # are shard-routing-independent (tested), so the choice is pure perf.
     run = run_crawl(
         corpus,
         seeds,
         out_dir,
-        CrawlConfig(num_seen_shards=max(4, NUM_CPUS), use_fetch_service=True),
+        CrawlConfig(
+            num_seen_shards=max(2, NUM_CPUS // 4), use_fetch_service=True
+        ),
     )
     crawl_sec = time.perf_counter() - t0
     timings["crawl"] = crawl_sec
@@ -214,7 +222,7 @@ def run_bench() -> dict:
         corpus,
         seeds,
         f"/tmp/crawler_ray/bench_run_scan_{tag}_{NUM_CPUS}",
-        CrawlConfig(num_seen_shards=max(4, NUM_CPUS)),
+        CrawlConfig(num_seen_shards=max(2, NUM_CPUS // 4)),
     )
     timings["crawl_scan_path"] = time.perf_counter() - t0
 

@@ -492,6 +492,34 @@ _BC_CAND_LIMIT = 500_000  # candidate docs ≈ 250 MB of signatures
 _BC_PAIR_LIMIT = 5_000_000
 
 
+def _sig_estimate(
+    smat: np.ndarray, sid: np.ndarray, a: np.ndarray, b: np.ndarray,
+    chunk: int = 16384,
+) -> np.ndarray:
+    """Signature-estimate Jaccard for pair lists: fraction of equal minhash
+    slots. Chunked with REUSED gather buffers rather than one
+    ``smat[idx_a] == smat[idx_b]`` — the one-shot form materializes two
+    pairs×num_perm matrices (hundreds of MB at 10^6 pairs) of FRESH pages,
+    and first-touch page-fault cost is both the memory-bound term at scale
+    and, on shared/overcommitted hosts, intermittently 100x the compute
+    (measured: 5-25 s for a 66 MB first touch vs 0.06 s warm). Bounded
+    buffers fault once and are reused for every chunk."""
+    ia = np.searchsorted(sid, a)
+    ib = np.searchsorted(sid, b)
+    est = np.empty(len(a), np.float64)
+    if len(a) == 0:
+        return est
+    n0 = min(chunk, len(a))
+    ga = np.empty((n0, smat.shape[1]), smat.dtype)
+    gb = np.empty_like(ga)
+    for off in range(0, len(a), chunk):
+        n = min(chunk, len(a) - off)
+        np.take(smat, ia[off : off + n], axis=0, out=ga[:n])
+        np.take(smat, ib[off : off + n], axis=0, out=gb[:n])
+        est[off : off + n] = (ga[:n] == gb[:n]).mean(axis=1)
+    return est
+
+
 def _verify_broadcast(
     ds, sigs, pp, only_candidates, cand_ids,
     verify, threshold, prune_margin, shingle_k,
@@ -516,9 +544,7 @@ def _verify_broadcast(
     smat = np.stack(sig_pdf["sig"].to_numpy())[order]
     a = pp["a"].to_numpy()
     b = pp["b"].to_numpy()
-    est = (
-        smat[np.searchsorted(sid, a)] == smat[np.searchsorted(sid, b)]
-    ).mean(axis=1)
+    est = _sig_estimate(smat, sid, a, b)
 
     if verify != "exact":
         keep = est >= threshold

@@ -616,6 +616,27 @@ def _finalize_bucket(
     return n_new, nf.num_rows
 
 
+_PROBE_REMOTES = None
+
+
+def _probe_remotes():
+    """Singleton ``ray.remote`` wrappers for the probe dataflow's three task
+    kinds. Wrapping per call makes every wave export three NEW function
+    definitions to every worker process; with 100+ workers × 3 functions ×
+    per wave, the GCS function-table traffic alone is a measurable per-wave
+    tax on small waves."""
+    global _PROBE_REMOTES
+    if _PROBE_REMOTES is None:
+        import ray
+
+        _PROBE_REMOTES = (
+            ray.remote(_split_by_key_hash),
+            ray.remote(num_returns=2)(_dedup_bucket),
+            ray.remote(_finalize_bucket),
+        )
+    return _PROBE_REMOTES
+
+
 def _probe_new_streaming(
     rd,
     parsed_dir: Path,
@@ -676,9 +697,7 @@ def _probe_new_streaming(
         archive_dir.mkdir(parents=True, exist_ok=True)
         frontier_dir.mkdir(parents=True, exist_ok=True)
         out_spec = (str(archive_dir), str(frontier_dir), depth_limit, codec)
-    split = ray.remote(_split_by_key_hash)
-    dedup = ray.remote(num_returns=2)(_dedup_bucket)
-    finalize = ray.remote(_finalize_bucket)
+    split, dedup, finalize = _probe_remotes()
     slices = [
         split.options(num_returns=n_buckets).remote(r, n_buckets) for r in refs
     ]

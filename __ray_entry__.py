@@ -91,6 +91,47 @@ def _crawl_metrics(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"metric": sorted(m), "count": [int(m[k]) for k in sorted(m)]})
 
 
+def _curated_crawl_run(sf_dir: str):
+    """Crawl with inline curation (fetch service + curate=True); cached
+    separately from the plain crawl by the config fingerprint."""
+    from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    tag = "curated_" + Path(sf_dir).name
+    if tag not in _CRAWL_CACHE:
+        corpus, seeds, hosts = _corpus_for(sf_dir)
+        cfg = CrawlConfig(num_seen_shards=4, use_fetch_service=True, curate=True)
+        out = f"/tmp/crawler_ray/run_{tag}_{hashlib.blake2b(cfg.fingerprint().encode(), digest_size=6).hexdigest()}"
+        _CRAWL_CACHE[tag] = run_crawl(corpus, seeds, out, cfg)
+    return _CRAWL_CACHE[tag]
+
+
+def _crawl_curated_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language rollup of the inline-curation columns (lang ID, token
+    counts) the curated crawl wrote with each rec=t checkpoint row.
+    Crawl-semantics (rows-only in the driver check); the curation math is
+    independently verified by tests/test_curate.py, which recomputes every
+    column from CrawlRun.texts() with the standalone textstats operators
+    and asserts equality."""
+    t = _curated_crawl_run(sf_dir).curated_texts()
+    if t is None:
+        return pd.DataFrame(
+            {"lang": [], "n_pages": [], "ws_tokens": [], "bpe_tokens": []}
+        )
+    df = t.to_pandas()
+    g = (
+        df.groupby("lang", sort=True)
+        .agg(
+            n_pages=("url", "size"),
+            ws_tokens=("ws_tokens", "sum"),
+            bpe_tokens=("bpe_tokens", "sum"),
+        )
+        .reset_index()
+    )
+    return g.astype(
+        {"n_pages": "int64", "ws_tokens": "int64", "bpe_tokens": "int64"}
+    )
+
+
 def _extract_links(sf_dir: str) -> pa.Table:
     """Single-pass link extraction over the whole corpus (the minimum-slice
     pipeline: read → map_batches(parse) → findings), no BFS loop."""
@@ -501,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_texts": _crawl_texts,
         "crawl_images": _crawl_images,
         "crawl_metrics": _crawl_metrics,
+        "crawl_curated_stats": _crawl_curated_stats,
         "extract_links": _extract_links,
         # training-data extensions — every entry below is oracle-checked:
         # real SQL where expressible, committed deterministic-truth tables

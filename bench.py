@@ -187,6 +187,39 @@ def run_bench() -> dict:
     extras["svc_build_sec"] = round(svc_build, 3)
     extras["crawl_steady_sec"] = round(crawl_sec - svc_build, 3)
 
+    # ---- curated crawl: the crawl/curation fusion --------------------------
+    # Same BFS crawl with inline curation (stages/curate.py): language ID,
+    # token counts and quality features computed in the parse task and
+    # written as rec=t checkpoint columns — what a production training-data
+    # crawl actually ships. Compute per page rises (langid is per-doc by
+    # nature) while bytes moved stay identical, so this is also the
+    # compute-weighted scaling datapoint: per-core work dominates the
+    # single-node byte ceiling that caps the plain crawl's efficiency.
+    cur_dir = f"/tmp/crawler_ray/bench_run_cur_{tag}_{NUM_CPUS}"
+    t0 = time.perf_counter()
+    cur = run_crawl(
+        corpus,
+        seeds,
+        cur_dir,
+        CrawlConfig(
+            num_seen_shards=max(2, NUM_CPUS // 4),
+            use_fetch_service=True,
+            curate=True,
+        ),
+    )
+    timings["crawl_curated"] = time.perf_counter() - t0
+    extras["crawl_curated_pages_per_sec"] = round(
+        len(cur.texts()) / timings["crawl_curated"], 1
+    )
+    cur_build = 0.0
+    for lin in Path(cur_dir).glob("wave=*/lineage.json"):
+        cur_build += json.loads(lin.read_text()).get("phase_sec", {}).get(
+            "svc_build_wait", 0.0
+        )
+    extras["crawl_curated_steady_sec"] = round(
+        timings["crawl_curated"] - cur_build, 3
+    )
+
     if SCALING_MODE:
         # byte-ceiling probe: read+write the corpus with NO compute. On one
         # node this is memory-bus/disk-bound and scales sublinearly with
@@ -315,6 +348,10 @@ def run_scaling() -> dict:
         best["crawl_steady_sec"] = min(
             r.get("crawl_steady_sec", r["value"]) for r in runs
         )
+        best["crawl_curated_steady_sec"] = min(
+            r.get("crawl_curated_steady_sec", r["queries"].get("crawl_curated", 0))
+            for r in runs
+        )
         results[ncpu] = best
     lo, hi = levels
     factor = hi / lo
@@ -342,6 +379,18 @@ def run_scaling() -> dict:
         ),
         f"crawl_steady_sec_{lo}": results[lo]["crawl_steady_sec"],
         f"crawl_steady_sec_{hi}": results[hi]["crawl_steady_sec"],
+        # curated crawl (inline langid/quality/token curation): identical
+        # bytes, more per-page compute — the compute-weighted datapoint
+        "crawl_curated_scaling_efficiency": round(
+            (
+                results[lo]["crawl_curated_steady_sec"]
+                / max(results[hi]["crawl_curated_steady_sec"], 1e-9)
+            )
+            / factor,
+            3,
+        ),
+        f"crawl_curated_steady_sec_{lo}": results[lo]["crawl_curated_steady_sec"],
+        f"crawl_curated_steady_sec_{hi}": results[hi]["crawl_curated_steady_sec"],
         "parse_scaling_efficiency": round((pp_hi / pp_lo) / factor, 3),
         # single-node byte-movement ceiling (see the child-side comment):
         # the measured upper bound for byte-proportional crawl stages

@@ -96,12 +96,22 @@ def _scan_parse_file_task():
         import ray
 
         @ray.remote
-        def scan_parse_file(path: str, lookups: pa.Table, faithful_depth: bool):
+        def scan_parse_file(
+            path: str,
+            lookups: pa.Table,
+            faithful_depth: bool,
+            curate: bool = False,
+        ):
             t = pq.read_table(path, columns=["url", "html"])
             t = attach_frontier_join(t, lookups)
             if t.num_rows == 0:
                 return None
-            return process_wave_batch(t, faithful_depth=faithful_depth)
+            out = process_wave_batch(t, faithful_depth=faithful_depth)
+            if curate:
+                from ..stages.curate import curate_table
+
+                out = curate_table(out)
+            return out
 
         _SCAN_TASK = scan_parse_file
     return _SCAN_TASK
@@ -132,6 +142,7 @@ def _fetch_parse_write_task():
             batch_size: int,
             off0: int = 0,
             length: "int | None" = None,
+            curate: bool = False,
         ) -> "tuple[int, pa.Table | None]":
             """Returns ``(rows_written, findings_slice)``: the findings stay
             in the OBJECT STORE as the probe's direct input — the seen probe
@@ -159,10 +170,15 @@ def _fetch_parse_write_task():
             for rec in ("f", "t", "i", "m"):
                 sub = t.filter(pc.equal(t["rec"], rec))
                 if sub.num_rows:
+                    sub = sub.drop_columns(["rec"])
+                    if curate and rec == "t":
+                        from ..stages.curate import curate_text_table
+
+                        sub = curate_text_table(sub)
                     d = pdir / f"rec={rec}"
                     d.mkdir(parents=True, exist_ok=True)
                     pq.write_table(
-                        sub.drop_columns(["rec"]),
+                        sub,
                         d / f"part-{part:05d}.parquet",
                         compression=codec,
                     )
@@ -236,6 +252,11 @@ class CrawlConfig:
     # pages' bytes — the cost model of a real fetch fleet, where bytes/wave
     # ∝ dispatches and fetch capacity scales with nodes.
     fetch_service_shards: int | None = None  # default: num_seen_shards
+    curate: bool = False  # inline text curation (stages/curate.py): lang ID,
+    # token counts and quality features computed in the SAME task that
+    # parsed the page and written as extra rec=t checkpoint columns — the
+    # production crawl/curation fusion (a separate pass would re-read every
+    # text byte). Off by default for reference-faithful output.
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -403,6 +424,25 @@ class CrawlRun:
         if t is None:
             return {}
         return dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+
+    def curated_texts(self) -> "pa.Table | None":
+        """url + inline-curation columns of every crawled text (crawls run
+        with ``curate=True``), one row per url in canonical order (a url
+        dispatched at two depths yields two identical text rows — same
+        text, same curation — collapsed here like ``texts()`` collapses)."""
+        from ..stages.curate import CURATE_FIELDS
+
+        t = self._parsed("t", ["url", *(f for f, _ in CURATE_FIELDS)])
+        if t is None:
+            return None
+        t = t.sort_by([("url", "ascending")])
+        u = t["url"].combine_chunks()
+        if len(u) > 1:
+            neq = pc.not_equal(u.slice(1), u.slice(0, len(u) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            t = t.filter(pa.array(np.concatenate([[True], neq])))
+        return t
 
     def image_files(self) -> dict[str, str]:
         """filename → url of the canonically-last write (overwrite wins)."""
@@ -939,6 +979,7 @@ def _run_wave(
                     cfg.batch_size,
                     off0,
                     chunk,
+                    cfg.curate,
                 )
                 count_refs.append(cref)
                 svc_finding_refs.append(fref)
@@ -974,6 +1015,12 @@ def _run_wave(
                 fn_kwargs={"faithful_depth": cfg.faithful_depth},
             )
         )
+        if cfg.curate:
+            from ..stages.curate import curate_table
+
+            parsed = parsed.map_batches(
+                curate_table, batch_format="pyarrow", batch_size=cfg.batch_size
+            )
         if cfg.materialize_wave:
             parsed_mat = parsed.materialize()
             parsed_mat.write_parquet(
@@ -1007,7 +1054,7 @@ def _run_wave(
             lookups_ref = ray.put(lookup_tbl)
             parts = ray.get(
                 [
-                    task.remote(f, lookups_ref, cfg.faithful_depth)
+                    task.remote(f, lookups_ref, cfg.faithful_depth, cfg.curate)
                     for f in files
                 ]
             )
@@ -1017,10 +1064,19 @@ def _run_wave(
                 for rec in ("f", "t", "i", "m"):
                     sub = parsed_tbl.filter(pc.equal(parsed_tbl["rec"], rec))
                     if sub.num_rows:
+                        sub = sub.drop_columns(["rec"])
+                        if cfg.curate and rec != "t":
+                            # curation columns belong to text rows only —
+                            # keep the findings/image/metric slices lean
+                            from ..stages.curate import CURATE_FIELDS
+
+                            sub = sub.drop_columns(
+                                [f for f, _ in CURATE_FIELDS]
+                            )
                         d = parsed_dir / f"rec={rec}"
                         d.mkdir(parents=True, exist_ok=True)
                         pq.write_table(
-                            sub.drop_columns(["rec"]),
+                            sub,
                             d / "part-00000.parquet",
                             compression=cfg.checkpoint_compression,
                         )
@@ -1065,6 +1121,14 @@ def _run_wave(
                 batch_size=cfg.batch_size,
                 fn_kwargs={"faithful_depth": cfg.faithful_depth},
             )
+            if cfg.curate:
+                from ..stages.curate import curate_table
+
+                parsed = parsed.map_batches(
+                    curate_table,
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                )
             # One subdir per record type (rec=f/t/i/m): read-backs and
             # downstream consumers (findings probe, texts, image sink)
             # each touch only their partition, never the heavy columns
@@ -1234,6 +1298,13 @@ def main() -> None:
         "corpus load, per-wave bytes proportional to dispatches) instead "
         "of per-wave corpus scans",
     )
+    ap.add_argument(
+        "--curate",
+        action="store_true",
+        help="inline text curation: language ID, token counts and quality "
+        "features computed in the parse task and written as extra rec=t "
+        "checkpoint columns",
+    )
     args = ap.parse_args()
 
     if not ray.is_initialized():
@@ -1256,6 +1327,7 @@ def main() -> None:
             host_limit=args.host_limit,
             faithful_depth=not args.increment_depth,
             use_fetch_service=args.fetch_service,
+            curate=args.curate,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(

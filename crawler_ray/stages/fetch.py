@@ -136,7 +136,12 @@ def _corpus_shard_actor():
                 """FETCH_IN_SCHEMA rows routed to this shard → fetched
                 (url, kind, depth, html) rows; misses emit no row. One
                 vectorized index probe + one take — only HIT payloads are
-                copied out."""
+                copied out. ORDER CONTRACT: input row order is preserved;
+                ``route()`` pre-sorts its slices canonically on the DRIVER
+                (lookup rows only, no payload), so the deterministic
+                checkpoint order costs one small string sort per wave
+                instead of a per-shard sort that would shuffle the fetched
+                html payloads (hundreds of MB) a second time."""
                 import numpy as np
 
                 pos = self._index.get_indexer(batch["fetch_url"].to_pandas())
@@ -144,7 +149,7 @@ def _corpus_shard_actor():
                 if not hit.any():
                     return _emit(batch, [], [])
                 keep = pa.array(np.nonzero(hit)[0], pa.int64())
-                out = pa.table(
+                return pa.table(
                     {
                         "url": batch["url"].take(keep),
                         "kind": batch["kind"].take(keep),
@@ -153,14 +158,6 @@ def _corpus_shard_actor():
                             pa.array(pos[hit], pa.int64())
                         ),
                     }
-                )
-                # deterministic checkpoint row order, like the scan join
-                return out.sort_by(
-                    [
-                        ("url", "ascending"),
-                        ("kind", "ascending"),
-                        ("depth", "ascending"),
-                    ]
                 )
 
         _SHARD_ACTOR = CorpusShard
@@ -258,7 +255,11 @@ class CorpusFetchService:
 
     def route(self, lookups: pa.Table) -> "list[pa.Table | None]":
         """Slice a FETCH_IN_SCHEMA lookup table into per-shard partitions by
-        the same url hash the build used (zero-copy slices)."""
+        the same url hash the build used (zero-copy slices). Slices come out
+        in canonical (url, kind, depth) order — the stable hash-argsort
+        preserves this pre-sort — which is what lets ``fetch()`` skip
+        re-sorting the payload-heavy fetched table (see its order
+        contract)."""
         import numpy as np
 
         from ..keys import hash64
@@ -266,6 +267,13 @@ class CorpusFetchService:
         n = self.n_shards
         if lookups.num_rows == 0:
             return [None] * n
+        lookups = lookups.sort_by(
+            [
+                ("url", "ascending"),
+                ("kind", "ascending"),
+                ("depth", "ascending"),
+            ]
+        )
         h = (
             hash64(lookups["fetch_url"].combine_chunks()) % np.uint64(n)
         ).astype(np.int64)

@@ -286,8 +286,10 @@ def admit_ray(
     )
 
     metrics: Counter = Counter()
-    for h in admitted["host"].to_pylist():
-        counts[h] += 1
+    # vectorized counts update: one value_counts kernel (≤ hosts entries)
+    # instead of a per-admitted-row Python loop
+    for s in pc.value_counts(admitted["host"].combine_chunks()).to_pylist():
+        counts[s["values"]] += int(s["counts"])
     metrics["dropped_hostless"] = int(n_total - n_valid_in)
     metrics["dropped_budget"] = int(n_valid_in - admitted.num_rows)
     return admitted, metrics

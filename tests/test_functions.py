@@ -603,3 +603,26 @@ def test_decode_image_real_codec_path():
 
     with _pytest.raises(ImportError):
         DecodeImage(codec="pil")  # no PIL in this container
+
+
+def test_sig_estimate_matches_naive_gather():
+    """_sig_estimate (chunked, reused gather buffers) must equal the naive
+    one-shot smat[idx_a]==smat[idx_b] form bit-for-bit — the chunking is a
+    memory/page-fault optimization, never a math change."""
+    from crawler_ray.functions.dedup import _sig_estimate
+
+    rng = np.random.default_rng(11)
+    n_docs, num_perm, n_pairs = 97, 16, 1003
+    sid = np.sort(rng.choice(10_000, n_docs, replace=False)).astype(np.int64)
+    smat = rng.integers(0, 2**63, size=(n_docs, num_perm), dtype=np.uint64)
+    # plant exact dup signatures so some estimates are 1.0
+    smat[3] = smat[7]
+    a = rng.choice(sid, n_pairs)
+    b = rng.choice(sid, n_pairs)
+    naive = (
+        smat[np.searchsorted(sid, a)] == smat[np.searchsorted(sid, b)]
+    ).mean(axis=1)
+    for chunk in (1, 7, 64, 5000):
+        got = _sig_estimate(smat, sid, a, b, chunk=chunk)
+        assert np.array_equal(got, naive), chunk
+    assert _sig_estimate(smat, sid, a[:0], b[:0]).shape == (0,)

@@ -31,7 +31,10 @@ import pyarrow.compute as pc
 
 from ..functions import textstats as ts
 
-#: appended to rec=t rows (null on other rec types in mixed-rec blocks)
+#: appended to rec=t rows (null on other rec types in mixed-rec blocks) —
+#: the Gopher/C4-style crawl-time signal set: language, token volume,
+#: quality ratios, repetition signals, and a winnowing content fingerprint
+#: (the downstream exact/near-dup join key, computed while the text is hot)
 CURATE_FIELDS = (
     ("lang", pa.string()),
     ("ws_tokens", pa.int64()),
@@ -39,6 +42,10 @@ CURATE_FIELDS = (
     ("n_words", pa.int64()),
     ("punct_ratio", pa.float64()),
     ("stopword_ratio", pa.float64()),
+    ("dup_line_char_ratio", pa.float64()),
+    ("top_bigram_ratio", pa.float64()),
+    ("fingerprint", pa.uint64()),
+    ("min_gram_hash", pa.uint64()),
 )
 
 _LANGID = None
@@ -58,17 +65,13 @@ def curate_columns(texts: "pa.Array | pa.ChunkedArray") -> pa.Table:
     tmp = pa.table({"text": texts})
     tmp = ts.token_counts(tmp)
     tmp = ts.quality_scores(tmp)
+    tmp = ts.repetition_scores(tmp)
+    tmp = ts.fingerprints(tmp)
     tmp = _langid()(tmp)
-    return pa.table(
-        {
-            "lang": tmp["pred_lang"],
-            "ws_tokens": tmp["ws_tokens"],
-            "bpe_tokens": tmp["bpe_tokens"],
-            "n_words": tmp["n_words"],
-            "punct_ratio": tmp["punct_ratio"],
-            "stopword_ratio": tmp["stopword_ratio"],
-        }
-    )
+    cols = {"lang": tmp["pred_lang"]}
+    for name, _typ in CURATE_FIELDS[1:]:
+        cols[name] = tmp[name]
+    return pa.table(cols)
 
 
 def curate_text_table(t: pa.Table, text_col: str = "text") -> pa.Table:

@@ -25,18 +25,13 @@ def _expected_curation(texts: dict[str, str]) -> pa.Table:
     tmp = pa.table({"text": pa.array([texts[u] for u in urls], pa.string())})
     tmp = ts.token_counts(tmp)
     tmp = ts.quality_scores(tmp)
+    tmp = ts.repetition_scores(tmp)
+    tmp = ts.fingerprints(tmp)
     tmp = ts.LangId()(tmp)
-    return pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "lang": tmp["pred_lang"],
-            "ws_tokens": tmp["ws_tokens"],
-            "bpe_tokens": tmp["bpe_tokens"],
-            "n_words": tmp["n_words"],
-            "punct_ratio": tmp["punct_ratio"],
-            "stopword_ratio": tmp["stopword_ratio"],
-        }
-    )
+    cols = {"url": pa.array(urls, pa.string()), "lang": tmp["pred_lang"]}
+    for name, _typ in CURATE_FIELDS[1:]:
+        cols[name] = tmp[name]
+    return pa.table(cols)
 
 
 def test_curate_table_mixed_rec_scatter():

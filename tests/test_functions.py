@@ -626,3 +626,24 @@ def test_sig_estimate_matches_naive_gather():
         got = _sig_estimate(smat, sid, a, b, chunk=chunk)
         assert np.array_equal(got, naive), chunk
     assert _sig_estimate(smat, sid, a[:0], b[:0]).shape == (0,)
+
+
+def test_langid_top_grams_matches_counter_most_common():
+    """The numpy gram ranking must replicate Counter.most_common(300)
+    bit-for-bit, including its tie order (count desc, first occurrence
+    asc) — the pinned lang-ID oracles depend on it."""
+    import random
+    from collections import Counter
+
+    from crawler_ray.functions.textstats import LangId
+
+    li = LangId()
+    rng = random.Random(7)
+    cases = ["", "a", "ab", " x ", "the the the quick",
+             "héllo wörld ünïcode " * 40, "日本語のテキスト。" * 25]
+    for _ in range(150):
+        n = rng.randint(0, 300)
+        cases.append("".join(rng.choice("abcdef gh\nij.k,l") for _ in range(n)))
+    for c in cases:
+        ref = [g for g, _ in Counter(li._grams(c)).most_common(300)]
+        assert li._top_grams(c) == ref, repr(c[:40])

@@ -114,7 +114,7 @@ def _corpus_shard_actor():
                 import pandas as pd
 
                 if self._parts:
-                    t = pa.concat_tables(self._parts).combine_chunks()
+                    t = pa.concat_tables(self._parts)
                 else:
                     t = pa.table(
                         {
@@ -124,11 +124,13 @@ def _corpus_shard_actor():
                     )
                 self._parts = []
                 self._urls = t["url"]
-                self._html = (
-                    t["html"].combine_chunks()
-                    if isinstance(t["html"], pa.ChunkedArray)
-                    else t["html"]
-                )
+                # html stays a ChunkedArray referencing the build tasks'
+                # PLASMA buffers — zero-copy: sealing moves no payload
+                # bytes (the old combine_chunks memcpy'd corpus/n_shards
+                # bytes per shard into actor heap, the dominant seal cost
+                # and a 2x memory bill). take() on a chunked array is
+                # supported and the per-wave probe touches only hit rows.
+                self._html = t["html"]
                 self._index = pd.Index(self._urls.to_pandas())
                 return t.num_rows
 

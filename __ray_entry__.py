@@ -208,6 +208,27 @@ def _dedup_jaccard(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination over the documents table: docs whose id is
+    ≡0 (mod 7) stand in for the held-out eval set; every OTHER doc is
+    flagged iff it shares an 8-word-gram with that set (the GPT-3/PaLM
+    n-gram-overlap rule). Benchmark docs themselves are excluded from the
+    output — they are the test set, not training candidates."""
+    from crawler_ray.functions.dedup import ngram_decontaminate
+
+    def _mod7(want_zero: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy() % 7 == 0) == want_zero
+            return b.filter(pa.array(m))
+
+        return f
+
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(_mod7(True), batch_format="pyarrow")
+    train = docs.map_batches(_mod7(False), batch_format="pyarrow")
+    return ngram_decontaminate(train, bench, n=8)
+
+
 def _lang_id_counts(sf_dir: str) -> pd.DataFrame:
     from crawler_ray.functions.textstats import LangId
 
@@ -551,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
+        "docs_decontaminate": _docs_decontaminate,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
@@ -654,6 +676,36 @@ SELECT base.doc_id,
              / greatest(coalesce(btop.tot,0),1), 6) AS top_bigram_ratio
 FROM base LEFT JOIN ldup USING(doc_id) LEFT JOIN btop USING(doc_id)
 ORDER BY base.doc_id
+"""
+
+#: Test-set decontamination (8-word-gram overlap vs the doc_id%7==0
+#: benchmark slice). The engine broadcasts the benchmark gram set and
+#: probes per doc (functions/dedup.py:ngram_decontaminate); the oracle
+#: states the same rule relationally with an exploded gram join.
+DOCS_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 7),
+                               i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM toks WHERE len(w) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+cont AS (
+  SELECT DISTINCT gr.doc_id
+  FROM grams gr JOIN bench USING (g)
+  WHERE gr.doc_id % 7 <> 0
+)
+SELECT t.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
+FROM toks t LEFT JOIN cont ON t.doc_id = cont.doc_id
+WHERE t.doc_id % 7 <> 0
+ORDER BY t.doc_id
 """
 
 #: Exact word-trigram Jaccard pairs. The engine computes this with NO
@@ -866,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": R.ANN_TOPK_SQL,
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
+        "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,
         "doc_normalized": DOC_NORMALIZED_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,

@@ -921,3 +921,109 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
         .reset_index(drop=True)
         .astype({"a": "int64", "b": "int64", "hamming": "int64"})
     )
+
+
+# ------------------------------------------------------ decontamination
+
+
+_DECON_TOKEN_RE = None
+
+
+def _decon_tokens(text: str) -> list[str]:
+    """Lowercase alphanumeric tokens — the one tokenizer both the engine and
+    the SQL oracle use (``string_split_regex(lower(text), '[^a-z0-9]+')``)."""
+    global _DECON_TOKEN_RE
+    if _DECON_TOKEN_RE is None:
+        import re
+
+        _DECON_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+    return [t for t in _DECON_TOKEN_RE.split((text or "").lower()) if t]
+
+
+def _decon_grams(text: str, n: int) -> set[str]:
+    w = _decon_tokens(text)
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def ngram_decontaminate(
+    docs_ds,
+    bench_ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Test-set decontamination: flag every training doc that shares ANY
+    word ``n``-gram with a benchmark/eval set — the standard guard against
+    benchmark leakage into training corpora (the n-gram-overlap procedure
+    published in the GPT-3 appendix / PaLM / Llama data cards; n=8..13
+    word grams are the published operating points).
+
+    Shape (the broadcast-small-side pattern): the benchmark set is tiny
+    relative to the corpus (eval suites are ~10^5-10^7 grams), so its
+    distinct grams are extracted in ``map_batches``, gathered once, and
+    ``ray.put`` as one frozenset; the corpus side is a single stateless
+    actor-pool pass that probes each doc's grams against the broadcast set
+    with early exit on first hit. No shuffle touches the corpus. At larger
+    bench sets, swap the string set for a 64-bit gram-hash set (8 bytes per
+    gram) — same plumbing, hash both sides; string-exact here keeps the
+    engine bit-comparable with the SQL oracle.
+
+    Returns ``(doc_id, contaminated)`` for every doc in ``docs_ds``,
+    sorted by id. Docs shorter than ``n`` tokens have no grams and are
+    never contaminated.
+    """
+    import ray
+
+    gram_parts = bench_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "g": pa.array(
+                    sorted(
+                        set().union(
+                            *(
+                                _decon_grams(t, n)
+                                for t in b[text_col].to_pylist()
+                            )
+                        )
+                        if b.num_rows
+                        else set()
+                    ),
+                    pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # small side by contract: distinct grams of the EVAL set
+    bench_ref = ray.put(frozenset(r["g"] for r in gram_parts))
+
+    class Flagger:
+        def __init__(self) -> None:
+            self.grams: frozenset = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bench = self.grams
+            flags = []
+            for text in batch[text_col].to_pylist():
+                w = _decon_tokens(text)
+                hit = False
+                for i in range(len(w) - n + 1):
+                    if " ".join(w[i : i + n]) in bench:
+                        hit = True
+                        break
+                flags.append(hit)
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(pa.int64()),
+                    "contaminated": pa.array(flags, pa.bool_()),
+                }
+            )
+
+    out = (
+        docs_ds.map_batches(
+            Flagger, batch_format="pyarrow", concurrency=2
+        )
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    return out

@@ -12,6 +12,7 @@ SF = "/root/testdata/sf0.001"
 #: extension queries whose oracle is real SQL (not a pinned table)
 REAL_SQL = [
     "dedup_jaccard_pairs",
+    "docs_decontaminate",
     "doc_quality_scores",
     "doc_repetition_scores",
     "doc_normalized",

@@ -229,6 +229,12 @@ def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     return ngram_decontaminate(train, bench, n=8)
 
 
+def _corpus_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    from crawler_ray.functions.textstats import corpus_top_ngrams
+
+    return corpus_top_ngrams(_docs_ds(sf_dir, ["doc_id", "text"]), n=2, k=50)
+
+
 def _lang_id_counts(sf_dir: str) -> pd.DataFrame:
     from crawler_ray.functions.textstats import LangId
 
@@ -573,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_decontaminate": _docs_decontaminate,
+        "corpus_top_bigrams": _corpus_top_bigrams,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
@@ -706,6 +713,27 @@ SELECT t.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
 FROM toks t LEFT JOIN cont ON t.doc_id = cont.doc_id
 WHERE t.doc_id % 7 <> 0
 ORDER BY t.doc_id
+"""
+
+#: Corpus-wide top-50 word bigrams by occurrence count (deterministic
+#: tiebreak: count desc, gram asc). Engine side pre-aggregates per batch
+#: before the exchange (functions/textstats.py:corpus_top_ngrams).
+CORPUS_TOP_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+1], ' '))) AS gram
+  FROM toks WHERE len(w) >= 2
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM bi GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 50
 """
 
 #: Exact word-trigram Jaccard pairs. The engine computes this with NO
@@ -919,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+        "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,
         "doc_normalized": DOC_NORMALIZED_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,

@@ -297,3 +297,63 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = [self._score_one(t) for t in batch["text"].to_pylist()]
         return batch.append_column("pred_lang", pa.array(langs, pa.string()))
+
+
+def corpus_top_ngrams(
+    ds,
+    n: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    n_buckets: int = 16,
+):
+    """Corpus-wide top-``k`` word ``n``-grams by total occurrence count —
+    the vocabulary/phrase-mining aggregate, and the canonical
+    pre-aggregate-before-shuffle shape:
+
+      map_batches COMBINER (per-batch gram→count dict; emits one row per
+      DISTINCT gram per batch, so exchange volume ∝ vocabulary, not corpus)
+      → bucketed exchange on gram, summing partials
+      → per-bucket top-k (each gram lives wholly in one bucket, so the
+        global top-k is contained in the union of per-bucket top-k's)
+      → driver merges n_buckets·k rows.
+
+    Ordering is deterministic: count desc, gram asc. Tokenization matches
+    the decontamination/SQL convention (lowercase, split on non-[a-z0-9]).
+    """
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map
+    from .dedup import _decon_tokens
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch[text_col].to_pylist():
+            w = _decon_tokens(text)
+            for i in range(len(w) - n + 1):
+                g = " ".join(w[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "gram": pa.array(list(counts.keys()), pa.string()),
+                "cnt": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", sort=False)["cnt"].sum().reset_index()
+        return g.sort_values(
+            ["cnt", "gram"], ascending=[False, True]
+        ).head(k)
+
+    parts = bucketed_group_map(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        bucket_on="gram",
+        fn=bucket_topk,
+        n_buckets=n_buckets,
+    ).to_pandas()  # n_buckets * k rows — driver-safe by construction
+    return (
+        parts.sort_values(["cnt", "gram"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"cnt": "int64"})
+    )

@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 REAL_SQL = [
     "dedup_jaccard_pairs",
     "docs_decontaminate",
+    "corpus_top_bigrams",
     "doc_quality_scores",
     "doc_repetition_scores",
     "doc_normalized",

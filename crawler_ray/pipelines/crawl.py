@@ -193,6 +193,24 @@ def _fetch_parse_write_task():
 
 
 _READ_FINDINGS_TASK = None
+_READ_FRONTIER_TASK = None
+
+
+def _read_frontier_task():
+    """Lazily-decorated Ray task: read ONE next_frontier checkpoint part
+    for the big-frontier politeness path — plain tasks instead of a Ray
+    Data pipeline, saving the per-wave streaming-executor launch (the same
+    trade as _read_findings_task)."""
+    global _READ_FRONTIER_TASK
+    if _READ_FRONTIER_TASK is None:
+        import ray
+
+        @ray.remote
+        def read_frontier(path: str) -> pa.Table:
+            return pq.read_table(path)
+
+        _READ_FRONTIER_TASK = read_frontier
+    return _READ_FRONTIER_TASK
 
 
 def _read_findings_task():
@@ -894,11 +912,19 @@ def _run_wave(
         # are cheaper on the driver fast-path anyway
         frontier = pq.read_table(frontier.path)
     if isinstance(frontier, FrontierRef):
-        # big frontier: it never enters driver memory — lazy parquet read
-        # + distributed politeness prep (per-block host attach and
-        # top-(limit+1) combiner inside admit_ray's Dataset branch)
+        # big frontier: it never enters driver memory — one plain read task
+        # per checkpoint part feeds the distributed politeness prep
+        # (per-block host attach + top-(limit+1) combiner in admit_ray)
+        read = _read_frontier_task()
+        fpath = Path(frontier.path)
+        part_files = (
+            sorted(fpath.glob("*.parquet")) if fpath.is_dir() else [fpath]
+        )
         admitted, m = politeness.admit_ray(
-            rd.read_parquet(frontier.path), counts, cfg.host_limit, cfg.priority
+            [read.remote(str(f)) for f in part_files],
+            counts,
+            cfg.host_limit,
+            cfg.priority,
         )
     else:
         frontier = politeness.with_host(frontier)

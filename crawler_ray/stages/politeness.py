@@ -162,14 +162,45 @@ def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> p
     return pa.Table.from_pandas(df[keep], preserve_index=False)
 
 
+_PREP_BLOCK_TASK = None
+
+
+def _prep_block_task():
+    """Module-singleton distributed-prep task (see shuffle._reduce_bucket_task
+    for why per-call ``@ray.remote`` definitions are a per-wave tax)."""
+    global _PREP_BLOCK_TASK
+    if _PREP_BLOCK_TASK is None:
+        import ray
+
+        @ray.remote
+        def prep_block(t: pa.Table, limit: int, priority: str, need_counts: bool):
+            if "host" not in t.column_names:
+                t = with_host(t)
+            n_tot = t.num_rows
+            v = t.filter(pc.is_valid(t["host"]))
+            n_val = v.num_rows
+            hostc = (
+                pd.Series(v["host"].to_pylist()).value_counts().to_dict()
+                if need_counts
+                else None
+            )
+            return n_tot, n_val, presalt_prune(v, limit, priority), hostc
+
+        _PREP_BLOCK_TASK = prep_block
+    return _PREP_BLOCK_TASK
+
+
 def admit_ray(
     frontier_ds,
     counts: Counter,
     limit: int = 256,
     priority: str = "canonical",
 ) -> tuple[pa.Table, Counter]:
-    """Shuffle-native admission over a Dataset of frontier rows (url, kind,
-    depth, host). Broadcasts the prior counts once (ray.put); each host
+    """Shuffle-native admission over frontier rows (url, kind, depth, host)
+    given as a Dataset, a driver Table, or a LIST of Arrow-table object
+    refs (the crawl's big-frontier form: plain read tasks per checkpoint
+    part, no per-wave streaming-executor launch).
+    Broadcasts the prior counts once (ray.put); each host
     group admits independently in canonical order. Returns the same
     (admitted, metrics) as admit_local and applies the same counts update.
 
@@ -206,23 +237,16 @@ def admit_ray(
         # (limit+1) × hosts_in_block rows per block) return, plus partial
         # per-host counts for the hot_host_first priority aggregate.
         need_counts = priority == "hot_host_first"
-
-        @ray.remote
-        def prep_block(t: pa.Table):
-            if "host" not in t.column_names:
-                t = with_host(t)
-            n_tot = t.num_rows
-            v = t.filter(pc.is_valid(t["host"]))
-            n_val = v.num_rows
-            hostc = (
-                pd.Series(v["host"].to_pylist()).value_counts().to_dict()
-                if need_counts
-                else None
-            )
-            return n_tot, n_val, presalt_prune(v, limit, priority), hostc
-
+        prep_block = _prep_block_task()
+        refs = (
+            frontier_ds
+            if isinstance(frontier_ds, list)
+            # Dataset input (compat path): forces a streaming-executor
+            # launch; the crawl passes plain read-task refs instead
+            else frontier_ds.to_arrow_refs()
+        )
         res = ray.get(
-            [prep_block.remote(r) for r in frontier_ds.to_arrow_refs()]
+            [prep_block.remote(r, limit, priority, need_counts) for r in refs]
         )
         n_total = sum(r[0] for r in res)
         n_valid_in = sum(r[1] for r in res)

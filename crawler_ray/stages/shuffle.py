@@ -255,6 +255,26 @@ def bucketed_join(
     )
 
 
+_REDUCE_BUCKET_TASK = None
+
+
+def _reduce_bucket_task():
+    """Module-singleton reduce task (``fn`` ships as an argument): defining
+    a fresh ``@ray.remote`` per exchange exports a new function definition
+    to every worker each wave — measurable GCS traffic on small waves."""
+    global _REDUCE_BUCKET_TASK
+    if _REDUCE_BUCKET_TASK is None:
+        import ray
+
+        @ray.remote
+        def reduce_bucket(fn, part: pa.Table) -> pa.Table:
+            out = fn(part.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        _REDUCE_BUCKET_TASK = reduce_bucket
+    return _REDUCE_BUCKET_TASK
+
+
 def bucketed_exchange_tasks(
     table: pa.Table,
     bucket_on: str,
@@ -280,16 +300,14 @@ def bucketed_exchange_tasks(
     sorted_buckets = buckets[order]
     bounds = np.searchsorted(sorted_buckets, np.arange(n_buckets + 1))
 
-    @ray.remote
-    def reduce_bucket(part: pa.Table) -> pa.Table:
-        out = fn(part.to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False)
-
+    reduce_bucket = _reduce_bucket_task()
     futures = []
     for b in range(n_buckets):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
         if hi > lo:
-            futures.append(reduce_bucket.remote(sorted_tbl.slice(lo, hi - lo)))
+            futures.append(
+                reduce_bucket.remote(fn, sorted_tbl.slice(lo, hi - lo))
+            )
     parts = [t for t in ray.get(futures) if t.num_rows]
     if not parts:
         first = fn(table.slice(0, 0).to_pandas())

@@ -229,6 +229,21 @@ def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     return ngram_decontaminate(train, bench, n=8)
 
 
+def _docs_curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """Stage-by-stage retention through lang → length → repetition →
+    decontamination gates, one streaming pass (pipelines/webtext.py)."""
+    from crawler_ray.pipelines.webtext import curation_funnel
+
+    def _mod7(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 7 == 0))
+
+    docs = _docs_ds(sf_dir, ["doc_id", "text", "lang"])
+    bench = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod7, batch_format="pyarrow"
+    )
+    return curation_funnel(docs, bench)
+
+
 def _corpus_top_bigrams(sf_dir: str) -> pd.DataFrame:
     from crawler_ray.functions.textstats import corpus_top_ngrams
 
@@ -580,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_decontaminate": _docs_decontaminate,
         "corpus_top_bigrams": _corpus_top_bigrams,
+        "docs_curation_funnel": _docs_curation_funnel,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
@@ -713,6 +729,76 @@ SELECT t.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
 FROM toks t LEFT JOIN cont ON t.doc_id = cont.doc_id
 WHERE t.doc_id % 7 <> 0
 ORDER BY t.doc_id
+"""
+
+#: Curation-funnel retention counts: cumulative stage gates (lang,
+#: length, repetition, decontamination), computed in one streaming pass
+#: engine-side (pipelines/webtext.py:curation_funnel) and stated
+#: relationally here from the same per-doc definitions the standalone
+#: repetition / decontamination oracles use.
+DOCS_CURATION_FUNNEL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+bigr AS (
+  SELECT t.doc_id, array_to_string(t.w[i:i+1], ' ') AS g
+  FROM toks t, unnest(generate_series(1, len(t.w) - 1)) AS s(i)
+),
+topb AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, g, count(*) AS c FROM bigr GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+feat AS (
+  SELECT t.doc_id, t.lang, len(t.w) AS n_words,
+         round(CASE WHEN len(t.w) >= 2
+               THEN CAST(coalesce(topb.top_c, 0) AS DOUBLE) / (len(t.w) - 1)
+               ELSE 0.0 END, 6) AS top_bigram_ratio
+  FROM toks t LEFT JOIN topb USING (doc_id)
+),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'),
+                     x -> x <> '') AS cw
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(cw) - 7),
+                               i -> array_to_string(cw[i:i+7], ' '))) AS g
+  FROM ctoks WHERE len(cw) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+cont AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench USING (g)
+  WHERE gr.doc_id % 7 <> 0
+),
+flags AS (
+  SELECT f.doc_id,
+         (f.lang IN ('en', 'de')) AS p1,
+         (f.n_words >= 30) AS p2,
+         (f.top_bigram_ratio <= 0.05) AS p3,
+         (f.doc_id % 7 <> 0 AND cont.doc_id IS NULL) AS p4
+  FROM feat f LEFT JOIN cont ON f.doc_id = cont.doc_id
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, kept FROM (
+  SELECT 0 AS stage_idx, 'total' AS stage,
+         CAST(count(*) AS BIGINT) AS kept FROM flags
+  UNION ALL SELECT 1, 'lang',
+         CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+  UNION ALL SELECT 2, 'length',
+         CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+  UNION ALL SELECT 3, 'repetition',
+         CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM flags
+  UNION ALL SELECT 4, 'decontaminate',
+         CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM flags
+) ORDER BY stage_idx
 """
 
 #: Corpus-wide top-50 word bigrams by occurrence count (deterministic
@@ -948,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
+        "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,
         "doc_normalized": DOC_NORMALIZED_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,

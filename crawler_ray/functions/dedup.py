@@ -945,6 +945,36 @@ def _decon_grams(text: str, n: int) -> set[str]:
     return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
 
 
+def collect_bench_grams(bench_ds, n: int = 8, text_col: str = "text"):
+    """Distinct word ``n``-grams of a (small-by-contract) benchmark/eval
+    dataset, gathered once and broadcast via ``ray.put`` — returns the
+    ObjectRef of one frozenset (deserialized once per worker process, not
+    per batch)."""
+    import ray
+
+    gram_parts = bench_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "g": pa.array(
+                    sorted(
+                        set().union(
+                            *(
+                                _decon_grams(t, n)
+                                for t in b[text_col].to_pylist()
+                            )
+                        )
+                        if b.num_rows
+                        else set()
+                    ),
+                    pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # small side by contract: distinct grams of the EVAL set
+    return ray.put(frozenset(r["g"] for r in gram_parts))
+
+
 def ngram_decontaminate(
     docs_ds,
     bench_ds,
@@ -974,27 +1004,7 @@ def ngram_decontaminate(
     """
     import ray
 
-    gram_parts = bench_ds.map_batches(
-        lambda b: pa.table(
-            {
-                "g": pa.array(
-                    sorted(
-                        set().union(
-                            *(
-                                _decon_grams(t, n)
-                                for t in b[text_col].to_pylist()
-                            )
-                        )
-                        if b.num_rows
-                        else set()
-                    ),
-                    pa.string(),
-                )
-            }
-        ),
-        batch_format="pyarrow",
-    ).take_all()  # small side by contract: distinct grams of the EVAL set
-    bench_ref = ray.put(frozenset(r["g"] for r in gram_parts))
+    bench_ref = collect_bench_grams(bench_ds, n=n, text_col=text_col)
 
     class Flagger:
         def __init__(self) -> None:

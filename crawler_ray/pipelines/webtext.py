@@ -148,3 +148,94 @@ def build_training_set(
     stats = stats.drop(columns=["punct_sum"])
     stats.to_json(out / "stats.json", orient="records")
     return stats
+
+
+def curation_funnel(
+    docs_ds,
+    bench_ds,
+    langs: tuple = ("en", "de"),
+    min_words: int = 30,
+    max_top_bigram: float = 0.05,
+    decon_n: int = 8,
+    bench_mod: int = 7,
+) -> pd.DataFrame:
+    """Per-stage retention counts through a curation chain — the funnel
+    report every production corpus pipeline publishes (how many docs
+    survive language gate → length gate → repetition gate →
+    decontamination).
+
+    ONE streaming pass: each batch computes all four cumulative stage
+    flags and emits a single row of partial sums, so the driver reduces
+    #batches rows regardless of corpus size; no stage rescans the input
+    and the only broadcast is the benchmark gram set. Stage predicates
+    reuse the engine's per-doc kernels (repetition_scores, the
+    decontamination tokenizer), so the funnel is consistent with the
+    standalone queries to the bit.
+
+    Returns ``(stage_idx, stage, kept)`` — kept is cumulative.
+    """
+    import ray
+
+    from ..functions.dedup import _decon_tokens, collect_bench_grams
+    from ..functions.textstats import repetition_scores
+
+    bench_ref = collect_bench_grams(bench_ds, n=decon_n)
+    lang_set = frozenset(langs)
+
+    class FunnelFlags:
+        def __init__(self) -> None:
+            self.grams: frozenset = ray.get(bench_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rep = repetition_scores(batch)
+            top = np.floor(
+                rep["top_bigram_ratio"].to_numpy() * 1e6 + 0.5
+            ) / 1e6  # half-up 6dp — the doc_repetition_scores convention
+            texts = batch["text"].to_pylist()
+            ids = batch["doc_id"].to_numpy()
+            p1 = np.array(
+                [l in lang_set for l in batch["lang"].to_pylist()], dtype=bool
+            )
+            n_words = np.array(
+                [len((t or "").split()) for t in texts], dtype=np.int64
+            )
+            p2 = n_words >= min_words
+            p3 = top <= max_top_bigram
+            bench = self.grams
+            p4 = np.zeros(len(texts), dtype=bool)
+            for i, (d, t) in enumerate(zip(ids, texts)):
+                if d % bench_mod == 0:
+                    continue  # benchmark doc: never a training candidate
+                w = _decon_tokens(t)
+                hit = False
+                for j in range(len(w) - decon_n + 1):
+                    if " ".join(w[j : j + decon_n]) in bench:
+                        hit = True
+                        break
+                p4[i] = not hit
+            c1 = p1
+            c2 = c1 & p2
+            c3 = c2 & p3
+            c4 = c3 & p4
+            return pa.table(
+                {
+                    "total": pa.array([len(texts)], pa.int64()),
+                    "lang": pa.array([int(c1.sum())], pa.int64()),
+                    "length": pa.array([int(c2.sum())], pa.int64()),
+                    "repetition": pa.array([int(c3.sum())], pa.int64()),
+                    "decontaminate": pa.array([int(c4.sum())], pa.int64()),
+                }
+            )
+
+    parts = docs_ds.map_batches(
+        FunnelFlags, batch_format="pyarrow", concurrency=2
+    ).to_pandas()  # one row per batch
+    sums = parts.sum()
+    stages = ["total", "lang", "length", "repetition", "decontaminate"]
+    return pd.DataFrame(
+        {
+            "stage_idx": np.arange(len(stages), dtype=np.int64),
+            "stage": stages,
+            "kept": np.array([int(sums[s]) for s in stages], dtype=np.int64),
+        }
+    )

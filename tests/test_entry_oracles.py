@@ -14,6 +14,7 @@ REAL_SQL = [
     "dedup_jaccard_pairs",
     "docs_decontaminate",
     "corpus_top_bigrams",
+    "docs_curation_funnel",
     "doc_quality_scores",
     "doc_repetition_scores",
     "doc_normalized",

@@ -60,8 +60,22 @@ def _langid() -> "ts.LangId":
     return _LANGID
 
 
+#: crawl-time signals are computed over the first SAMPLE_CHARS of each
+#: text — the operating point of production inline curation (language
+#: detectors and quality gates sample the head; CLD2/fastText default to
+#: the first few KB). Full-document signals remain available as the
+#: standalone operators in functions/textstats.py; the curated columns'
+#: truth model (tests/test_curate.py) applies the same sample. Without a
+#: cap, a 15 KB page costs ~12 ms of per-doc signal math and the inline
+#: stage stops being "microseconds while the text is hot" — the cap keeps
+#: curation compute bounded per PAGE, not per byte.
+SAMPLE_CHARS = 4096
+
+
 def curate_columns(texts: "pa.Array | pa.ChunkedArray") -> pa.Table:
-    """CURATE_FIELDS columns for a text array (one row per text)."""
+    """CURATE_FIELDS columns for a text array (one row per text), computed
+    over the first ``SAMPLE_CHARS`` of each text (head sample, see above)."""
+    texts = pc.utf8_slice_codeunits(texts, 0, SAMPLE_CHARS)
     tmp = pa.table({"text": texts})
     tmp = ts.token_counts(tmp)
     tmp = ts.quality_scores(tmp)

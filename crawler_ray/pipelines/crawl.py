@@ -329,10 +329,13 @@ class CorpusIndex:
     def __init__(self, corpus_path: "str | list[str]") -> None:
         self.files = _corpus_files(corpus_path)
         self.ranges: list[tuple[str, str] | None] = []
+        self.num_rows: list[int] = []  # per-file footer row counts
         for f in self.files:
             rng: tuple[str, str] | None = None
+            rows = 1 << 62  # unreadable footer: never under-slice
             try:
                 md = pq.ParquetFile(f).metadata
+                rows = md.num_rows
                 idx = md.schema.to_arrow_schema().get_field_index("url")
                 mins, maxs = [], []
                 for rg in range(md.num_row_groups):
@@ -346,6 +349,7 @@ class CorpusIndex:
             except Exception:
                 rng = None
             self.ranges.append(rng)
+            self.num_rows.append(rows)
 
     def files_for(self, sorted_urls: list[str]) -> list[str]:
         """Files whose url range can contain any of the (sorted) urls."""
@@ -850,12 +854,18 @@ def run_crawl(
     if cfg.use_fetch_service and fetcher_cls is None:
         from ..stages.fetch import CorpusFetchService
 
-        # build starts NOW, asynchronously: the corpus streams into the
-        # shard actors while the small BFS warmup waves run on the
-        # pruned-scan fast path; the first fat wave blocks on ready()
+        # Seed-shaped crawls (small initial frontier): the build starts
+        # NOW, asynchronously — the corpus streams into the shard actors
+        # while the small BFS warmup waves run on the pruned-scan fast
+        # path, and the first fat wave finds it sealed. Restart-shaped
+        # crawls (fat wave 0, e.g. resuming a production frontier) DEFER:
+        # wave 0 launches the build FUSED with its own fetch — one corpus
+        # read both partitions the shards and serves the wave — so the
+        # index build never sits on the critical path as a pure wait.
         fetch_service = CorpusFetchService(
             list(index.files),
             n_shards=cfg.fetch_service_shards or cfg.num_seen_shards,
+            defer=frontier.num_rows > cfg.scan_task_path_limit,
         )
     try:
         while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
@@ -964,7 +974,64 @@ def _run_wave(
         pc.cast(pc.equal(lookup_tbl["kind"], "page"), pa.int64())
     ).as_py() or 0
     n_images_dispatched = lookup_tbl.num_rows - n_pages_dispatched
-    if lookup_tbl.num_rows and fetch_service is not None and (
+    if (
+        fetch_service is not None
+        and not fetch_service.started
+        and admitted.num_rows <= cfg.scan_task_path_limit
+    ):
+        # deferred build + small wave: begin the plain async build now so a
+        # later fat wave finds it sealed; THIS wave takes the scan fast-path
+        fetch_service.start()
+    if (
+        lookup_tbl.num_rows
+        and fetch_service is not None
+        and not fetch_service.started
+        and admitted.num_rows > cfg.scan_task_path_limit
+    ):
+        # FUSED build+fetch (restart-shaped wave 0): one corpus read both
+        # hash-partitions the shards AND emits this wave's fetched rows —
+        # per corpus file, one hits table (object ref) consumed by the same
+        # fetch_parse_write slice tasks the service path uses. The wave's
+        # critical path is read→parse→write with no svc-build wait; the
+        # seal completes concurrently and wave 1 finds the service ready.
+        import ray
+
+        sorted_lk = lookup_tbl.sort_by(
+            [
+                ("url", "ascending"),
+                ("kind", "ascending"),
+                ("depth", "ascending"),
+            ]
+        )
+        hit_refs = fetch_service.start_fused(ray.put(sorted_lk))
+        _mark("svc_fused_launch")
+        task = _fetch_parse_write_task()
+        count_refs = []
+        svc_finding_refs = []
+        chunk = max(1, cfg.batch_size * 8)
+        part_id = 0
+        for fi, href in enumerate(hit_refs):
+            # slice bound: a file can hit at most min(its rows, the wave's
+            # lookups); trailing slices past the actual hit count are empty
+            upper = min(index.num_rows[fi], sorted_lk.num_rows)
+            for off0 in range(0, upper, chunk):
+                cref, fref = task.remote(
+                    href,
+                    str(parsed_dir),
+                    part_id,
+                    cfg.faithful_depth,
+                    cfg.checkpoint_compression,
+                    cfg.batch_size,
+                    off0,
+                    chunk,
+                    cfg.curate,
+                )
+                count_refs.append(cref)
+                svc_finding_refs.append(fref)
+                part_id += 1
+        _mark("svc_fused_dispatch")
+        ray.get(count_refs)  # checkpoint-written barrier (counts read next)
+    elif lookup_tbl.num_rows and fetch_service is not None and (
         fetch_service.is_ready()
         or admitted.num_rows > cfg.scan_task_path_limit
     ):

@@ -172,17 +172,48 @@ def _load_split_task():
         import ray
 
         @ray.remote
-        def load_split(path: str, n: int) -> "list[pa.Table | None]":
+        def load_split(
+            path: str, n: int, lookups: "pa.Table | None" = None
+        ) -> "list":
             """Read ONE corpus file and hash-partition its rows across the
-            service's shards (map side of the build exchange)."""
+            service's shards (map side of the build exchange). Returns n+1
+            objects: the n shard parts plus — when ``lookups`` (a
+            FETCH_IN_SCHEMA table, canonically pre-sorted on the driver) is
+            given — this file's fetched rows for the CURRENT wave, so the
+            first fat wave of a restart-shaped crawl is served from the
+            same single corpus read that builds the shards (fused
+            build+fetch: no svc-build wait on the critical path)."""
             import numpy as np
             import pyarrow.parquet as pq
 
             from ..keys import hash64
 
             t = pq.read_table(path, columns=["url", "html"])
+            hits = None
+            if (
+                lookups is not None
+                and lookups.num_rows
+                and t.num_rows
+            ):
+                import pandas as pd
+
+                # same probe as CorpusShard.fetch: one vectorized index
+                # lookup, hits emitted in lookup (= canonical) order
+                idx = pd.Index(t["url"].to_pandas())
+                pos = idx.get_indexer(lookups["fetch_url"].to_pandas())
+                hit = pos >= 0
+                if hit.any():
+                    keep = pa.array(np.nonzero(hit)[0], pa.int64())
+                    hits = pa.table(
+                        {
+                            "url": lookups["url"].take(keep),
+                            "kind": lookups["kind"].take(keep),
+                            "depth": lookups["depth"].take(keep),
+                            "html": t["html"].take(pa.array(pos[hit], pa.int64())),
+                        }
+                    )
             if t.num_rows == 0:
-                return [None] * n
+                return [None] * n + [hits]
             h = (hash64(t["url"].combine_chunks()) % np.uint64(n)).astype(
                 np.int64
             )
@@ -195,7 +226,7 @@ def _load_split_task():
                 if bounds[i + 1] > bounds[i]
                 else None
                 for i in range(n)
-            ]
+            ] + [hits]
 
         _LOAD_SPLIT = load_split
     return _LOAD_SPLIT
@@ -215,36 +246,72 @@ class CorpusFetchService:
     the cluster's aggregate RAM — the moral equivalent of "the web is out
     there"; shard count scales with the cluster like the seen-set shards.
 
-    The build runs asynchronously from construction; ``ready()`` blocks
-    until sealed, ``is_ready()`` polls — the crawl's small BFS warmup waves
-    keep using the pruned-scan fast path while the build streams in the
-    background, and the first fat wave flips over.
+    The build runs asynchronously from ``start()`` (called from
+    ``__init__`` unless ``defer=True``); ``ready()`` blocks until sealed,
+    ``is_ready()`` polls — the crawl's small BFS warmup waves keep using
+    the pruned-scan fast path while the build streams in the background,
+    and the first fat wave flips over. A restart-shaped crawl (fat wave 0)
+    instead defers and calls ``start_fused(lookups_ref)``: the SAME single
+    corpus read both partitions the shards and emits wave 0's fetched rows
+    (one hits table per corpus file, returned as object refs), so the
+    build never sits on the critical path as a pure wait.
     """
 
-    def __init__(self, files: "list[str]", n_shards: int = 8) -> None:
-        import ray
-
+    def __init__(
+        self, files: "list[str]", n_shards: int = 8, defer: bool = False
+    ) -> None:
+        self.files = list(files)
         self.n_shards = max(1, int(n_shards))
         shard_cls = _corpus_shard_actor()
         self.shards = [shard_cls.remote() for _ in range(self.n_shards)]
+        self._seal: "list | None" = None
+        self.rows: "int | None" = None
+        if not defer:
+            self.start()
+
+    @property
+    def started(self) -> bool:
+        return self._seal is not None
+
+    def _launch(self, lookups_ref) -> "list":
+        """Submit the build exchange (one load_split per corpus file, adds
+        routed to the shard actors, then seals). Returns the per-file
+        wave-0 hits refs (meaningful only under start_fused)."""
         load = _load_split_task()
-        for f in files:
-            refs = load.options(num_returns=self.n_shards).remote(
-                f, self.n_shards
+        hit_refs = []
+        for f in self.files:
+            refs = load.options(num_returns=self.n_shards + 1).remote(
+                f, self.n_shards, lookups_ref
             )
-            if self.n_shards == 1:
-                refs = [refs]
-            for b, r in enumerate(refs):
+            parts, hits = refs[:-1], refs[-1]
+            for b, r in enumerate(parts):
                 self.shards[b].add.remote(r)
+            hit_refs.append(hits)
         # actor tasks run in submission order: every add lands before seal
         self._seal = [s.seal.remote() for s in self.shards]
-        self.rows: "int | None" = None
+        return hit_refs
+
+    def start(self) -> None:
+        """Begin the plain async build (idempotent)."""
+        if self._seal is None:
+            self._launch(None)
+
+    def start_fused(self, lookups_ref) -> "list":
+        """Begin the build AND serve the current wave from the same read:
+        ``lookups_ref`` is a ``ray.put`` FETCH_IN_SCHEMA table (canonically
+        pre-sorted). Returns one object ref per corpus file resolving to
+        that file's fetched (url, kind, depth, html) rows for the wave
+        (None where the file holds no admitted url)."""
+        assert self._seal is None, "service already started"
+        return self._launch(lookups_ref)
 
     def is_ready(self) -> bool:
         import ray
 
         if self.rows is not None:
             return True
+        if self._seal is None:
+            return False
         done, _ = ray.wait(list(self._seal), num_returns=len(self._seal), timeout=0)
         return len(done) == len(self._seal)
 
@@ -252,6 +319,7 @@ class CorpusFetchService:
         import ray
 
         if self.rows is None:
+            self.start()
             self.rows = int(sum(ray.get(self._seal)))
         return self.rows
 

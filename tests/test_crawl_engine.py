@@ -430,6 +430,57 @@ def test_fetch_service_bit_identical(t1_corpus, tmp_path):
     assert resumed.metrics() == scan.metrics()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_fused_build_fetch_bit_identical(t1_corpus, tmp_path):
+    """Restart-shaped crawls (fat wave 0) launch the fetch-service build
+    FUSED with wave 0's own fetch: one corpus read partitions the shards
+    AND serves the wave. scan_task_path_limit=0 makes every wave 'fat', so
+    wave 0 exercises the fused branch and wave 1+ the sealed service; the
+    whole run must reproduce the corpus-scan crawl exactly, including a
+    resume whose wave 0 was written by the fused path."""
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    scan = run_crawl(
+        path, seeds, str(tmp_path / "scan"), CrawlConfig(num_seen_shards=2)
+    )
+    fused_cfg = CrawlConfig(
+        num_seen_shards=2,
+        use_fetch_service=True,
+        fetch_service_shards=3,
+        scan_task_path_limit=0,
+    )
+    fused = run_crawl(path, seeds, str(tmp_path / "fused"), fused_cfg)
+    assert fused.n_waves() == scan.n_waves()
+    assert fused.order().equals(scan.order())
+    assert fused.archive().equals(scan.archive())
+    assert fused.host_counts() == scan.host_counts()
+    assert fused.texts() == scan.texts()
+    assert fused.image_files() == scan.image_files()
+    assert fused.metrics() == scan.metrics()
+
+    # resume across the fused path: wave 0 checkpointed by the fused
+    # branch, the resumed process re-fuses (or re-builds) as needed
+    run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "fres"),
+        CrawlConfig(
+            num_seen_shards=2,
+            use_fetch_service=True,
+            fetch_service_shards=3,
+            scan_task_path_limit=0,
+            max_waves=2,
+        ),
+    )
+    resumed = run_crawl(
+        path, seeds, str(tmp_path / "fres"), fused_cfg, resume=True
+    )
+    assert resumed.order().equals(scan.order())
+    assert resumed.archive().equals(scan.archive())
+    assert resumed.texts() == scan.texts()
+    assert resumed.metrics() == scan.metrics()
+
+
 def test_http_fetcher_shape():
     """HttpFetcher constructs without network (client built in __init__)
     and reports a miss, not an exception, on unreachable URLs."""

@@ -384,6 +384,42 @@ def _cosine_near_dups(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide duplicate-LINE removal (functions/dedup.line_dedup —
+    the CCNet/RefinedWeb boilerplate-line curation step). The sf* document
+    texts are single-line word streams, so the query first reshapes each
+    doc deterministically into 5-word lines (same augmentation in the SQL
+    oracle); the small vocabulary then yields real cross-document duplicate
+    lines, making the oracle non-trivial."""
+    from crawler_ray.functions.dedup import line_dedup
+
+    def chunk5(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            w = (s or "").split(" ")
+            out.append(
+                "\n".join(
+                    " ".join(w[i : i + 5]) for i in range(0, len(w), 5)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk5, batch_format="pyarrow"
+    )
+    return (
+        line_dedup(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Image-decode plumbing demo: document text bytes as opaque payloads →
     wrap → actor-pool decode (deterministic fake codec)."""
@@ -604,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "cosine_near_dups": _cosine_near_dups,
+        "docs_line_dedup": _docs_line_dedup,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
@@ -729,6 +766,55 @@ SELECT t.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
 FROM toks t LEFT JOIN cont ON t.doc_id = cont.doc_id
 WHERE t.doc_id % 7 <> 0
 ORDER BY t.doc_id
+"""
+
+#: Line-level dedup oracle: the same deterministic 5-word-line reshaping
+#: as the query (documents are single-line word streams), then the
+#: line_dedup rule stated relationally — whitespace-only lines always
+#: kept, otherwise the globally-first instance (min (doc_id, line_idx))
+#: of each distinct line wins; docs reassembled in original line order,
+#: fully-deduplicated docs emitting empty text.
+DOCS_LINE_DEDUP_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+),
+reshaped AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             generate_series(1, greatest(1, cast(ceil(len(w) / 5.0) AS BIGINT))),
+             i -> array_to_string(w[(i - 1) * 5 + 1 : (i - 1) * 5 + 5], ' ')),
+           chr(10)) AS text
+  FROM w
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(len(string_split(text, chr(10))))) AS line_idx
+  FROM reshaped
+),
+kept AS (
+  SELECT doc_id, line_idx, line
+  FROM lines WHERE trim(line, ' ' || chr(9) || chr(13)) = ''
+  UNION ALL
+  SELECT doc_id, line_idx, line FROM (
+    SELECT doc_id, line_idx, line,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, line_idx) AS rn
+    FROM lines WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY line_idx) AS text,
+         count(*) AS n_lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text, '') AS text,
+       coalesce(a.n_lines_kept, 0) AS n_lines_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
 """
 
 #: Curation-funnel retention counts: cumulative stage gates (lang,
@@ -1033,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
+        "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,

@@ -1037,3 +1037,140 @@ def ngram_decontaminate(
         .reset_index(drop=True)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (CCNet / RefinedWeb-style curation step)
+# ---------------------------------------------------------------------------
+
+_LINE_TRIM_CHARS = " \t\r"
+
+
+def _explode_lines(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """One vectorized pass: docs → (doc_id, line_idx, line, dedupable, bkey)
+    rows, plus one sentinel row per doc (line_idx = -1) so documents whose
+    every line loses the global dedup still appear in the reassembly.
+
+    ``dedupable`` = the line has non-whitespace content; whitespace-only
+    lines are document structure and are always kept. ``bkey`` is the
+    exchange routing key: the line itself for dedupable rows (global
+    co-location of a line's instances), and a per-row synthetic key for
+    keep-always rows — their bucket is irrelevant (they pass through), and
+    routing them by content would funnel every empty line of a 100 TB
+    corpus into one hot bucket."""
+    import pyarrow.compute as pc
+
+    ids = batch[id_col].cast(pa.int64()).combine_chunks()
+    text = pc.fill_null(batch[text_col], "").cast(pa.string())
+    lists = pc.split_pattern(text.combine_chunks(), pattern="\n")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    lengths = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    starts = np.cumsum(lengths) - lengths
+    line_idx = np.arange(int(lengths.sum()), dtype=np.int64) - np.repeat(
+        starts, lengths
+    )
+    doc_ids = ids.take(parent)
+    dedupable = pc.not_equal(
+        pc.utf8_trim(flat, characters=_LINE_TRIM_CHARS), ""
+    )
+    ded_np = dedupable.to_numpy(zero_copy_only=False)
+    # synthetic routing keys for pass-through rows (and sentinels): unique,
+    # so whitespace-only lines spread across buckets instead of colliding
+    did = doc_ids.to_numpy(zero_copy_only=False)
+    synth = np.char.add(
+        np.char.add(did.astype("U20"), ":"), line_idx.astype("U20")
+    )
+    bkey = np.where(ded_np, flat.to_numpy(zero_copy_only=False), synth)
+    body = pa.table(
+        {
+            "doc_id": doc_ids,
+            "line_idx": pa.array(line_idx, pa.int64()),
+            "line": flat,
+            "dedupable": dedupable,
+            "bkey": pa.array(bkey, pa.string()),
+        }
+    )
+    sent = pa.table(
+        {
+            "doc_id": ids,
+            "line_idx": pa.array(
+                np.full(len(ids), -1, dtype=np.int64), pa.int64()
+            ),
+            "line": pa.array([""] * len(ids), pa.string()),
+            "dedupable": pa.array(np.zeros(len(ids), bool)),
+            "bkey": pa.array(
+                np.char.add("s", ids.to_numpy().astype("U20")), pa.string()
+            ),
+        }
+    )
+    return pa.concat_tables([body, sent])
+
+
+def _keep_first_line_instance(df: pd.DataFrame) -> pd.DataFrame:
+    """Per exchange bucket: globally-first instance wins per distinct line
+    (canonical order = (doc_id, line_idx)); keep-always rows pass through.
+    All instances of a dedupable line share ``bkey`` = the line, so they
+    co-locate — the winner choice is exact, not per-bucket-approximate."""
+    keep = df[~df["dedupable"]]
+    ded = (
+        df[df["dedupable"]]
+        .sort_values(["line", "doc_id", "line_idx"], kind="stable")
+        .drop_duplicates("line", keep="first")
+    )
+    return pd.concat([keep, ded])[["doc_id", "line_idx", "line"]]
+
+
+def _reassemble_docs(df: pd.DataFrame) -> pd.DataFrame:
+    """Per doc bucket: surviving lines (sentinel excluded) rejoined in
+    original order. Documents that kept nothing emit empty text."""
+    df = df.sort_values(["doc_id", "line_idx"], kind="stable")
+    body = df[df["line_idx"] >= 0]
+    g = body.groupby("doc_id", sort=True)
+    text = g["line"].agg("\n".join)
+    n = g.size()
+    docs = pd.DataFrame({"doc_id": np.sort(df["doc_id"].unique())})
+    out = docs.merge(
+        pd.DataFrame(
+            {"doc_id": text.index, "text": text.values, "n_lines_kept": n.values}
+        ),
+        on="doc_id",
+        how="left",
+    )
+    out["text"] = out["text"].fillna("")
+    out["n_lines_kept"] = out["n_lines_kept"].fillna(0).astype(np.int64)
+    return out
+
+
+def line_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Corpus-wide exact duplicate-LINE removal (the CCNet/RefinedWeb
+    curation step: boilerplate lines — nav menus, cookie banners, footers —
+    repeat across millions of pages; only the globally-first instance
+    survives). Whitespace-only lines are structural and always kept.
+
+    Shape: one vectorized explode pass (``map_batches``: Arrow
+    ``split_pattern`` + ``list_flatten``, no per-row Python), then two
+    bucketed task exchanges — by line (winner per distinct line = min
+    (doc_id, line_idx)) and by doc (reassemble survivors in original
+    order). Both exchanges are linear in the line count; nothing lands on
+    the driver. Returns a Dataset of ``(doc_id, text, n_lines_kept)`` with
+    one row per input document (fully-deduped docs emit empty text).
+    """
+    from ..stages.shuffle import bucketed_group_map
+
+    exploded = ds.map_batches(
+        _explode_lines,
+        batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    )
+    survivors = bucketed_group_map(
+        exploded, "bkey", _keep_first_line_instance, n_buckets=n_buckets
+    )
+    return bucketed_group_map(
+        survivors, "doc_id", _reassemble_docs, n_buckets=max(8, n_buckets // 2)
+    )

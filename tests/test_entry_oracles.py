@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 REAL_SQL = [
     "dedup_jaccard_pairs",
     "docs_decontaminate",
+    "docs_line_dedup",
     "corpus_top_bigrams",
     "docs_curation_funnel",
     "doc_quality_scores",

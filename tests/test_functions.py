@@ -160,8 +160,10 @@ def test_langid_separates_languages(ray_session):
     out = ds.map_batches(
         LangId, batch_format="pyarrow", concurrency=1
     ).to_pandas()
-    langs = out["pred_lang"].tolist()
-    assert langs[0] == "en" and langs[1] == "de" and langs[2] == "fr"
+    # keyed by first word, not by position: Ray Data's streaming executor
+    # does not guarantee block order (preserve_order defaults to False)
+    got = {t.split()[0]: lang for t, lang in zip(out["text"], out["pred_lang"])}
+    assert got == {"the": "en", "der": "de", "le": "fr"}
 
 
 def test_exact_dedup(ray_session):
@@ -180,6 +182,52 @@ def test_exact_dedup(ray_session):
     )
     kept = exact_dedup(ds).to_pandas().sort_values("doc_id")
     assert kept["doc_id"].tolist() == [1, 2, 5]  # min id per content
+
+
+def test_line_dedup_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import line_dedup
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta\nshared line\ngamma"},
+        {"doc_id": 1, "text": "shared line\nunique one\n\nshared line"},
+        {"doc_id": 2, "text": "shared line"},  # fully deduped -> empty
+        {"doc_id": 3, "text": ""},  # single empty line, kept
+        {"doc_id": 4, "text": "  \nend line"},  # ws-only line kept
+        {"doc_id": 5, "text": "gamma\ngamma\nnew tail"},  # within+cross dup
+    ]
+    out = (
+        line_dedup(rd.from_items(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute-force rule: whitespace-only lines always kept; otherwise the
+    # globally-first instance (scan docs by id, lines in order) wins
+    seen: set = set()
+    exp = {}
+    for d in docs:
+        kept = []
+        for line in d["text"].split("\n"):
+            if line.strip(" \t\r") == "":
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        exp[d["doc_id"]] = "\n".join(kept)
+    assert dict(zip(out["doc_id"], out["text"])) == exp
+    assert out.loc[out["doc_id"] == 2, "text"].iloc[0] == ""
+    assert out.loc[out["doc_id"] == 2, "n_lines_kept"].iloc[0] == 0
+    n_exp = {
+        d["doc_id"]: len(exp[d["doc_id"]].split("\n"))
+        if exp[d["doc_id"]]
+        else 0
+        for d in docs
+    }
+    # doc 3 keeps its single empty line (count 1, text "")
+    n_exp[3] = 1
+    assert dict(zip(out["doc_id"], out["n_lines_kept"])) == n_exp
 
 
 def test_minhash_lsh_finds_near_dups(ray_session):

@@ -384,6 +384,17 @@ def _cosine_near_dups(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _docs_frequent_words(sf_dir: str) -> pd.DataFrame:
+    """Exact heavy-hitter words over the documents table via the two-pass
+    Misra-Gries recipe (functions/sketches.frequent_words): bounded-state
+    candidate sketch per block, then an exact recount of only the
+    candidates — equals the full-groupby answer without a vocabulary-sized
+    shuffle."""
+    from crawler_ray.functions.sketches import frequent_words
+
+    return frequent_words(_docs_ds(sf_dir, ["text"]), phi_inv=30)
+
+
 def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Corpus-wide duplicate-LINE removal (functions/dedup.line_dedup —
     the CCNet/RefinedWeb boilerplate-line curation step). The sf* document
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "cosine_near_dups": _cosine_near_dups,
         "docs_line_dedup": _docs_line_dedup,
+        "docs_frequent_words": _docs_frequent_words,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
@@ -766,6 +778,24 @@ SELECT t.doc_id, (cont.doc_id IS NOT NULL) AS contaminated
 FROM toks t LEFT JOIN cont ON t.doc_id = cont.doc_id
 WHERE t.doc_id % 7 <> 0
 ORDER BY t.doc_id
+"""
+
+#: Frequent-words oracle: the plain full-groupby statement of the
+#: heavy-hitter rule the two-pass Misra-Gries pipeline computes exactly —
+#: words (empty split artifacts excluded) whose corpus count clears the
+#: 1/phi (= 1/30) frequency threshold.
+DOCS_FREQUENT_WORDS_SQL = r"""
+WITH w AS (
+  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+  FROM documents
+),
+nz AS (SELECT word FROM w WHERE word <> ''),
+tot AS (SELECT count(*) AS n FROM nz),
+c AS (SELECT word, count(*) AS cnt FROM nz GROUP BY word)
+SELECT c.word, c.cnt
+FROM c, tot
+WHERE c.cnt * 30 >= tot.n
+ORDER BY c.word
 """
 
 #: Line-level dedup oracle: the same deterministic 5-word-line reshaping
@@ -1120,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
+        "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,

@@ -183,3 +183,141 @@ def approx_distinct_per_group(ds, group_col: str, value_col: str, p: int = 12) -
             merged = merged.merge(HyperLogLog.deserialize(blob))
         out.append({group_col: key, "approx_distinct": int(round(merged.estimate()))})
     return pd.DataFrame(out)
+
+
+class MisraGries:
+    """Misra-Gries frequent-items summary (Misra & Gries 1982): ``k``
+    counters; after summarizing a stream of ``n`` items, every item with
+    true count > n/(k+1) is guaranteed present, and each stored count
+    under-estimates by at most n/(k+1). Mergeable (Agarwal et al. 2012):
+    sum counters pairwise, then subtract the (k+1)-th largest count and
+    drop non-positive — the merged summary keeps the same guarantee, which
+    is what lets one summary per block reduce to one per dataset with
+    kilobytes on the wire."""
+
+    def __init__(self, k: int) -> None:
+        self.k = int(k)
+        self.counts: dict = {}
+        self.n = 0  # total items summarized
+
+    def update_counts(self, items: np.ndarray, counts: np.ndarray) -> None:
+        """Merge EXACT (item, count) pairs (e.g. np.unique of one batch) —
+        equivalent to merging another summary whose counters are exact."""
+        self.n += int(counts.sum())
+        d = self.counts
+        for it, c in zip(items.tolist(), counts.tolist()):
+            d[it] = d.get(it, 0) + int(c)
+        self._shrink()
+
+    def merge(self, other: "MisraGries") -> None:
+        self.n += other.n
+        d = self.counts
+        for it, c in other.counts.items():
+            d[it] = d.get(it, 0) + c
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        # subtract the (k+1)-th largest count from everything, drop <=0:
+        # the standard decrement step, batched
+        sub = int(np.partition(vals, -(self.k + 1))[-(self.k + 1)])
+        self.counts = {
+            it: c - sub for it, c in self.counts.items() if c > sub
+        }
+
+    def to_rows(self) -> "tuple[list, list]":
+        return list(self.counts.keys()), list(self.counts.values())
+
+
+def frequent_words(
+    ds,
+    text_col: str = "text",
+    phi_inv: int = 30,
+    k: "int | None" = None,
+):
+    """EXACT frequent items over a tokenized text column in two streaming
+    passes — the classic heavy-hitters recipe that avoids a full-vocabulary
+    ``groupby`` (at 100 TB the vocabulary is billions of keys; the heavy
+    hitters are the only rows anyone wants):
+
+    pass 1 (candidates): per block, exact ``np.unique`` word counts fold
+    into one Misra-Gries summary of ``k = 2*phi_inv`` counters; one
+    (≤k)-row summary per block returns to the reducer, which merges them.
+    Any word with count ≥ n/phi_inv is guaranteed to survive (its true
+    count exceeds n/(k+1)); the candidate set may contain extras but never
+    misses.
+
+    pass 2 (verify): the candidate set (≤k words) broadcasts into a second
+    ``map_batches`` pass that exact-counts ONLY candidates; the tiny
+    partials sum on the reducer and the threshold ``count * phi_inv >= n``
+    filters with EXACT counts — so the result equals the full-groupby
+    answer bit-for-bit while nothing vocabulary-sized ever moves.
+
+    Returns a pandas DataFrame ``(word, cnt)`` sorted by word. Empty-string
+    tokens (split artifacts) are excluded, matching the SQL statement of
+    the rule."""
+    import pyarrow.compute as pc
+
+    k = int(k) if k is not None else 2 * int(phi_inv)
+
+    def block_summary(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(
+                pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
+            )
+        )
+        w = words.to_numpy(zero_copy_only=False)
+        w = w[w != ""]
+        items, counts = np.unique(w, return_counts=True)
+        mg = MisraGries(k)
+        mg.update_counts(items, counts)
+        its, cs = mg.to_rows()
+        # one null-word row carries the block's total item count
+        return pa.table(
+            {
+                "word": pa.array(its + [None], pa.string()),
+                "weight": pa.array(cs + [mg.n], pa.int64()),
+            }
+        )
+
+    summaries = ds.map_batches(
+        block_summary, batch_format="pyarrow"
+    ).to_pandas()
+    total = int(summaries.loc[summaries["word"].isna(), "weight"].sum())
+    merged = MisraGries(k)
+    live = summaries.dropna(subset=["word"])
+    # fold the per-block summaries; .n is tracked via update alone, fix after
+    merged.update_counts(
+        live["word"].to_numpy(), live["weight"].to_numpy()
+    )
+    merged.n = total
+    candidates = sorted(merged.counts.keys())
+    if not candidates:
+        return pd.DataFrame({"word": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)})
+    cand_set = pa.array(candidates, pa.string())
+
+    def count_candidates(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(
+                pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
+            )
+        )
+        hits = words.filter(pc.is_in(words, value_set=cand_set))
+        w = hits.to_numpy(zero_copy_only=False)
+        items, counts = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(items.tolist(), pa.string()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        count_candidates, batch_format="pyarrow"
+    ).to_pandas()
+    exact = partials.groupby("word", sort=True)["cnt"].sum().reset_index()
+    out = exact[exact["cnt"] * phi_inv >= total].reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out

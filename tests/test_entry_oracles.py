@@ -14,6 +14,7 @@ REAL_SQL = [
     "dedup_jaccard_pairs",
     "docs_decontaminate",
     "docs_line_dedup",
+    "docs_frequent_words",
     "corpus_top_bigrams",
     "docs_curation_funnel",
     "doc_quality_scores",

@@ -184,6 +184,46 @@ def test_exact_dedup(ray_session):
     assert kept["doc_id"].tolist() == [1, 2, 5]  # min id per content
 
 
+def test_frequent_words_exact_two_pass(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from crawler_ray.functions.sketches import MisraGries, frequent_words
+
+    # skewed vocab: a few heavy words + a long tail that forces the sketch
+    # to decrement (so pass-1 counts are genuinely approximate, and only
+    # the exact pass-2 recount makes the answer exact)
+    rng = np.random.default_rng(7)
+    heavy = ["alpha"] * 400 + ["beta"] * 300 + ["gamma"] * 150
+    tail = [f"t{i}" for i in rng.integers(0, 500, size=1150)]
+    words = heavy + tail
+    rng.shuffle(words)
+    docs = [
+        {"doc_id": i, "text": " ".join(words[i * 40 : (i + 1) * 40])}
+        for i in range(50)
+    ]
+    phi_inv = 25  # threshold = n/25 = 80 occurrences
+    got = frequent_words(
+        rd.from_items(docs), phi_inv=phi_inv
+    )
+    counts = collections.Counter(words)
+    n = sum(counts.values())
+    want = sorted(w for w, c in counts.items() if c * phi_inv >= n)
+    assert got["word"].tolist() == want
+    assert got["cnt"].tolist() == [counts[w] for w in want]
+
+    # the MG guarantee itself: merged summaries never lose a heavy item
+    mg = MisraGries(2 * phi_inv)
+    for off in range(0, len(words), 100):
+        chunk = np.array(words[off : off + 100])
+        items, cs = np.unique(chunk, return_counts=True)
+        part = MisraGries(2 * phi_inv)
+        part.update_counts(items, cs)
+        mg.merge(part)
+    assert set(want) <= set(mg.counts)
+
+
 def test_line_dedup_matches_brute_force(ray_session):
     import ray.data as rd
 

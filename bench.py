@@ -326,28 +326,43 @@ def run_scaling() -> dict:
     levels = tuple(
         int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
     )
-    results = {}
-    for ncpu in levels:
+    def child(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_SCALING_CHILD="1",
         )
-        runs = []
         # CPU affinity makes the child a true N-core node: without it, an
         # "8-CPU" Ray session still spreads Arrow/NumPy internal threads
         # over all 32 hardware cores and the comparison is not N vs 4N
         cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable, __file__]
-        for _rep in range(3):  # the sandbox host is shared: take best-of-3
-            out = subprocess.run(
-                cmd,
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            runs.append(json.loads(out.strip().splitlines()[-1]))
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # INTERLEAVED reps: each rep runs BOTH levels back-to-back, so every
+    # per-pair efficiency compares the same ambient-load window — this
+    # shared host drifts on ~10-minute scales (measured: the same run
+    # scores 0.30 in a noisy window and 0.90 in a quiet one), and a
+    # per-level block design would let that drift masquerade as (anti-)
+    # scaling. Headline fields stay best-of-3 per level; the per-pair
+    # efficiencies are reported alongside so variance is visible.
+    lo, hi = levels
+    runs_by_level: dict = {lo: [], hi: []}
+    pair_eff = []
+    for _rep in range(3):  # the sandbox host is shared: take best-of-3
+        r_lo = child(lo)
+        r_hi = child(hi)
+        runs_by_level[lo].append(r_lo)
+        runs_by_level[hi].append(r_hi)
+        pair_eff.append(
+            round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3)
+        )
+    results = {}
+    for ncpu in levels:
+        runs = runs_by_level[ncpu]
         best = dict(min(runs, key=lambda r: r["value"]))
         # decouple the pipeline metrics: best crawl / parse / io may come
         # from different reps under external load
@@ -375,6 +390,11 @@ def run_scaling() -> dict:
         ),
         f"crawl_sec_{lo}": t_lo,
         f"crawl_sec_{hi}": t_hi,
+        # same-ambient-window efficiencies, one per interleaved rep pair
+        "crawl_eff_per_pair": pair_eff,
+        "crawl_scaling_efficiency_median_pair": sorted(pair_eff)[
+            len(pair_eff) // 2
+        ],
         f"crawl_pages_per_sec_{lo}": results[lo]["crawl_pages_per_sec"],
         f"crawl_pages_per_sec_{hi}": results[hi]["crawl_pages_per_sec"],
         f"parse_pages_per_sec_{lo}": pp_lo,

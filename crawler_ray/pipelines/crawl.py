@@ -729,7 +729,27 @@ def _probe_new_streaming(
     ``(n_new, n_next_frontier)`` — nothing frontier-sized ever returns to
     the driver. Without ``sink`` the probed table returns driver-side
     (small-wave/test form)."""
-    import ray
+    run = _probe_submit(rd, parsed_dir, seen, wave, parsed_mat, sink, finding_refs)
+    return _probe_collect(run, seen)
+
+
+def _probe_submit(
+    rd,
+    parsed_dir: Path,
+    seen: SeenSet,
+    wave: int,
+    parsed_mat=None,
+    sink=None,
+    finding_refs=None,
+) -> tuple:
+    """Submit the whole probe dataflow (split → dedup → shard probe →
+    finalize) WITHOUT waiting: returns ``(futures, out_spec, dirs)`` for
+    ``_probe_collect``. Split out so fat waves can submit the chain right
+    after dispatching their parse tasks — the probe's inputs are the parse
+    tasks' findings refs, so Ray starts each probe stage as its inputs
+    land and the probe rides the parse tail instead of serializing after
+    the checkpoint barrier."""
+    import ray  # noqa: F401  (submission uses task handles below)
 
     if finding_refs is not None:
         # fetch-service path: the parse tasks returned their findings
@@ -771,9 +791,20 @@ def _probe_new_streaming(
             keys_ref, (wave, "wavebucket", b, s)
         )
         futures.append(finalize.remote(t_ref, mask_ref, b, out_spec))
+    dirs = (archive_dir, frontier_dir) if out_spec is not None else None
+    return futures, out_spec, dirs
+
+
+def _probe_collect(run: tuple, seen: SeenSet) -> "pa.Table | tuple[int, int]":
+    """Wait for a submitted probe dataflow and fold its results (see
+    ``_probe_new_streaming`` for the two return forms)."""
+    import ray
+
+    futures, out_spec, dirs = run
     results = ray.get(futures)
     seen.end_epoch()
     if out_spec is not None:
+        archive_dir, frontier_dir = dirs
         n_new = sum(r[0] for r in results if r is not None)
         n_next = sum(r[1] for r in results if r is not None)
         # a dir a reader may open must contain ≥1 parquet file
@@ -970,6 +1001,7 @@ def _run_wave(
     n_files_pruned = 0
     parsed_mat = None
     svc_finding_refs = None
+    probe_run = None  # early-submitted probe dataflow (fat service waves)
     n_pages_dispatched = pc.sum(
         pc.cast(pc.equal(lookup_tbl["kind"], "page"), pa.int64())
     ).as_py() or 0
@@ -1029,6 +1061,16 @@ def _run_wave(
                 count_refs.append(cref)
                 svc_finding_refs.append(fref)
                 part_id += 1
+        if admitted.num_rows > cfg.scan_task_path_limit:
+            # overlap the probe with the parse tail: the chain's inputs
+            # are the parse tasks' findings refs, so each probe stage
+            # starts the moment its inputs land — nothing waits for the
+            # checkpoint barrier below
+            probe_run = _probe_submit(
+                rd, parsed_dir, seen, wave, None,
+                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+                finding_refs=svc_finding_refs,
+            )
         _mark("svc_fused_dispatch")
         ray.get(count_refs)  # checkpoint-written barrier (counts read next)
     elif lookup_tbl.num_rows and fetch_service is not None and (
@@ -1077,6 +1119,13 @@ def _run_wave(
                 count_refs.append(cref)
                 svc_finding_refs.append(fref)
                 part_id += 1
+        if admitted.num_rows > cfg.scan_task_path_limit:
+            # overlap the probe with the parse tail (see the fused branch)
+            probe_run = _probe_submit(
+                rd, parsed_dir, seen, wave, None,
+                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+                finding_refs=svc_finding_refs,
+            )
         _mark("svc_route_dispatch")
         ray.get(count_refs)  # checkpoint-written barrier (counts read next)
     elif lookup_tbl.num_rows and fetcher_cls is not None:
@@ -1270,7 +1319,11 @@ def _run_wave(
             ):
                 wave_metrics[name] += c
         fdir = parsed_dir / "rec=f"
-        if n_findings == 0 or not fdir.exists():
+        if probe_run is not None:
+            # the probe was submitted with the parse tasks and is already
+            # draining — never re-read findings on the driver
+            findings = None
+        elif n_findings == 0 or not fdir.exists():
             findings = _FINDINGS_SCHEMA.empty_table()
         elif n_findings <= cfg.ray_state_threshold:
             findings = pq.read_table(
@@ -1280,7 +1333,9 @@ def _run_wave(
         else:
             findings = None
     else:
-        findings = _FINDINGS_SCHEMA.empty_table()
+        # an early-submitted probe must still be collected (its shard
+        # probes and sink dirs exist) even when nothing was parsed
+        findings = None if probe_run is not None else _FINDINGS_SCHEMA.empty_table()
         n_findings = 0
         n_texts = 0
         n_img_ok = 0
@@ -1310,12 +1365,17 @@ def _run_wave(
     else:
         # streaming probe in SINK mode: the reduce tasks write this wave's
         # archive delta and depth-gated next frontier directly (one part
-        # per bucket); the driver receives two integers, nothing else
-        n_new, n_next = _probe_new_streaming(
-            rd, parsed_dir, seen, wave, parsed_mat,
-            sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
-            finding_refs=svc_finding_refs,
-        )
+        # per bucket); the driver receives two integers, nothing else.
+        # Fat service waves submitted the chain alongside their parse
+        # tasks (probe_run) — only the residual wait shows up here.
+        if probe_run is not None:
+            n_new, n_next = _probe_collect(probe_run, seen)
+        else:
+            n_new, n_next = _probe_new_streaming(
+                rd, parsed_dir, seen, wave, parsed_mat,
+                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+                finding_refs=svc_finding_refs,
+            )
         _mark("seen_probe")
         next_frontier = FrontierRef(
             str(wave_dir / "next_frontier.parquet"), n_next

@@ -395,6 +395,17 @@ def _docs_frequent_words(sf_dir: str) -> pd.DataFrame:
     return frequent_words(_docs_ds(sf_dir, ["text"]), phi_inv=30)
 
 
+def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Corpus-unigram LM quality score per document (the CCNet-style
+    language-model filtering proxy): mean log10 unigram probability of
+    each doc's tokens, probabilities estimated from this same corpus.
+    Two linear passes — vocabulary-combiner exchange, then a broadcast
+    scorer actor pool (functions/textstats.unigram_logprob)."""
+    from crawler_ray.functions.textstats import unigram_logprob
+
+    return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Corpus-wide duplicate-LINE removal (functions/dedup.line_dedup —
     the CCNet/RefinedWeb boilerplate-line curation step). The sf* document
@@ -653,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _cosine_near_dups,
         "docs_line_dedup": _docs_line_dedup,
         "docs_frequent_words": _docs_frequent_words,
+        "docs_unigram_logprob": _docs_unigram_logprob,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
@@ -796,6 +808,28 @@ SELECT c.word, c.cnt
 FROM c, tot
 WHERE c.cnt * 30 >= tot.n
 ORDER BY c.word
+"""
+
+#: Unigram-LM score oracle: same tokenizer as the frequent-words oracle
+#: (space split, empty artifacts dropped); probability = corpus count /
+#: corpus total; per-doc mean of log10 p rounded half-away-from-zero to
+#: 6 dp (DuckDB round(x, 6) semantics, mirrored sign-aware in the engine).
+#: Zero-token docs drop out through the inner join, as in the engine.
+DOCS_UNIGRAM_LOGPROB_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM w WHERE word <> ''),
+vocab AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(log10(CAST(v.c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot))), 6)
+         AS logprob_mean
+FROM tok t JOIN vocab v USING (word)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
 """
 
 #: Line-level dedup oracle: the same deterministic 5-word-line reshaping
@@ -1151,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
+        "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,

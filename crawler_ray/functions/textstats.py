@@ -385,3 +385,125 @@ def corpus_top_ngrams(
         .reset_index(drop=True)
         .astype({"cnt": "int64"})
     )
+
+
+class _UnigramScorer:
+    """Actor-pool scorer for ``unigram_logprob`` pass 2: the (word →
+    log10 p) table is fetched from the object store ONCE per actor in
+    ``__init__`` (sorted word array + aligned logprob array, so per-batch
+    lookup is one vectorized ``np.searchsorted``), then every batch is
+    scored with numpy segment math — no per-token Python."""
+
+    def __init__(self, vocab_ref, text_col: str, id_col: str) -> None:
+        import ray
+
+        words, logp = ray.get(vocab_ref)
+        self.words = words  # np.ndarray[str], sorted
+        self.logp = logp  # np.ndarray[float64], aligned
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(batch[self.text_col], "").combine_chunks(),
+            pattern=" ",
+        )
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = vals != ""
+        vals, doc_idx = vals[mask], doc_idx[mask]
+        # every token exists in the vocab by construction (same corpus)
+        lp = self.logp[np.searchsorted(self.words, vals)]
+        n_tok = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+        sums = np.bincount(doc_idx, weights=lp, minlength=len(lens))
+        keep = n_tok > 0  # empty docs have no defined mean (SQL inner join)
+        mean = sums[keep] / n_tok[keep]
+        # 6-dp half-away-from-zero, matching DuckDB round(x, 6) on the
+        # negative log values (cf. the positive-value floor(x*1e6+0.5)
+        # convention used elsewhere in this repo)
+        mean = np.sign(mean) * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "logprob_mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+
+def unigram_logprob(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    concurrency=(2, 16),
+):
+    """Corpus-unigram language-model score per document — the CCNet-style
+    LM-quality proxy: mean log10 unigram probability of the document's
+    tokens, with probabilities estimated from THIS corpus.
+
+    Two linear passes; nothing corpus-sized ever sits on the driver:
+
+      pass 1 (vocab): per-batch token-count COMBINER (one row per distinct
+        word per batch, so exchange volume ∝ vocabulary, not corpus) →
+        bucketed task exchange summing partials → exact global
+        (word, count) table; the corpus token total is its sum.
+      pass 2 (score): the vocab broadcasts once (``ray.put`` of a sorted
+        word array + log-prob array) into a stateful ``map_batches`` actor
+        pool; each batch scores with one ``np.searchsorted`` + two
+        ``np.bincount`` segment reductions, averaging in document order.
+
+    Scale note: at the 10^10-doc design point the broadcast table would be
+    capped to the top-V words with an OOV floor (the standard CCNet
+    vocabulary cap); at test scale the exact full vocabulary is used so
+    the DuckDB oracle (same tokenizer: space-split, empties dropped)
+    matches bit-for-bit after 6-dp rounding.
+
+    Returns a pandas DataFrame ``(doc_id, n_tokens, logprob_mean)`` sorted
+    by id; documents with zero tokens are excluded (matching the SQL
+    oracle's inner join through the token list).
+    """
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(
+            pc.split_pattern(
+                pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
+            )
+        )
+        w = words.to_numpy(zero_copy_only=False)
+        w = w[w != ""]
+        items, counts = np.unique(w, return_counts=True)
+        return pa.table(
+            {
+                "word": pa.array(items, pa.string()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("word", sort=False)["cnt"].sum().reset_index()
+
+    vocab = bucketed_group_map(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        bucket_on="word",
+        fn=sum_bucket,
+        n_buckets=n_buckets,
+    ).to_pandas()  # vocabulary-sized (see scale note)
+    vocab = vocab.sort_values("word").reset_index(drop=True)
+    total = float(vocab["cnt"].sum())
+    words = vocab["word"].to_numpy()
+    logp = np.log10(vocab["cnt"].to_numpy(np.float64) / total)
+    ref = ray.put((words, logp))
+
+    out = ds.map_batches(
+        _UnigramScorer,
+        fn_constructor_args=(ref, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -15,6 +15,7 @@ REAL_SQL = [
     "docs_decontaminate",
     "docs_line_dedup",
     "docs_frequent_words",
+    "docs_unigram_logprob",
     "corpus_top_bigrams",
     "docs_curation_funnel",
     "doc_quality_scores",

@@ -395,6 +395,18 @@ def _docs_frequent_words(sf_dir: str) -> pd.DataFrame:
     return frequent_words(_docs_ds(sf_dir, ["text"]), phi_inv=30)
 
 
+def _embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table (k=8, 5
+    iterations, deterministic init + float32-quantized centroids —
+    functions/similarity.kmeans_embeddings). Per-cluster size + inertia;
+    assignments are pytest-checked against an independent single-process
+    numpy reference."""
+    from crawler_ray.functions.similarity import kmeans_embeddings
+
+    summary, _ = kmeans_embeddings(_emb_ds(sf_dir), k=8, iters=5)
+    return summary
+
+
 def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Corpus-unigram LM quality score per document (the CCNet-style
     language-model filtering proxy): mean log10 unigram probability of
@@ -662,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "cosine_near_dups": _cosine_near_dups,
+        "embeddings_kmeans": _embeddings_kmeans,
         "docs_line_dedup": _docs_line_dedup,
         "docs_frequent_words": _docs_frequent_words,
         "docs_unigram_logprob": _docs_unigram_logprob,
@@ -1197,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": APPROX_DISTINCT_SQL,
         # big pinned truths (committed expected tables, see the module doc)
         "doc_fingerprints": PIN.DOC_FINGERPRINTS_SQL,
+        "embeddings_kmeans": PIN.EMBEDDINGS_KMEANS_SQL,
         "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,

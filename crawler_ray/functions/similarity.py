@@ -414,3 +414,168 @@ def cosine_near_dup_pairs(
         .reset_index(drop=True)
         .astype({"a": "int64", "b": "int64", "sim": "float64"})
     )
+
+
+# ------------------------------------------------------------------ k-means
+
+
+def _kmeans_partials(t: pa.Table, ref, k: int, id_col: str, emb_col: str):
+    """One batch's Lloyd-step partials against the broadcast centroids:
+    per-cluster float64 vector sums + counts (k×(d+1) scalars, independent
+    of batch size — the mergeable-combiner shape)."""
+    import ray
+
+    cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+    x = _to_matrix(t[emb_col]).astype(np.float64)
+    d2 = (
+        (x * x).sum(axis=1, keepdims=True)
+        - 2.0 * x @ cents.T.astype(np.float64)
+        + (cents.astype(np.float64) ** 2).sum(axis=1)
+    )
+    assign = d2.argmin(axis=1)  # ties → lowest cluster index
+    return x, assign, d2
+
+
+def kmeans_embeddings(
+    ds,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    return_assignments: bool = False,
+):
+    """Distributed Lloyd's k-means over an embedding column — the
+    clustering primitive for training-data mixing / diversity curation.
+
+    Deterministic spec (the pinned oracle and the independent pytest
+    reference both restate it):
+      * init: centroids = the embeddings of the ``k`` smallest ids;
+      * ``iters`` Lloyd steps; assignment = argmin squared-L2, ties to the
+        lowest cluster index; an empty cluster keeps its previous centroid;
+      * updated centroids are QUANTIZED to float32 each step, so the
+        float64 partial-sum reduction order (which varies with batching /
+        parallelism) cannot leak into the result (~1e-13 noise vs the
+        2^-24 float32 grid).
+
+    Physical plan per step: centroids broadcast once (``ray.put``, k×d
+    float32); each batch computes per-cluster float64 vector sums + counts
+    (k×(d+1) scalars — independent of batch size); the driver folds the
+    tiny per-batch partials. Nothing corpus-sized moves: one linear pass
+    per iteration, no shuffle.
+
+    Returns ``(summary, assignments)``: summary is a pandas DataFrame
+    ``(cluster, size, inertia)`` (inertia = per-point squared distance
+    cast to float32, summed float64, rounded to 2 dp); assignments is a
+    pandas DataFrame ``(vec_id, cluster)`` sorted by id when
+    ``return_assignments`` else ``None`` (at the 10^10 design point the
+    final pass would ``write_parquet`` them instead).
+    """
+    import ray
+
+    # ---- deterministic init: embeddings of the k smallest ids
+    import pyarrow.compute as pc
+
+    seed = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t[id_col], k)).select(
+                [id_col, emb_col]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    if len(seed) < k:
+        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
+    cents = np.asarray(list(seed[emb_col]), dtype=np.float32)[:k]
+
+    dim = cents.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def step(t: pa.Table, _ref=ref) -> pa.Table:
+            x, assign, _ = _kmeans_partials(t, _ref, k, id_col, emb_col)
+            sums = np.zeros((k, dim), np.float64)
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k), pa.int64()),
+                    "cnt": pa.array(cnt, pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = ds.map_batches(step, batch_format="pyarrow").to_pandas()
+        cnt = parts.groupby("cluster", sort=True)["cnt"].sum().to_numpy()
+        vsum = np.zeros((k, dim), np.float64)
+        np.add.at(
+            vsum,
+            parts["cluster"].to_numpy(),
+            np.asarray(list(parts["vsum"]), dtype=np.float64),
+        )
+        nonempty = cnt > 0
+        new = cents.astype(np.float64).copy()
+        new[nonempty] = vsum[nonempty] / cnt[nonempty, None]
+        cents = new.astype(np.float32)  # quantize: absorb reduce-order noise
+
+    # ---- final pass: per-cluster size + inertia (and assignments if asked)
+    ref = ray.put(cents)
+
+    def final(t: pa.Table, _ref=ref) -> pa.Table:
+        x, assign, d2 = _kmeans_partials(t, _ref, k, id_col, emb_col)
+        sq = d2[np.arange(len(assign)), assign].astype(np.float32)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        inertia = np.zeros(k, np.float64)
+        np.add.at(inertia, assign, sq.astype(np.float64))
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k), pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "inertia": pa.array(inertia, pa.float64()),
+            }
+        )
+
+    if return_assignments:
+
+        def final_assign(t: pa.Table, _ref=ref) -> pa.Table:
+            _, assign, d2 = _kmeans_partials(t, _ref, k, id_col, emb_col)
+            sq = d2[np.arange(len(assign)), assign].astype(np.float32)
+            return pa.table(
+                {
+                    id_col: t[id_col].cast(pa.int64()),
+                    "cluster": pa.array(assign, pa.int64()),
+                    "sqdist": pa.array(sq, pa.float32()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(final_assign, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(id_col)
+            .reset_index(drop=True)
+        )
+        summary = (
+            rows.groupby("cluster", sort=True)
+            .agg(
+                size=("cluster", "size"),
+                inertia=("sqdist", lambda s: s.to_numpy(np.float64).sum()),
+            )
+            .reindex(range(k), fill_value=0)
+            .reset_index()
+        )
+        summary["inertia"] = summary["inertia"].astype(float).round(2)
+        summary["size"] = summary["size"].astype("int64")
+        return summary, rows[[id_col, "cluster"]]
+
+    parts = ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    agg = (
+        parts.groupby("cluster", sort=True)[["cnt", "inertia"]]
+        .sum()
+        .reindex(range(k), fill_value=0)
+        .reset_index()
+        .rename(columns={"cnt": "size"})
+    )
+    agg["inertia"] = agg["inertia"].round(2)
+    agg["size"] = agg["size"].astype("int64")
+    return agg[["cluster", "size", "inertia"]], None

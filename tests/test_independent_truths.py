@@ -113,3 +113,61 @@ def test_webtext_stats_pinned_independent():
         "en": (1034, 21847, 0.02627),
         "fr": (325, 6976, 0.020392),
     }
+
+
+def test_kmeans_independent_reference_parity(ray_session):
+    """kmeans_embeddings (distributed: broadcast centroids + mergeable
+    per-batch partials) must equal a single-process numpy restatement of
+    the same spec — deterministic init from the k smallest ids, argmin-L2
+    assignment with lowest-index ties, empty clusters frozen, float32
+    centroid quantization per step — on exact assignments AND the pinned
+    summary columns."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import kmeans_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    k, iters = 4, 3
+    summary, rows = kmeans_embeddings(
+        rd.read_parquet(f"{sf}/embeddings.parquet"),
+        k=k,
+        iters=iters,
+        return_assignments=True,
+    )
+
+    t = pq.read_table(sf + "/embeddings.parquet").sort_by("vec_id")
+    X = np.asarray(
+        [np.asarray(v) for v in t["embedding"].to_pylist()], np.float64
+    )
+    C = X[:k].astype(np.float32)
+
+    def assign_of(C):
+        d2 = (
+            (X * X).sum(1, keepdims=True)
+            - 2 * X @ C.T.astype(np.float64)
+            + (C.astype(np.float64) ** 2).sum(1)
+        )
+        return d2.argmin(1), d2
+
+    for _ in range(iters):
+        a, _ = assign_of(C)
+        new = C.astype(np.float64).copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = X[m].sum(0) / m.sum()
+        C = new.astype(np.float32)
+    a, d2 = assign_of(C)
+
+    got = rows.sort_values("vec_id")["cluster"].to_numpy()
+    assert (got == a).all()
+    assert summary["size"].to_numpy().tolist() == np.bincount(
+        a, minlength=k
+    ).tolist()
+    inertia = np.zeros(k)
+    np.add.at(
+        inertia, a, d2[np.arange(len(a)), a].astype(np.float32).astype(float)
+    )
+    assert np.allclose(summary["inertia"].to_numpy(), inertia, atol=0.01)

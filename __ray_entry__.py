@@ -170,6 +170,58 @@ def _extract_links(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
+def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the host-level page-link graph of the crawl corpus
+    (functions/graph.pagerank): single-pass link extraction → host→host
+    edges (RE2 host kernel, page links only) → 10 damped iterations with
+    broadcast node weights + per-batch combiners + one bucketed exchange
+    per iteration. Pinned oracle; the pytest suite checks exact parity
+    against an independent dense power-iteration reference."""
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import pagerank
+    from crawler_ray.stages.parse import process_wave_batch
+
+    corpus, _, _ = _corpus_for(sf_dir)
+
+    def to_wave(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t["url"],
+                "kind": pa.array(["page"] * t.num_rows),
+                "depth": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "html": t["html"],
+            }
+        )
+
+    def host_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = t.filter(
+            _pc.and_(_pc.equal(t["rec"], "f"), _pc.equal(t["kind"], "page"))
+        )
+        pat = r"^[^:]*://(?P<host>\[[^\]]*\]|[^/:?#]*)"
+
+        def host_of(col):
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            h = _pc.struct_field(_pc.extract_regex(col, pattern=pat), "host")
+            return _pc.if_else(
+                _pc.equal(h, ""), pa.scalar(None, pa.string()), h
+            ).cast(pa.string())
+
+        return pa.table(
+            {"src": host_of(t["src_url"]), "dst": host_of(t["url"])}
+        )
+
+    edges = (
+        rd.read_parquet(corpus, columns=["url", "html"])
+        .map_batches(to_wave, batch_format="pyarrow")
+        .map_batches(process_wave_batch, batch_format="pyarrow")
+        .map_batches(host_edges, batch_format="pyarrow")
+    )
+    return pagerank(edges, damping=0.85, iters=10)
+
+
 # ----------------------------------------------------------- doc extensions
 
 
@@ -656,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": _crawl_metrics,
         "crawl_curated_stats": _crawl_curated_stats,
         "extract_links": _extract_links,
+        "crawl_host_pagerank": _crawl_host_pagerank,
         # training-data extensions — every entry below is oracle-checked:
         # real SQL where expressible, committed deterministic-truth tables
         # otherwise. Only the crawl-semantics queries above are rows-only
@@ -1211,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         # big pinned truths (committed expected tables, see the module doc)
         "doc_fingerprints": PIN.DOC_FINGERPRINTS_SQL,
         "embeddings_kmeans": PIN.EMBEDDINGS_KMEANS_SQL,
+        "crawl_host_pagerank": PIN.CRAWL_HOST_PAGERANK_SQL,
         "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,

@@ -1,0 +1,159 @@
+"""Link-graph analytics over crawl output — host-level PageRank.
+
+PageRank (Page/Brin/Motwani/Winograd 1999, public spec): rank flows along
+out-edges with damping ``d``; dangling (no-out-edge) mass and the teleport
+term redistribute uniformly each iteration.
+
+Physical plan per iteration (the edge-scale work never lands on the
+driver):
+
+  * the node-scale (src → rank/outdeg) weight table broadcasts once
+    (``ray.put`` of sorted arrays, ``np.searchsorted`` lookup per batch);
+  * each EDGE batch emits per-dst partial contribution sums — the
+    mergeable-combiner shape, output ∝ distinct dsts per batch;
+  * one bucketed task exchange sums partials per dst;
+  * the driver folds the node-scale result with teleport + dangling mass.
+
+Ranks are quantized to float32 after every update, so the float64
+partial-reduction order (which varies with batching / parallelism) cannot
+leak into the result — same discipline as ``similarity.kmeans_embeddings``.
+
+Scale note: ranks/out-degrees are node-scale (hosts, ~10^8 at web scale —
+a few GB as arrays, broadcast-feasible); edges are edge-scale and stay in
+the object store. The fully-sharded variant (ranks kept as a bucketed
+dataset, contributions via bucketed join on src) drops in behind the same
+signature if the node table ever outgrows the broadcast budget.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _dedup_edges(edges_ds, src_col: str, dst_col: str, n_buckets: int):
+    """Distinct (src, dst) pairs, self-loops dropped, materialized once so
+    the per-iteration passes re-read blocks instead of re-deriving them."""
+    from ..stages.shuffle import bucketed_group_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(t[src_col]), pc.is_valid(t[dst_col])
+            ),
+            pc.not_equal(t[src_col], t[dst_col]),
+        )
+        t = t.filter(keep)
+        return pa.table({"src": t[src_col], "dst": t[dst_col]})
+
+    deduped = bucketed_group_map(
+        edges_ds.map_batches(prep, batch_format="pyarrow"),
+        bucket_on="src",
+        fn=lambda df: df.drop_duplicates(["src", "dst"]),
+        n_buckets=n_buckets,
+    )
+    return deduped.materialize()
+
+
+def pagerank(
+    edges_ds,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 8,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """PageRank over a Dataset of directed string edges.
+
+    Deterministic spec (restated by the independent pytest reference):
+    distinct edges, self-loops excluded; nodes = union of endpoints; init
+    rank 1/n; ``iters`` iterations of
+    ``r'(v) = (1-d)/n + d * (Σ_{u→v} r(u)/outdeg(u) + dangling/n)``;
+    ranks float32-quantized per iteration; final ranks rounded half-up to
+    ``round_dp`` decimals. Returns ``(node, pr)`` sorted by node.
+    """
+    import ray
+
+    edges = _dedup_edges(edges_ds, src_col, dst_col, n_buckets)
+
+    # node-scale: out-degree per src and the node universe
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["src"].to_numpy(zero_copy_only=False), return_counts=True
+        )  # combiner: rows ∝ distinct srcs per batch, not edges
+        return pa.table(
+            {"src": pa.array(u, pa.string()), "one": pa.array(c, pa.int64())}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("src", sort=True)["one"]
+        .sum()
+    )
+    def batch_nodes(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )  # per-batch combiner: output ∝ distinct endpoints per batch
+        return pa.table({"node": pa.array(u, pa.string())})
+
+    endpoints = edges.map_batches(batch_nodes, batch_format="pyarrow").to_pandas()
+    nodes = np.unique(endpoints["node"].to_numpy())
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=object), "pr": pd.Series(dtype=float)})
+
+    outdeg = np.zeros(n, np.float64)
+    src_pos = np.searchsorted(nodes, deg.index.to_numpy())
+    outdeg[src_pos] = deg.to_numpy(np.float64)
+    dangling_mask = outdeg == 0
+
+    pr = np.full(n, 1.0 / n, np.float64).astype(np.float32).astype(np.float64)
+
+    from ..stages.shuffle import bucketed_group_map
+
+    for _ in range(iters):
+        w = np.zeros(n, np.float64)
+        nz = ~dangling_mask
+        w[nz] = pr[nz] / outdeg[nz]
+        ref = ray.put((nodes, w))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            nds, wts = ray.get(_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            c = wts[np.searchsorted(nds, src)]
+            ud, inv = np.unique(dst, return_inverse=True)
+            sums = np.bincount(inv, weights=c)
+            return pa.table(
+                {
+                    "dst": pa.array(ud, pa.string()),
+                    "c": pa.array(sums, pa.float64()),
+                }
+            )
+
+        parts = bucketed_group_map(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            bucket_on="dst",
+            fn=lambda df: df.groupby("dst", sort=True)["c"].sum().reset_index(),
+            n_buckets=n_buckets,
+        ).to_pandas()  # node-scale
+
+        inflow = np.zeros(n, np.float64)
+        pos = np.searchsorted(nodes, parts["dst"].to_numpy())
+        inflow[pos] = parts["c"].to_numpy(np.float64)
+        dangling = float(pr[dangling_mask].sum())
+        pr = (1.0 - damping) / n + damping * (inflow + dangling / n)
+        pr = pr.astype(np.float32).astype(np.float64)  # absorb order noise
+
+    scale = 10.0**round_dp
+    pr = np.floor(pr * scale + 0.5) / scale  # half-up (values positive)
+    return pd.DataFrame({"node": nodes, "pr": pr})

@@ -171,3 +171,55 @@ def test_kmeans_independent_reference_parity(ray_session):
         inertia, a, d2[np.arange(len(a)), a].astype(np.float32).astype(float)
     )
     assert np.allclose(summary["inertia"].to_numpy(), inertia, atol=0.01)
+
+
+def test_pagerank_independent_reference_parity(ray_session):
+    """graph.pagerank (broadcast weights + combiner + bucketed exchange)
+    must exactly equal a dense single-process power iteration restating
+    the same spec — distinct edges, no self-loops, dangling mass uniform,
+    float32-quantized ranks, 6-dp half-up rounding — over the sf0.001
+    crawl corpus's host-link graph."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as E
+    from crawler_ray.functions.graph import pagerank
+
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["crawl_host_pagerank"](sf)
+
+    links = E.queries()["extract_links"](sf).to_pandas()
+    pat = _re.compile(r"^[^:]*://(\[[^\]]*\]|[^/:?#]*)")
+
+    def host(u):
+        m = pat.match(u or "")
+        return (m.group(1) if m else "") or None
+
+    pl = links[links["kind"] == "page"]
+    edges = pd.DataFrame(
+        {"src": pl["src_url"].map(host), "dst": pl["url"].map(host)}
+    ).dropna()
+    edges = edges[edges["src"] != edges["dst"]].drop_duplicates()
+    nodes = np.unique(
+        np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    )
+    n = len(nodes)
+    idx = {h: i for i, h in enumerate(nodes)}
+    A = np.zeros((n, n))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] = 1.0
+    outdeg = A.sum(1)
+    dang = outdeg == 0
+    pr = np.full(n, 1 / n).astype(np.float32).astype(np.float64)
+    for _ in range(10):
+        w = np.where(dang, 0.0, pr / np.maximum(outdeg, 1))
+        pr = (1 - 0.85) / n + 0.85 * (A.T @ w + pr[dang].sum() / n)
+        pr = pr.astype(np.float32).astype(np.float64)
+    pr = np.floor(pr * 1e6 + 0.5) / 1e6
+
+    ref = pd.DataFrame({"node": nodes, "pr": pr})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+    # rank mass conserves (within quantization): sums to ~1
+    assert abs(got["pr"].sum() - 1.0) < 1e-3

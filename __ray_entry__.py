@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_assign": R.docs_split_assign,
         "docs_pack_chunks": R.docs_pack_chunks,
         "docs_stratified_sample": R.docs_stratified_sample,
+        "docs_temperature_sample": R.docs_temperature_sample,
         "customers_without_orders": R.customers_without_orders,
         "order_status_with_lineitems": R.order_status_with_lineitems,
         "customer_nation": R.customer_nation,
@@ -1236,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_assign": R.DOCS_SPLIT_SQL,
         "docs_pack_chunks": R.PACK_CHUNKS_SQL,
         "docs_stratified_sample": R.STRATIFIED_SAMPLE_SQL,
+        "docs_temperature_sample": R.TEMPERATURE_SAMPLE_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "order_status_with_lineitems": R.SEMI_JOIN_SQL,
         "customer_nation": R.CUSTOMER_NATION_SQL,

@@ -577,6 +577,98 @@ def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_temperature_sample(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
+    """Temperature-based mixture sampling across sources (the Gopher/Pile
+    α-reweighting): source ``s`` with ``n_s`` docs keeps a fraction
+    ``∝ n_s^(α-1)`` — normalized so the rarest source keeps 100% — which
+    flattens the source distribution toward uniform as α→0 and keeps it
+    natural at α=1. Keep-decisions are per-row deterministic (same mod-2^32
+    multiplicative hash as the split/stratified operators), so the sample
+    is reproducible and shuffle-free.
+
+    Two passes: a per-batch source-count combiner folds to the tiny
+    per-source table on the driver (sources ≪ corpus), thresholds are
+    quantized to a 1e-6 grid (absorbing pow() ULP differences between
+    engines), then one stateless filter pass. The DuckDB oracle restates
+    both passes in SQL.
+
+    The sf* fixtures have perfectly BALANCED sources (uniform n_s ⇒ every
+    rate is 1.0 and the oracle would be trivially the whole table), so the
+    query first tiers the 20 sources into a skewed 14/5/1 mixture
+    (web/books/code — same CASE in the SQL oracle), making the thresholds
+    and the sample genuinely non-uniform."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    def tier(t: pa.Table) -> pa.Table:
+        suffix = pc.cast(
+            pc.utf8_slice_codeunits(t["source"], 3, 99), pa.int64()
+        )
+        src = pc.if_else(
+            pc.less(suffix, 14),
+            pa.scalar("web"),
+            pc.if_else(pc.less(suffix, 19), pa.scalar("books"), pa.scalar("code")),
+        )
+        return pa.table({"doc_id": t["doc_id"], "source": src})
+
+    ds = ds.map_batches(tier, batch_format="pyarrow")
+
+    def count_sources(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["source"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"source": pa.array(u, pa.string()), "n": pa.array(c, pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(count_sources, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", sort=True)["n"]
+        .sum()
+    )
+    w = np.power(counts.to_numpy(np.float64), alpha - 1.0)
+    thr = np.floor(1e6 * w / w.max() + 0.5).astype(np.int64)
+    thresholds = dict(zip(counts.index, thr))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (
+            (ids.astype(np.uint64) % np.uint64(2**32))
+            * np.uint64(2654435761)
+            % np.uint64(2**32)
+            % np.uint64(1_000_000)
+        )
+        src = t["source"].to_pandas()
+        lim = src.map(thresholds).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(h.astype(np.int64) < lim))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+TEMPERATURE_SAMPLE_SQL = """
+WITH tiered AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) < 14 THEN 'web'
+              WHEN CAST(substr(source, 4) AS BIGINT) < 19 THEN 'books'
+              ELSE 'code' END AS source
+  FROM documents
+),
+c AS (SELECT source, count(*) AS n FROM tiered GROUP BY source),
+w AS (SELECT source, pow(CAST(n AS DOUBLE), -0.3) AS wv FROM c),
+thr AS (
+  SELECT source,
+         CAST(floor(1e6 * wv / (SELECT max(wv) FROM w) + 0.5) AS BIGINT) AS t
+  FROM w
+)
+SELECT d.doc_id, d.source
+FROM tiered d JOIN thr USING (source)
+WHERE CAST((CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761)
+           % 4294967296 % 1000000 AS BIGINT) < thr.t
+ORDER BY d.doc_id
+"""
+
+
 STRATIFIED_SAMPLE_SQL = """
 WITH h AS (
   SELECT doc_id, lang,

@@ -16,6 +16,7 @@ REAL_SQL = [
     "docs_line_dedup",
     "docs_frequent_words",
     "docs_unigram_logprob",
+    "docs_temperature_sample",
     "corpus_top_bigrams",
     "docs_curation_funnel",
     "doc_quality_scores",

@@ -470,6 +470,16 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _docs_window_dups(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-substring pairs — docs sharing ≥1 exact 8-word
+    window (functions/dedup.window_dup_pairs), the deterministic
+    exact-substring dedup criterion. Inverted-index join, two linear
+    exchanges, no all-pairs stage."""
+    from crawler_ray.functions.dedup import window_dup_pairs
+
+    return window_dup_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), w=8)
+
+
 def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Corpus-wide duplicate-LINE removal (functions/dedup.line_dedup —
     the CCNet/RefinedWeb boilerplate-line curation step). The sf* document
@@ -732,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_frequent_words": _docs_frequent_words,
         "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_window_dup_pairs": _docs_window_dups,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
@@ -897,6 +908,28 @@ SELECT t.doc_id,
 FROM tok t JOIN vocab v USING (word)
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+#: Exact window-dup oracle: the inverted-index join stated relationally —
+#: distinct 8-word windows per doc (space-split tokens, empties dropped;
+#: DuckDB list slice w[i : i+7] is 1-based inclusive = 8 elements), self-
+#: joined on the window, counting distinct shared windows per doc pair.
+DOCS_WINDOW_DUPS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+  FROM documents
+),
+win AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS win
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        FROM t WHERE len(w) >= 8)
+)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM win a JOIN win b USING (win)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY a, b
 """
 
 #: Line-level dedup oracle: the same deterministic 5-word-line reshaping
@@ -1254,6 +1287,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
+        "docs_window_dup_pairs": DOCS_WINDOW_DUPS_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,

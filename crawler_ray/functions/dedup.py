@@ -1174,3 +1174,97 @@ def line_dedup(
     return bucketed_group_map(
         survivors, "doc_id", _reassemble_docs, n_buckets=max(8, n_buckets // 2)
     )
+
+
+def window_dup_pairs(
+    ds,
+    w: int = 8,
+    n_buckets: int = 64,
+    max_doc_freq: "int | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACT duplicate-substring pairs: document pairs sharing at least one
+    exact ``w``-word window — the exact-substring dedup criterion of
+    published training-data dedup work (suffix-array substring dedup),
+    restated over word windows so the inverted-index join applies.
+
+    Same two-linear-exchange shape as ``jaccard_ngram_pairs``: distinct
+    (doc, window) rows → bucketed exchange on window (per-bucket self-merge
+    emits co-occurring pairs; a window's rows all land in one bucket, so
+    the optional ``max_doc_freq`` cap sees true document frequency) →
+    bucketed exchange on pair summing shared-window counts. Returns
+    ``(a, b, n_shared)`` with ``n_shared`` = number of DISTINCT shared
+    windows, sorted by (a, b).
+
+    Scale note: window keys stay strings here so the DuckDB oracle can
+    restate them; at the 10^10 design point they'd be 64-bit rolling
+    hashes (the index shrinks ~10×, semantics unchanged modulo a
+    2^-64-rate collision). Tokens = space-split, empties dropped, matching
+    the repo's SQL tokenizer convention."""
+    from ..stages.shuffle import bucketed_group_map
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        wins: list[str] = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = [t for t in (text or "").split(" ") if t]
+            if len(words) < w:
+                continue
+            uniq = {
+                " ".join(words[i : i + w]) for i in range(len(words) - w + 1)
+            }
+            ids.extend([doc_id] * len(uniq))
+            wins.extend(uniq)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "win": pa.array(wins, pa.string()),
+            }
+        )
+
+    def partial_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if max_doc_freq is not None:
+            freq = df.groupby("win", sort=False)["doc_id"].transform("size")
+            df = df[freq <= max_doc_freq]
+        m = df.merge(df, on="win", suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (
+            m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["a", "b"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .rename(columns={"c": "n_shared"})
+        )
+
+    partials = bucketed_group_map(
+        ds.map_batches(window_rows, batch_format="pyarrow"),
+        bucket_on="win",
+        fn=partial_pairs,
+        n_buckets=n_buckets,
+    )
+    out = bucketed_group_map(
+        partials, bucket_on="a", fn=finalize, n_buckets=n_buckets
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.astype({"a": "int64", "b": "int64", "n_shared": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

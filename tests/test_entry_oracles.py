@@ -17,6 +17,7 @@ REAL_SQL = [
     "docs_frequent_words",
     "docs_unigram_logprob",
     "docs_temperature_sample",
+    "docs_window_dup_pairs",
     "corpus_top_bigrams",
     "docs_curation_funnel",
     "doc_quality_scores",

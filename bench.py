@@ -302,6 +302,21 @@ def run_bench() -> dict:
     )
     timings["dedup_jaccard"] = time.perf_counter() - t0
 
+    from crawler_ray.functions.dedup import window_dup_pairs
+
+    t0 = time.perf_counter()
+    window_dup_pairs(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+        w=8,
+    )
+    timings["dedup_window"] = time.perf_counter() - t0
+
+    from crawler_ray.functions.similarity import kmeans_embeddings
+
+    t0 = time.perf_counter()
+    kmeans_embeddings(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), k=8, iters=5)
+    timings["embeddings_kmeans"] = time.perf_counter() - t0
+
     ray.shutdown()
 
     result = {

@@ -700,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_chunks": R.docs_pack_chunks,
         "docs_stratified_sample": R.docs_stratified_sample,
         "docs_temperature_sample": R.docs_temperature_sample,
+        "docs_global_shuffle": R.docs_global_shuffle,
         "customers_without_orders": R.customers_without_orders,
         "order_status_with_lineitems": R.order_status_with_lineitems,
         "customer_nation": R.customer_nation,
@@ -1271,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_chunks": R.PACK_CHUNKS_SQL,
         "docs_stratified_sample": R.STRATIFIED_SAMPLE_SQL,
         "docs_temperature_sample": R.TEMPERATURE_SAMPLE_SQL,
+        "docs_global_shuffle": R.GLOBAL_SHUFFLE_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "order_status_with_lineitems": R.SEMI_JOIN_SQL,
         "customer_nation": R.CUSTOMER_NATION_SQL,

@@ -646,6 +646,65 @@ def docs_temperature_sample(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_global_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic GLOBAL training-order shuffle: every doc gets a
+    reproducible position = its rank under the mod-2^32 multiplicative
+    hash (an odd-constant multiply mod 2^32 is a BIJECTION, so ranks are
+    unique without tie-breaks and the shuffle is seedable/resumable —
+    unlike ``random_shuffle``'s RNG state). The rank assignment is the
+    ``with_prefix_sum`` two-phase scan: range-partitioned sort on the hash,
+    per-block counts, O(blocks) driver cumsum, per-block position fill —
+    nothing corpus-sized on the driver; at scale the output would
+    ``write_parquet`` in position order as the training manifest."""
+    from ..stages.shuffle import with_prefix_sum
+
+    ds = _rp(sf_dir, "documents", ["doc_id"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = (
+            (ids.astype(np.uint64) % np.uint64(2**32))
+            * np.uint64(2654435761)
+            % np.uint64(2**32)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+
+    out = (
+        with_prefix_sum(
+            ds.map_batches(add_hash, batch_format="pyarrow"),
+            order_col="h",
+            value_col="one",
+            out_col="shuffle_pos",
+        )
+        .map_batches(
+            lambda t: t.select(["doc_id", "shuffle_pos"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+GLOBAL_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
+              % 4294967296 AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY hv) - 1 AS BIGINT) AS shuffle_pos
+FROM h
+ORDER BY doc_id
+"""
+
+
 TEMPERATURE_SAMPLE_SQL = """
 WITH tiered AS (
   SELECT doc_id,

@@ -18,6 +18,7 @@ REAL_SQL = [
     "docs_unigram_logprob",
     "docs_temperature_sample",
     "docs_window_dup_pairs",
+    "docs_global_shuffle",
     "corpus_top_bigrams",
     "docs_curation_funnel",
     "doc_quality_scores",

@@ -459,6 +459,17 @@ def _embeddings_kmeans(sf_dir: str) -> pd.DataFrame:
     return summary
 
 
+def _embeddings_pca(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA projection onto the top-2 principal components
+    (functions/similarity.pca_projection): one mergeable-moments pass
+    (count/Σx/ΣxᵀX per batch), driver-side d×d eigh, one broadcast
+    projection pass. Pinned oracle; pytest checks exact parity against an
+    independent numpy reference and rebatching stability."""
+    from crawler_ray.functions.similarity import pca_projection
+
+    return pca_projection(_emb_ds(sf_dir), n_components=2)
+
+
 def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Corpus-unigram LM quality score per document (the CCNet-style
     language-model filtering proxy): mean log10 unigram probability of
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "cosine_near_dups": _cosine_near_dups,
         "embeddings_kmeans": _embeddings_kmeans,
+        "embeddings_pca": _embeddings_pca,
         "docs_line_dedup": _docs_line_dedup,
         "docs_frequent_words": _docs_frequent_words,
         "docs_unigram_logprob": _docs_unigram_logprob,
@@ -1303,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": PIN.DOC_FINGERPRINTS_SQL,
         "embeddings_kmeans": PIN.EMBEDDINGS_KMEANS_SQL,
         "crawl_host_pagerank": PIN.CRAWL_HOST_PAGERANK_SQL,
+        "embeddings_pca": PIN.EMBEDDINGS_PCA_SQL,
         "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,

@@ -223,3 +223,42 @@ def test_pagerank_independent_reference_parity(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
     # rank mass conserves (within quantization): sums to ~1
     assert abs(got["pr"].sum() - 1.0) < 1e-3
+
+
+def test_pca_independent_reference_parity(ray_session):
+    """similarity.pca_projection (mergeable moment partials + broadcast
+    projection) must exactly equal a single-process numpy restatement of
+    the spec — n-1 covariance, eigh top components, canonical sign,
+    float32 components, 4-dp half-up — and must be invariant to
+    rebatching (the reduce-order noise argument in the docstring)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import pca_projection
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    out = pca_projection(ds, n_components=2)
+    out2 = pca_projection(ds.repartition(7), n_components=2)
+    assert out.equals(out2)  # batching must not leak into the result
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    X = np.asarray(
+        [np.asarray(v) for v in t["embedding"].to_pylist()], np.float64
+    )
+    n = len(X)
+    mean = X.mean(0)
+    cov = (X.T @ X - n * np.outer(mean, mean)) / (n - 1)
+    ev, V = np.linalg.eigh(cov)
+    W = V[:, np.argsort(ev)[::-1][:2]].T
+    for i in range(2):
+        if W[i, int(np.abs(W[i]).argmax())] < 0:
+            W[i] = -W[i]
+    W = W.astype(np.float32)
+    P = (X - mean.astype(np.float32).astype(np.float64)) @ W.T.astype(
+        np.float64
+    )
+    P = np.sign(P) * np.floor(np.abs(P) * 1e4 + 0.5) / 1e4
+    assert (out["pc1"].to_numpy() == P[:, 0]).all()
+    assert (out["pc2"].to_numpy() == P[:, 1]).all()

@@ -54,3 +54,23 @@ def test_extension_query_matches_oracle(entry_mod, con, name):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    """Driver contract invariant: every oracle_sql key must name an
+    implemented query (a dangling oracle would make the driver's
+    correctness pass KeyError), and the rows-only remainder stays
+    exactly the crawl-semantics set."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q, o - q
+    assert q - o == {
+        "crawl_archive",
+        "crawl_curated_stats",
+        "crawl_host_counts",
+        "crawl_images",
+        "crawl_metrics",
+        "crawl_order",
+        "crawl_texts",
+        "extract_links",
+    }

@@ -65,6 +65,7 @@ def pagerank(
     dst_col: str = "dst",
     n_buckets: int = 8,
     round_dp: int = 6,
+    driver_combine_nodes: int = 100_000,
 ) -> pd.DataFrame:
     """PageRank over a Dataset of directed string edges.
 
@@ -140,12 +141,27 @@ def pagerank(
                 }
             )
 
-        parts = bucketed_group_map(
-            edges.map_batches(contrib, batch_format="pyarrow"),
-            bucket_on="dst",
-            fn=lambda df: df.groupby("dst", sort=True)["c"].sum().reset_index(),
-            n_buckets=n_buckets,
-        ).to_pandas()  # node-scale
+        partial_ds = edges.map_batches(contrib, batch_format="pyarrow")
+        if n <= driver_combine_nodes:
+            # small-graph fast path: the per-batch partials are already
+            # ≤ nodes rows each — fold them on the driver instead of
+            # paying a task exchange per iteration. Sorting by (dst, c)
+            # makes the float64 fold order-insensitive even across
+            # different batchings (equal addends sum identically).
+            parts = (
+                partial_ds.to_pandas()
+                .sort_values(["dst", "c"])
+                .groupby("dst", sort=True)["c"]
+                .sum()
+                .reset_index()
+            )
+        else:
+            parts = bucketed_group_map(
+                partial_ds,
+                bucket_on="dst",
+                fn=lambda df: df.groupby("dst", sort=True)["c"].sum().reset_index(),
+                n_buckets=n_buckets,
+            ).to_pandas()  # node-scale
 
         inflow = np.zeros(n, np.float64)
         pos = np.searchsorted(nodes, parts["dst"].to_numpy())

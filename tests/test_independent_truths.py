@@ -262,3 +262,26 @@ def test_pca_independent_reference_parity(ray_session):
     P = np.sign(P) * np.floor(np.abs(P) * 1e4 + 0.5) / 1e4
     assert (out["pc1"].to_numpy() == P[:, 0]).all()
     assert (out["pc2"].to_numpy() == P[:, 1]).all()
+
+
+def test_pagerank_combine_paths_equivalent(ray_session):
+    """The driver-fold fast path and the bucketed-exchange scale path of
+    graph.pagerank must produce identical ranks (the float32 quantization
+    per iteration absorbs their different reduce orders)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import pagerank
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "a", "b", "c", "d", "d", "e"],
+                "dst": ["b", "c", "c", "a", "a", "e", "a"],
+            }
+        )
+    )
+    fast = pagerank(edges, iters=10)  # driver fold (n ≤ threshold)
+    bucketed = pagerank(edges, iters=10, driver_combine_nodes=0)
+    assert fast.equals(bucketed)
+    assert abs(fast["pr"].sum() - 1.0) < 1e-3

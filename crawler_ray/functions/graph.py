@@ -89,12 +89,12 @@ def pagerank(
             {"src": pa.array(u, pa.string()), "one": pa.array(c, pa.int64())}
         )
 
-    deg = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("src", sort=True)["one"]
-        .sum()
-    )
+    deg_parts = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    if deg_parts.empty:  # no edges survive dedup/self-loop filtering
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "pr": pd.Series(dtype=float)}
+        )
+    deg = deg_parts.groupby("src", sort=True)["one"].sum()
     def batch_nodes(t: pa.Table) -> pa.Table:
         u = np.unique(
             np.concatenate(

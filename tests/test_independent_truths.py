@@ -285,3 +285,17 @@ def test_pagerank_combine_paths_equivalent(ray_session):
     bucketed = pagerank(edges, iters=10, driver_combine_nodes=0)
     assert fast.equals(bucketed)
     assert abs(fast["pr"].sum() - 1.0) < 1e-3
+
+
+def test_pagerank_degenerate_graphs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import pagerank
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    assert pagerank(empty, iters=2).empty
+    loops = rd.from_arrow(pa.table({"src": ["x"], "dst": ["x"]}))
+    assert pagerank(loops, iters=2).empty  # self-loops are excluded

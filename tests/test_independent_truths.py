@@ -299,3 +299,94 @@ def test_pagerank_degenerate_graphs(ray_session):
     assert pagerank(empty, iters=2).empty
     loops = rd.from_arrow(pa.table({"src": ["x"], "dst": ["x"]}))
     assert pagerank(loops, iters=2).empty  # self-loops are excluded
+
+
+def test_fingerprints_pinned_independent():
+    """Re-derive the first 10 pinned fingerprint rows with a NAIVE
+    per-byte Python polynomial hash (no numpy, no vectorization — a
+    different code path from textstats.fingerprints' strided kernels):
+    full hash = Σ byte_k · 257^(n-1-k) mod 2^64, winnowed hash = min over
+    all 8-byte windows of the same polynomial."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray import pinned_oracles as PIN
+
+    pinned = duckdb.sql(PIN.DOC_FINGERPRINTS_SQL).df().set_index("doc_id")
+    docs = (
+        pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    MASK = (1 << 64) - 1
+    for doc_id in range(10):
+        data = (docs.loc[doc_id, "text"] or "").encode("utf-8", "replace")
+        full = 0
+        for b in data:
+            full = (full * 257 + b) & MASK
+        if len(data) < 8:
+            win = full
+        else:
+            win = MASK
+            for s in range(len(data) - 7):
+                h = 0
+                for b in data[s : s + 8]:
+                    h = (h * 257 + b) & MASK
+                win = min(win, h)
+        assert int(pinned.loc[doc_id, "fingerprint"]) == full
+        assert int(pinned.loc[doc_id, "min_gram_hash"]) == win
+
+
+def test_simhash_pinned_pairs_independent():
+    """Re-derive the pinned dedup_simhash_pairs truth with a naive
+    per-doc, per-token, per-bit pure-Python SimHash + ALL-PAIRS Hamming
+    scan (no banding, no numpy vote kernels — a different code path from
+    SimHasher.simhash_batch and the bucketed pair generation). Banding
+    with 4×16 chunks is pigeonhole-complete for hamming ≤ 3, so the naive
+    all-pairs answer must equal the engine's banded one exactly."""
+    import duckdb
+    import polars as pl
+    import pyarrow.parquet as pq
+    import re
+
+    import __ray_entry__ as E
+
+    pinned = duckdb.sql(E.oracle_sql()["dedup_simhash_pairs"]).df()
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+
+    tok = re.compile(r"\w+")
+    sigs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        words = tok.findall((text or "").lower())
+        votes = [0] * 64
+        if words:
+            hs = pl.Series(words).hash(seed=0x51A4).to_list()
+            for h in hs:
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        sigs[int(doc_id)] = sig
+
+    ids = sorted(sigs)
+    pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                pairs.append((a, b, d))
+    got = sorted(
+        zip(
+            pinned["a"].astype(int),
+            pinned["b"].astype(int),
+            pinned["hamming"].astype(int),
+        )
+    )
+    assert got == sorted(pairs)

@@ -390,3 +390,49 @@ def test_simhash_pinned_pairs_independent():
         )
     )
     assert got == sorted(pairs)
+
+
+def test_hll_pinned_counts_independent():
+    """Re-derive the pinned approx_distinct_users truth with a pure-Python
+    HyperLogLog (Flajolet et al. 2007): registers as a dict, rank via
+    int.bit_length, the alpha_m estimator + linear-counting small-range
+    correction in plain floats — no numpy register kernels, no engine code
+    except the hash64 key derivation (which is the shared spec)."""
+    import math
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from crawler_ray.keys import hash64
+
+    pinned = duckdb.sql(E.oracle_sql()["approx_distinct_users"]).df()
+    t = pq.read_table(
+        "/root/testdata/sf0.01/events.parquet",
+        columns=["event_type", "user_id"],
+    ).to_pandas()
+
+    p = 12
+    m = 1 << p
+    got = {}
+    for etype, g in t.groupby("event_type"):
+        regs = [0] * m
+        for h in hash64([str(u) for u in g["user_id"]]):
+            h = int(h)
+            idx = h >> (64 - p)
+            rest = (h << p) & ((1 << 64) - 1)
+            # rank = leading zeros of the remaining bits + 1 (capped)
+            lz = 64 - rest.bit_length() if rest else 64
+            rank = min(lz + 1, 64 - p + 1)
+            regs[idx] = max(regs[idx], rank)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / sum(2.0**-r for r in regs)
+        zeros = regs.count(0)
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)
+        got[etype] = int(round(est))
+
+    want = dict(
+        zip(pinned["event_type"], pinned["approx_distinct"].astype(int))
+    )
+    assert got == want

@@ -436,3 +436,95 @@ def test_hll_pinned_counts_independent():
         zip(pinned["event_type"], pinned["approx_distinct"].astype(int))
     )
     assert got == want
+
+
+def test_lsh_topk_independent_reference(ray_session):
+    """Re-derive the LSH ANN answer with a naive single-process
+    reimplementation of the published spec (Charikar hyperplane LSH, same
+    seeded planes): per-table sign-bit buckets, candidate = shares ≥1
+    bucket with the query, exact cosine over candidates, top-10. IDs and
+    ranks must match exactly; similarities within float32 matmul ULP."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.01"
+    got = E.queries()["ann_lsh_topk"](sf)
+
+    from crawler_ray.functions.similarity import HyperplaneLSH, _normalize
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    X = _normalize(
+        np.asarray([np.asarray(v) for v in t["embedding"].to_pylist()], np.float32)
+    )
+    ids = t["vec_id"].to_numpy()
+    q = X[:4]
+    lsh = HyperplaneLSH(X.shape[1], 8, 6, seed=11)  # shared seeded spec
+    rows = []
+    for qi in range(4):
+        cand = []
+        for vi in range(len(X)):
+            share = False
+            for tb in range(6):
+                if lsh.bucket_of(X[vi : vi + 1], tb)[0] == lsh.bucket_of(
+                    q[qi : qi + 1], tb
+                )[0]:
+                    share = True
+                    break
+            if share:
+                cand.append(vi)
+        sims = [(float(np.dot(X[v], q[qi])), int(ids[v])) for v in cand]
+        sims.sort(key=lambda sv: (-sv[0], sv[1]))
+        for rank, (s, v) in enumerate(sims[:10]):
+            rows.append((qi, v, rank, s))
+
+    assert len(rows) == len(got)
+    for (qi, v, rank, s), r in zip(rows, got.itertuples(index=False)):
+        assert (qi, v, rank) == (r.query_id, r.vec_id, r.rank)
+        assert abs(s - r.sim) < 5e-4  # 4-dp rounding + matmul ULP
+
+
+def test_ivf_topk_independent_reference(ray_session):
+    """Re-derive the IVF ANN answer with a naive single-process restatement
+    of the inverted-file probe semantics: per-vector nearest-centroid
+    assignment, candidate = assigned centroid appears in the query's
+    nprobe probe list, exact cosine over candidates, top-10. The trained
+    quantizer (IVFIndex, seeded) is the SHARED spec constant — the
+    independent part is the assign/probe/scan/rank path, which here runs
+    per-vector in plain loops instead of the engine's batched masks."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from crawler_ray.functions.similarity import IVFIndex, _normalize
+
+    sf = "/root/testdata/sf0.01"
+    got = E.queries()["ann_ivf_topk"](sf)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    X = _normalize(
+        np.asarray([np.asarray(v) for v in t["embedding"].to_pylist()], np.float32)
+    )
+    ids = t["vec_id"].to_numpy()
+    # train sample = head of the dataset in vec_id order (the parquet is
+    # id-ordered and ≤ train_sample rows, so this equals the engine's)
+    index = IVFIndex(X, n_centroids=16, seed=13)
+    q = X[:4]
+    probe = index.probe(q, 6)
+    rows = []
+    for qi in range(4):
+        probed = set(int(c) for c in probe[qi])
+        sims = []
+        for vi in range(len(X)):
+            cent = int(np.argmax(X[vi] @ index.centroids.T))
+            if cent in probed:
+                sims.append((float(np.dot(X[vi], q[qi])), int(ids[vi])))
+        sims.sort(key=lambda sv: (-sv[0], sv[1]))
+        for rank, (s, v) in enumerate(sims[:10]):
+            rows.append((qi, v, rank, s))
+
+    assert len(rows) == len(got)
+    for (qi, v, rank, s), r in zip(rows, got.itertuples(index=False)):
+        assert (qi, v, rank) == (r.query_id, r.vec_id, r.rank)
+        assert abs(s - r.sim) < 5e-4

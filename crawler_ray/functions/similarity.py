@@ -472,6 +472,11 @@ def kmeans_embeddings(
     """
     import ray
 
+    # pin the input blocks once: every Lloyd iteration re-scans the SAME
+    # data, so re-executing the read per pass would pay (iters+2) parquet
+    # scans for zero benefit — the standard iterative-ML materialize
+    ds = ds.materialize()
+
     # ---- deterministic init: embeddings of the k smallest ids
     import pyarrow.compute as pc
 

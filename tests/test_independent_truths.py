@@ -1,14 +1,23 @@
 """Independent recomputation of the pinned driver-oracle truths.
 
-Pinned oracles (LANG_ID_COUNTS_SQL, WEBTEXT_STATS_SQL in __ray_entry__)
-are committed expected outputs; on their own they prove end-to-end
-determinism, not truth. These tests re-derive the same numbers with a
-SECOND pure-Python implementation — different code, same published
-algorithm spec (Cavnar & Trenkle 1994 rank-order n-gram profiles; the
-C4-style filter chain) — and compare against the committed values, so the
-pins are cross-checked by something other than the engine's own code path.
-The crawl texts feeding the webtext chain come from the pure-Python oracle
-SIMULATOR, not the Ray engine.
+Pinned oracles are committed expected outputs; on their own they prove
+end-to-end determinism, not truth. These tests re-derive the same numbers
+with a SECOND implementation — different code, same published algorithm
+spec — and compare against the committed values, so every pin is
+cross-checked by something other than the engine's own code path:
+
+  lang-ID counts / webtext stats  (Cavnar & Trenkle profiles; C4 chain)
+  fingerprints                    (per-byte Python polynomial hash)
+  simhash pairs                   (per-bit votes + ALL-PAIRS Hamming)
+  minhash clusters                (pure-Python shingle/sig/band/verify/UF)
+  HLL distinct counts             (dict registers + Flajolet estimator)
+  LSH / IVF ANN                   (per-vector probe loops, exact cosine)
+  k-means / PageRank / PCA        (single-process numpy restatements)
+
+The only pin without one is multimodal_decode, whose deterministic fake
+codec IS the committed spec (no independent ground truth exists without a
+real image library). The crawl texts feeding the webtext chain come from
+the pure-Python oracle SIMULATOR, not the Ray engine.
 """
 
 from __future__ import annotations
@@ -528,3 +537,102 @@ def test_ivf_topk_independent_reference(ray_session):
     for (qi, v, rank, s), r in zip(rows, got.itertuples(index=False)):
         assert (qi, v, rank) == (r.query_id, r.vec_id, r.rank)
         assert abs(s - r.sim) < 5e-4
+
+
+def test_minhash_clusters_pinned_independent():
+    """Re-derive the pinned dedup_minhash_clusters truth with a naive
+    pure-Python pipeline: per-doc char-5-shingle polynomial hashes and
+    (a·h+b mod 2^64) signature minima in plain loops (seeded perms are the
+    shared spec constant), candidates by EXACT band-tuple equality (the
+    engine's polynomial band hash can only add collision candidates, which
+    exact verification removes), the same 4σ estimate prune, exact char-
+    5-gram Jaccard ≥ 0.8, and a from-scratch union-find with min-id
+    representatives."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    pinned = duckdb.sql(E.oracle_sql()["dedup_minhash_clusters"]).df()
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+
+    MASK = (1 << 64) - 1
+    BASE = 1_099_511_628_211
+    rng = np.random.default_rng(7)
+    M = (1 << 61) - 1
+    a = [int(x) for x in rng.integers(1, M, size=64, dtype=np.uint64)]
+    b = [int(x) for x in rng.integers(0, M, size=64, dtype=np.uint64)]
+
+    def shingles(text):
+        data = (text or "").encode("utf-8", "replace")
+        if not data:
+            return {0}
+        k = min(5, len(data))
+        out = set()
+        for i in range(len(data) - k + 1):
+            h = 0
+            for c in data[i : i + k]:
+                h = (h * BASE + c) & MASK
+            out.add(h)
+        return out
+
+    sigs = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        hs = shingles(text)
+        sigs[int(doc_id)] = [
+            min(((a[p] * h + b[p]) & MASK) for h in hs) for p in range(64)
+        ]
+
+    buckets: dict = {}
+    for doc_id, sig in sigs.items():
+        for band in range(16):
+            key = (band, tuple(sig[band * 4 : band * 4 + 4]))
+            buckets.setdefault(key, []).append(doc_id)
+    cands = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+
+    texts = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+
+    def grams(t):
+        t = t or ""
+        return (
+            {t[i : i + 5] for i in range(max(1, len(t) - 4))} if t else set()
+        )
+
+    verified = []
+    for x, y in sorted(cands):
+        est = sum(p == q for p, q in zip(sigs[x], sigs[y])) / 64
+        if est < 0.8 - 0.2:  # 4σ prune, σ = sqrt(.8·.2/64)
+            continue
+        ga, gb = grams(texts[x]), grams(texts[y])
+        jac = 1.0 if not ga and not gb else len(ga & gb) / max(1, len(ga | gb))
+        if jac >= 0.8:
+            verified.append((x, y))
+
+    parent = {}
+
+    def find(u):
+        parent.setdefault(u, u)
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for x, y in verified:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    members = sorted(parent)
+    got = {(m, find(m)) for m in members}
+    want = {
+        (int(r.doc_id), int(r.rep_id)) for r in pinned.itertuples(index=False)
+    }
+    assert got == want

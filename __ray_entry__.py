@@ -132,9 +132,10 @@ def _crawl_curated_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _extract_links(sf_dir: str) -> pa.Table:
-    """Single-pass link extraction over the whole corpus (the minimum-slice
-    pipeline: read → map_batches(parse) → findings), no BFS loop."""
+def _corpus_findings_ds(sf_dir: str):
+    """Lazy single-pass link extraction over the whole corpus: read →
+    wave-shape → map_batches(parse) → finding rows (src_url, url, kind).
+    Shared by extract_links and the link-graph queries."""
     import ray.data as rd
 
     from crawler_ray.stages.parse import process_wave_batch
@@ -151,7 +152,7 @@ def _extract_links(sf_dir: str) -> pa.Table:
             }
         )
 
-    parsed = (
+    return (
         rd.read_parquet(corpus, columns=["url", "html"])
         .map_batches(to_wave, batch_format="pyarrow")
         .map_batches(process_wave_batch, batch_format="pyarrow")
@@ -162,6 +163,12 @@ def _extract_links(sf_dir: str) -> pa.Table:
             batch_format="pyarrow",
         )
     )
+
+
+def _extract_links(sf_dir: str) -> pa.Table:
+    """Single-pass link extraction over the whole corpus (the minimum-slice
+    pipeline: read → map_batches(parse) → findings), no BFS loop."""
+    parsed = _corpus_findings_ds(sf_dir)
     # distributed sort; only the final (already-sorted) result lands here
     import ray
 
@@ -177,29 +184,12 @@ def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
     broadcast node weights + per-batch combiners + one bucketed exchange
     per iteration. Pinned oracle; the pytest suite checks exact parity
     against an independent dense power-iteration reference."""
-    import ray.data as rd
-
     from crawler_ray.functions.graph import pagerank
-    from crawler_ray.stages.parse import process_wave_batch
-
-    corpus, _, _ = _corpus_for(sf_dir)
-
-    def to_wave(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "url": t["url"],
-                "kind": pa.array(["page"] * t.num_rows),
-                "depth": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
-                "html": t["html"],
-            }
-        )
 
     def host_edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        t = t.filter(
-            _pc.and_(_pc.equal(t["rec"], "f"), _pc.equal(t["kind"], "page"))
-        )
+        t = t.filter(_pc.equal(t["kind"], "page"))
         pat = r"^[^:]*://(?P<host>\[[^\]]*\]|[^/:?#]*)"
 
         def host_of(col):
@@ -213,11 +203,8 @@ def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
             {"src": host_of(t["src_url"]), "dst": host_of(t["url"])}
         )
 
-    edges = (
-        rd.read_parquet(corpus, columns=["url", "html"])
-        .map_batches(to_wave, batch_format="pyarrow")
-        .map_batches(process_wave_batch, batch_format="pyarrow")
-        .map_batches(host_edges, batch_format="pyarrow")
+    edges = _corpus_findings_ds(sf_dir).map_batches(
+        host_edges, batch_format="pyarrow"
     )
     return pagerank(edges, damping=0.85, iters=10)
 

@@ -1200,8 +1200,12 @@ def window_dup_pairs(
     Scale note: window keys stay strings here so the DuckDB oracle can
     restate them; at the 10^10 design point they'd be 64-bit rolling
     hashes (the index shrinks ~10×, semantics unchanged modulo a
-    2^-64-rate collision). Tokens = space-split, empties dropped, matching
-    the repo's SQL tokenizer convention."""
+    2^-64-rate collision). A window shared by f docs inherently yields
+    f·(f-1)/2 OUTPUT pairs, so on real corpora run exact dedup first
+    (collapsing identical docs) and set ``max_doc_freq`` to cap boilerplate
+    windows — both standard for the exact-substring criterion; the unitless
+    default is exact to match the SQL oracle. Tokens = space-split,
+    empties dropped, matching the repo's SQL tokenizer convention."""
     from ..stages.shuffle import bucketed_group_map
 
     def window_rows(batch: pa.Table) -> pa.Table:

@@ -121,14 +121,19 @@ def pagerank(
 
     from ..stages.shuffle import bucketed_group_map
 
+    # the node-NAME array is constant across iterations — put it once;
+    # only the small float weight vector re-broadcasts per iteration
+    # (object-dtype string arrays are the expensive part to ship)
+    nodes_ref = ray.put(nodes)
+
     for _ in range(iters):
         w = np.zeros(n, np.float64)
         nz = ~dangling_mask
         w[nz] = pr[nz] / outdeg[nz]
-        ref = ray.put((nodes, w))
+        w_ref = ray.put(w)
 
-        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
-            nds, wts = ray.get(_ref)
+        def contrib(t: pa.Table, _nref=nodes_ref, _wref=w_ref) -> pa.Table:
+            nds, wts = ray.get(_nref), ray.get(_wref)
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             c = wts[np.searchsorted(nds, src)]

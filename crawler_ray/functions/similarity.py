@@ -419,7 +419,7 @@ def cosine_near_dup_pairs(
 # ------------------------------------------------------------------ k-means
 
 
-def _kmeans_partials(t: pa.Table, ref, k: int, id_col: str, emb_col: str):
+def _kmeans_partials(t: pa.Table, ref, emb_col: str):
     """One batch's Lloyd-step partials against the broadcast centroids:
     per-cluster float64 vector sums + counts (k×(d+1) scalars, independent
     of batch size — the mergeable-combiner shape)."""
@@ -499,7 +499,7 @@ def kmeans_embeddings(
         ref = ray.put(cents)
 
         def step(t: pa.Table, _ref=ref) -> pa.Table:
-            x, assign, _ = _kmeans_partials(t, _ref, k, id_col, emb_col)
+            x, assign, _ = _kmeans_partials(t, _ref, emb_col)
             sums = np.zeros((k, dim), np.float64)
             np.add.at(sums, assign, x)
             cnt = np.bincount(assign, minlength=k).astype(np.int64)
@@ -528,7 +528,7 @@ def kmeans_embeddings(
     ref = ray.put(cents)
 
     def final(t: pa.Table, _ref=ref) -> pa.Table:
-        x, assign, d2 = _kmeans_partials(t, _ref, k, id_col, emb_col)
+        x, assign, d2 = _kmeans_partials(t, _ref, emb_col)
         sq = d2[np.arange(len(assign)), assign].astype(np.float32)
         cnt = np.bincount(assign, minlength=k).astype(np.int64)
         inertia = np.zeros(k, np.float64)
@@ -544,7 +544,7 @@ def kmeans_embeddings(
     if return_assignments:
 
         def final_assign(t: pa.Table, _ref=ref) -> pa.Table:
-            _, assign, d2 = _kmeans_partials(t, _ref, k, id_col, emb_col)
+            _, assign, d2 = _kmeans_partials(t, _ref, emb_col)
             sq = d2[np.arange(len(assign)), assign].astype(np.float32)
             return pa.table(
                 {

@@ -413,8 +413,16 @@ class _UnigramScorer:
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         mask = vals != ""
         vals, doc_idx = vals[mask], doc_idx[mask]
-        # every token exists in the vocab by construction (same corpus)
-        lp = self.logp[np.searchsorted(self.words, vals)]
+        # every token exists in the vocab by construction (the input is
+        # materialized, so pass 2 scores exactly the rows pass 1 counted) —
+        # verify rather than trust: a silent neighbor lookup would corrupt
+        # scores, so an out-of-vocab token is a hard error
+        idx = np.searchsorted(self.words, vals)
+        idx_c = np.minimum(idx, len(self.words) - 1)
+        if not (self.words[idx_c] == vals).all():
+            missing = vals[self.words[idx_c] != vals][:3]
+            raise ValueError(f"tokens absent from vocab: {missing!r}")
+        lp = self.logp[idx_c]
         n_tok = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
         sums = np.bincount(doc_idx, weights=lp, minlength=len(lens))
         keep = n_tok > 0  # empty docs have no defined mean (SQL inner join)
@@ -468,6 +476,10 @@ def unigram_logprob(
     import ray
 
     from ..stages.shuffle import bucketed_group_map
+
+    # pin the blocks once: pass 2 must score EXACTLY the rows pass 1
+    # counted (vocab totality), and both passes reuse the same scan
+    ds = ds.materialize()
 
     def partial_counts(t: pa.Table) -> pa.Table:
         words = pc.list_flatten(

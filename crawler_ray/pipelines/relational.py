@@ -590,7 +590,10 @@ def docs_temperature_sample(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
     per-source table on the driver (sources ≪ corpus), thresholds are
     quantized to a 1e-6 grid (absorbing pow() ULP differences between
     engines), then one stateless filter pass. The DuckDB oracle restates
-    both passes in SQL.
+    both passes in SQL with the exponent spelled ``0.7 - 1.0`` so both
+    engines raise to the SAME double (the literal ``-0.3`` is a different
+    binary value from ``0.7 - 1.0``); the oracle therefore describes the
+    default α only.
 
     The sf* fixtures have perfectly BALANCED sources (uniform n_s ⇒ every
     rate is 1.0 and the oracle would be trivially the whole table), so the
@@ -648,10 +651,12 @@ def docs_temperature_sample(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
 
 def docs_global_shuffle(sf_dir: str) -> pd.DataFrame:
     """Deterministic GLOBAL training-order shuffle: every doc gets a
-    reproducible position = its rank under the mod-2^32 multiplicative
-    hash (an odd-constant multiply mod 2^32 is a BIJECTION, so ranks are
-    unique without tie-breaks and the shuffle is seedable/resumable —
-    unlike ``random_shuffle``'s RNG state). The rank assignment is the
+    reproducible position = its rank under the mod-2^64 multiplicative
+    hash (an odd-constant multiply mod 2^64 is a BIJECTION over the full
+    uint64 id domain — unlike a mod-2^32 reduction, which would collide
+    ids ≥ 2^32 at the 10^10-doc design point — so ranks are unique without
+    tie-breaks and the shuffle is seedable/resumable, unlike
+    ``random_shuffle``'s RNG state). The rank assignment is the
     ``with_prefix_sum`` two-phase scan: range-partitioned sort on the hash,
     per-block counts, O(blocks) driver cumsum, per-block position fill —
     nothing corpus-sized on the driver; at scale the output would
@@ -662,15 +667,12 @@ def docs_global_shuffle(sf_dir: str) -> pd.DataFrame:
 
     def add_hash(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        h = (
-            (ids.astype(np.uint64) % np.uint64(2**32))
-            * np.uint64(2654435761)
-            % np.uint64(2**32)
-        )
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(2654435761)  # mod 2^64
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "h": pa.array(h, pa.uint64()),
                 "one": pa.array(np.ones(len(ids), np.int64)),
             }
         )
@@ -694,8 +696,8 @@ def docs_global_shuffle(sf_dir: str) -> pd.DataFrame:
 GLOBAL_SHUFFLE_SQL = """
 WITH h AS (
   SELECT doc_id,
-         CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761)
-              % 4294967296 AS BIGINT) AS hv
+         (CAST(doc_id AS HUGEINT) * 2654435761)
+           % 18446744073709551616 AS hv
   FROM documents
 )
 SELECT doc_id,
@@ -714,7 +716,7 @@ WITH tiered AS (
   FROM documents
 ),
 c AS (SELECT source, count(*) AS n FROM tiered GROUP BY source),
-w AS (SELECT source, pow(CAST(n AS DOUBLE), -0.3) AS wv FROM c),
+w AS (SELECT source, pow(CAST(n AS DOUBLE), 0.7 - 1.0) AS wv FROM c),
 thr AS (
   SELECT source,
          CAST(floor(1e6 * wv / (SELECT max(wv) FROM w) + 0.5) AS BIGINT) AS t

@@ -636,3 +636,102 @@ def test_minhash_clusters_pinned_independent():
         (int(r.doc_id), int(r.rep_id)) for r in pinned.itertuples(index=False)
     }
     assert got == want
+
+
+def test_pinned_tables_reproduced_at_pinned_params(ray_session):
+    """The kmeans/pagerank/PCA parity tests above run at sf0.001 with
+    small parameters; this test closes the remaining gap by re-deriving
+    the COMMITTED sf0.01 pinned tables themselves with single-process
+    references at the exact pinned parameters (k=8/iters=5; damping
+    0.85/iters 10; 2 components) — so a bug that only manifests at the
+    pinned scale or parameterization cannot hide inside the pins."""
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from crawler_ray import pinned_oracles as PIN
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    X = np.asarray(
+        [np.asarray(v) for v in t["embedding"].to_pylist()], np.float64
+    )
+
+    # ---- k-means summary (k=8, iters=5)
+    k = 8
+    C = X[:k].astype(np.float32)
+
+    def d2_of(C):
+        return (
+            (X * X).sum(1, keepdims=True)
+            - 2 * X @ C.T.astype(np.float64)
+            + (C.astype(np.float64) ** 2).sum(1)
+        )
+
+    for _ in range(5):
+        a = d2_of(C).argmin(1)
+        new = C.astype(np.float64).copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = X[m].sum(0) / m.sum()
+        C = new.astype(np.float32)
+    d2 = d2_of(C)
+    a = d2.argmin(1)
+    pin = duckdb.sql(PIN.EMBEDDINGS_KMEANS_SQL).df()
+    assert pin["size"].tolist() == np.bincount(a, minlength=k).tolist()
+    inertia = np.zeros(k)
+    np.add.at(inertia, a, d2[np.arange(len(a)), a].astype(np.float32))
+    assert np.allclose(pin["inertia"].to_numpy(), inertia, atol=0.01)
+
+    # ---- PCA projection (2 components)
+    n = len(X)
+    mean = X.mean(0)
+    cov = (X.T @ X - n * np.outer(mean, mean)) / (n - 1)
+    ev, V = np.linalg.eigh(cov)
+    W = V[:, np.argsort(ev)[::-1][:2]].T
+    for i in range(2):
+        if W[i, int(np.abs(W[i]).argmax())] < 0:
+            W[i] = -W[i]
+    W = W.astype(np.float32)
+    P = (X - mean.astype(np.float32).astype(np.float64)) @ W.T.astype(
+        np.float64
+    )
+    P = np.sign(P) * np.floor(np.abs(P) * 1e4 + 0.5) / 1e4
+    pin = duckdb.sql(PIN.EMBEDDINGS_PCA_SQL).df()
+    assert (pin["pc1"].to_numpy() == P[:, 0]).all()
+    assert (pin["pc2"].to_numpy() == P[:, 1]).all()
+
+    # ---- PageRank over the sf0.01 host graph (damping 0.85, 10 iters)
+    import re as _re
+
+    import pandas as pd
+
+    links = E.queries()["extract_links"](sf).to_pandas()
+    pat = _re.compile(r"^[^:]*://(\[[^\]]*\]|[^/:?#]*)")
+    host = lambda u: ((pat.match(u or "") or [None, ""])[1]) or None
+    pl = links[links["kind"] == "page"]
+    edges = pd.DataFrame(
+        {"src": pl["src_url"].map(host), "dst": pl["url"].map(host)}
+    ).dropna()
+    edges = edges[edges["src"] != edges["dst"]].drop_duplicates()
+    nodes = np.unique(
+        np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    )
+    nn = len(nodes)
+    idx = {h: i for i, h in enumerate(nodes)}
+    A = np.zeros((nn, nn))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] = 1.0
+    outdeg = A.sum(1)
+    dang = outdeg == 0
+    pr = np.full(nn, 1 / nn).astype(np.float32).astype(np.float64)
+    for _ in range(10):
+        w = np.where(dang, 0.0, pr / np.maximum(outdeg, 1))
+        pr = 0.15 / nn + 0.85 * (A.T @ w + pr[dang].sum() / nn)
+        pr = pr.astype(np.float32).astype(np.float64)
+    pr = np.floor(pr * 1e6 + 0.5) / 1e6
+    pin = duckdb.sql(PIN.CRAWL_HOST_PAGERANK_SQL).df()
+    assert pin["node"].tolist() == nodes.tolist()
+    assert (pin["pr"].to_numpy() == pr).all()

@@ -172,8 +172,10 @@ def _extract_links(sf_dir: str) -> pa.Table:
     # distributed sort; only the final (already-sorted) result lands here
     import ray
 
+    from crawler_ray.stages.shuffle import _as_arrow
+
     parts = ray.get(parsed.sort(["src_url", "kind", "url"]).to_arrow_refs())
-    parts = [t for t in parts if t.num_rows]
+    parts = [t for t in map(_as_arrow, parts) if t.num_rows]
     return pa.concat_tables(parts).combine_chunks()
 
 

@@ -573,7 +573,9 @@ def _split_by_key_hash(block: pa.Table, n: int) -> list:
     (one filter + sort + searchsorted, zero-copy slices — the heavy
     text/image columns are dropped before anything ships)."""
     from ..keys import hash64
+    from ..stages.shuffle import _as_arrow
 
+    block = _as_arrow(block) if block is not None else None
     if block is None or block.num_rows == 0 or "url" not in block.column_names:
         return [None] * n  # empty / schemaless / no-finding blocks
     if "rec" in block.column_names:

@@ -174,6 +174,9 @@ def _prep_block_task():
 
         @ray.remote
         def prep_block(t: pa.Table, limit: int, priority: str, need_counts: bool):
+            from .shuffle import _as_arrow
+
+            t = _as_arrow(t)
             if "host" not in t.column_names:
                 t = with_host(t)
             n_tot = t.num_rows

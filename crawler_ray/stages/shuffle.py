@@ -28,6 +28,20 @@ import pyarrow as pa
 BUCKET_COL = "__bucket"
 
 
+def _as_arrow(t) -> pa.Table:
+    """Defensive block coercion for tasks fed by ``to_arrow_refs``: Ray
+    decides the zero-copy path from the DATASET-level schema, so a run
+    whose blocks ended up in mixed formats can hand a task a pandas block
+    (observed intermittently under full-suite load as
+    ``AttributeError: 'DataFrame' object has no attribute 'num_rows'``
+    inside ``split``)."""
+    if isinstance(t, pa.Table):
+        return t
+    if isinstance(t, pd.DataFrame):
+        return pa.Table.from_pandas(t, preserve_index=False)
+    return pa.table(t)
+
+
 def _bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     """Stable bucket assignment for int/string key columns."""
     import polars as pl
@@ -105,6 +119,7 @@ def bucketed_group_map(
 
     @ray.remote(num_returns=n_buckets + 1)
     def split(t: pa.Table):
+        t = _as_arrow(t)
         if t.num_rows == 0:
             return (*([None] * n_buckets), np.zeros(n_buckets, np.int64))
         b = _bucket_ids(t[bucket_on], n_buckets)
@@ -332,6 +347,7 @@ def with_prefix_sum(ds, order_col: str, value_col: str, out_col: str):
 
     @ray.remote
     def block_sum(t: pa.Table) -> int:
+        t = _as_arrow(t)
         if t.num_rows == 0:
             return 0
         import pyarrow.compute as pc
@@ -343,6 +359,7 @@ def with_prefix_sum(ds, order_col: str, value_col: str, out_col: str):
 
     @ray.remote
     def add_prefix(t: pa.Table, off: int) -> pa.Table:
+        t = _as_arrow(t)
         v = t[value_col].to_numpy() if t.num_rows else np.zeros(0, dtype=np.int64)
         pre = off + np.cumsum(v) - v
         return t.append_column(out_col, pa.array(pre.astype(np.int64)))

@@ -237,7 +237,7 @@ def cc_label_propagation(pairs_ds, n_buckets: int = 64) -> pd.DataFrame:
     store. Rounds = component diameter — tiny for near-dup clusters (LSH
     buckets create star/clique edges). Returns (doc_id, rep_id) with
     rep = component min id, matching the union-find output exactly."""
-    from ..stages.shuffle import bucketed_group_map, bucketed_join
+    from ..stages.shuffle import bucketed_group_map, bucketed_join_tasks
 
     def symmetrize(t: pa.Table) -> pa.Table:
         x = pa.concat_arrays(
@@ -272,8 +272,11 @@ def cc_label_propagation(pairs_ds, n_buckets: int = 64) -> pd.DataFrame:
     prev_sum = labels.sum("label")
 
     while True:
-        # neighbor labels: edge (x, y) delivers label(y) to x
-        cand = bucketed_join(
+        # neighbor labels: edge (x, y) delivers label(y) to x. The task
+        # join: both inputs are already materialized each round, so the
+        # streaming join's pipelining buys nothing and its sort-groupby
+        # machinery costs a full extra exchange per round.
+        cand = bucketed_join_tasks(
             edges,
             labels,
             left_on="y",

@@ -88,6 +88,70 @@ def bucketed_group_map_sorted(
     )
 
 
+#: cached (by fan-out) split / reduce remote functions — defining a fresh
+#: ``@ray.remote`` per exchange exports a new function definition to every
+#: worker each call, measurable GCS traffic for exchange-heavy pipelines.
+_SPLIT_TASKS: dict = {}
+_GROUP_REDUCE_TASK = None
+
+
+def _split_task(n_buckets: int):
+    """Map-side split task: one argsort + searchsorted per block → per-bucket
+    zero-copy slices (never a comparison sort of the data). Returns
+    ``n_buckets`` slice refs plus one int64 size vector the driver uses to
+    skip empty buckets."""
+    if n_buckets not in _SPLIT_TASKS:
+        import ray
+
+        @ray.remote(num_returns=n_buckets + 1)
+        def split(key: str, *tables):
+            live = [_as_arrow(t) for t in tables]
+            live = [t for t in live if t.num_rows]
+            if not live:
+                return (*([None] * n_buckets), np.zeros(n_buckets, np.int64))
+            t = pa.concat_tables(live) if len(live) > 1 else live[0]
+            b = _bucket_ids(t[key], n_buckets)
+            order = np.argsort(b, kind="stable")
+            s = t.take(pa.array(order))
+            bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
+            sizes = np.diff(bounds)
+            parts = [
+                s.slice(int(bounds[i]), int(sizes[i])) if sizes[i] else None
+                for i in range(n_buckets)
+            ]
+            return (*parts, sizes.astype(np.int64))
+
+        _SPLIT_TASKS[n_buckets] = split
+    return _SPLIT_TASKS[n_buckets]
+
+
+#: map-side split tasks per exchange: bounds the exchange's object count at
+#: ~_MAX_SPLITS × n_buckets mid-size slices instead of blocks × n_buckets
+#: tiny ones (measured: 64 blocks × 64 buckets ⇒ ~150-row objects whose
+#: per-object overhead dominated the exchange)
+_MAX_SPLITS = 16
+
+
+def _chunk_refs(refs: list, n_chunks: int = _MAX_SPLITS) -> list[list]:
+    k = max(1, -(-len(refs) // n_chunks))
+    return [refs[i : i + k] for i in range(0, len(refs), k)]
+
+
+def _group_reduce_task():
+    global _GROUP_REDUCE_TASK
+    if _GROUP_REDUCE_TASK is None:
+        import ray
+
+        @ray.remote
+        def reduce_bucket(fn, *parts) -> pa.Table:
+            live = [p for p in parts if p is not None and p.num_rows]
+            df = pa.concat_tables(live).to_pandas()
+            return pa.Table.from_pandas(fn(df), preserve_index=False)
+
+        _GROUP_REDUCE_TASK = reduce_bucket
+    return _GROUP_REDUCE_TASK
+
+
 def bucketed_group_map(
     ds,
     bucket_on: str,
@@ -117,35 +181,15 @@ def bucketed_group_map(
     if not refs:
         return bucketed_group_map_sorted(ds, bucket_on, fn, n_buckets, batch_size)
 
-    @ray.remote(num_returns=n_buckets + 1)
-    def split(t: pa.Table):
-        t = _as_arrow(t)
-        if t.num_rows == 0:
-            return (*([None] * n_buckets), np.zeros(n_buckets, np.int64))
-        b = _bucket_ids(t[bucket_on], n_buckets)
-        order = np.argsort(b, kind="stable")
-        s = t.take(pa.array(order))
-        bounds = np.searchsorted(b[order], np.arange(n_buckets + 1))
-        sizes = np.diff(bounds)
-        parts = [
-            s.slice(int(bounds[i]), int(sizes[i])) if sizes[i] else None
-            for i in range(n_buckets)
-        ]
-        return (*parts, sizes.astype(np.int64))
-
-    @ray.remote
-    def reduce_bucket(*parts) -> pa.Table:
-        live = [p for p in parts if p is not None and p.num_rows]
-        df = pa.concat_tables(live).to_pandas()
-        return pa.Table.from_pandas(fn(df), preserve_index=False)
-
-    slices = [split.remote(r) for r in refs]
+    split = _split_task(n_buckets)
+    reduce_bucket = _group_reduce_task()
+    slices = [split.remote(bucket_on, *chunk) for chunk in _chunk_refs(refs)]
     counts = sum(ray.get([s[-1] for s in slices]))
     nonempty = np.nonzero(counts)[0]
     if len(nonempty) == 0:
         return bucketed_group_map_sorted(ds, bucket_on, fn, n_buckets, batch_size)
     out_refs = [
-        reduce_bucket.remote(*[s[b] for s in slices]) for b in nonempty
+        reduce_bucket.remote(fn, *[s[b] for s in slices]) for b in nonempty
     ]
     return rd.from_arrow_refs(out_refs)
 
@@ -268,6 +312,203 @@ def bucketed_join(
         .groupby(BUCKET_COL)
         .map_groups(merge_arrow, batch_format="pyarrow")
     )
+
+
+def bucketed_join_tasks(
+    left,
+    right,
+    left_on: str,
+    right_on: str | None = None,
+    n_buckets: int = 64,
+    left_prep=None,
+    right_prep=None,
+    post=None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+    batch_size: int = 65536,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Hash join of two Datasets on the explicit TASK exchange: each side's
+    blocks are hash-split on its own key and each bucket task runs ONE
+    vectorized ``pd.merge``. Both sides ship through the exchange exactly
+    once (linear passes, nothing on the driver) — the standard repartition
+    join. Use a broadcast lookup instead when one side is dim-table small,
+    and the streaming ``bucketed_join`` when the join is a one-shot stage
+    whose upstream reads dominate (one streaming topology pipelines the
+    read into the exchange; this form pays a materialization barrier).
+
+    ``left_prep(df)`` / ``right_prep(df)`` run on a bucket's rows of that
+    side before the merge — the hooks exist for work that needs key
+    co-location anyway, folding what would be separate exchanges into this
+    one (pair dedup on the left; key-distinct on the right turns the inner
+    merge into a semi join). ``post(df)`` runs on the merged frame inside
+    the bucket (join+aggregate fusion: a grouped reduction whose key
+    includes the join key finishes entirely bucket-locally); with ``post``
+    the output schema is whatever ``post`` returns and must be
+    dtype-stable. ``how`` is the pandas merge mode ("left" + a right
+    indicator column + a ``post`` filter = anti join).
+    Right value columns colliding with left names get ``right_suffix``.
+    Without ``post``, output dtypes are pinned by an explicit Arrow
+    schema, so a left-join's NaN-padded pandas merge cannot silently
+    float-ify int columns.
+
+    Pass ``left_schema``/``right_schema`` when a side is a lazy pipeline:
+    ``Dataset.schema()`` on an un-materialized all-to-all output forces an
+    extra execution just to infer types, which this avoids. The output
+    schema is left fields + right value fields, in that order.
+
+    Physical plan: the same explicit two-round task exchange as
+    ``bucketed_group_map`` — each side's blocks are split into per-bucket
+    zero-copy slices on its own key (the sides are never padded to a union
+    schema or concatenated), and one reduce task per ACTIVE bucket (inner:
+    rows on both sides; left: rows on the left) runs the vectorized
+    ``pd.merge``. Both sides ship through the exchange exactly once and
+    their upstream pipelines execute concurrently; the driver sees only
+    the per-(block, bucket) int64 size vectors used to pick active
+    buckets."""
+    import ray
+    import ray.data as rd
+
+    right_on = right_on or left_on
+    # normalize to arrow blocks so slices are zero-copy + schema-stable
+    as_arrow = lambda t: t  # noqa: E731  (identity; forces pyarrow blocks)
+    left = left.map_batches(as_arrow, batch_format="pyarrow", batch_size=batch_size)
+    right = right.map_batches(as_arrow, batch_format="pyarrow", batch_size=batch_size)
+    if left_schema is None:
+        ls = left.schema()
+        left_schema = pa.schema(list(zip(ls.names, ls.types)))
+    if right_schema is None:
+        rs = right.schema()
+        right_schema = pa.schema(list(zip(rs.names, rs.types)))
+    lschema, rschema = left_schema, right_schema
+
+    lcols = list(lschema.names)
+    rename = {right_on: left_on}
+    for name in rschema.names:
+        if name != right_on:
+            rename[name] = name + right_suffix if name in lcols else name
+    rcols_out = [rename[n] for n in rschema.names if n != right_on]
+    rschema_renamed = pa.schema(
+        [(rename[n], rschema.field(n).type) for n in rschema.names]
+    )
+    out_schema = pa.schema(
+        [(n, lschema.field(n).type) for n in lcols]
+        + [(rename[n], rschema.field(n).type) for n in rschema.names if n != right_on]
+    )
+
+    spec = dict(
+        left_on=left_on,
+        lcols=lcols,
+        rcols_out=rcols_out,
+        rnames=list(rschema.names),
+        rrename=[rename[n] for n in rschema.names],
+        lschema=lschema,
+        rschema_renamed=rschema_renamed,
+        out_schema=None if post is not None else out_schema,
+        left_prep=left_prep,
+        right_prep=right_prep,
+        post=post,
+        how=how,
+    )
+
+    # execute both upstream pipelines concurrently (separate streaming
+    # executors), then hash-split each side's blocks on its own key
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        lf = ex.submit(left.to_arrow_refs)
+        rf = ex.submit(right.to_arrow_refs)
+        lrefs, rrefs = lf.result(), rf.result()
+
+    split = _split_task(n_buckets)
+    lslices = [split.remote(left_on, *chunk) for chunk in _chunk_refs(lrefs)]
+    rslices = [split.remote(right_on, *chunk) for chunk in _chunk_refs(rrefs)]
+    zeros = np.zeros(n_buckets, np.int64)
+    lcounts = sum(ray.get([s[-1] for s in lslices]), zeros)
+    rcounts = sum(ray.get([s[-1] for s in rslices]), zeros)
+    if how == "inner":
+        active = np.nonzero((lcounts > 0) & (rcounts > 0))[0]
+    elif how == "left":
+        active = np.nonzero(lcounts)[0]
+    elif how == "right":
+        active = np.nonzero(rcounts)[0]
+    else:
+        active = np.nonzero(lcounts | rcounts)[0]
+
+    if len(active) == 0:
+        # schema-correct empty result, produced by the same merge path
+        empty = _join_bucket_impl(spec, [], [])
+        return rd.from_arrow_refs([ray.put(empty)])
+
+    join_bucket = _join_reduce_task()
+    out_refs = [
+        join_bucket.remote(
+            spec, len(lslices), *[s[b] for s in lslices], *[s[b] for s in rslices]
+        )
+        for b in active
+    ]
+    # barrier before wrapping: from_arrow_refs over still-pending refs makes
+    # the downstream consumer poll block metadata with multi-second backoff
+    # (measured 2-3× wall on this join); the reduce tasks are the tail of
+    # the exchange anyway, so waiting here costs only driver idle time
+    ray.wait(out_refs, num_returns=len(out_refs), fetch_local=False)
+    return rd.from_arrow_refs(out_refs)
+
+
+_JOIN_REDUCE_TASK = None
+
+
+def _join_bucket_impl(spec: dict, lparts: list, rparts: list) -> pa.Table:
+    """One bucket's vectorized merge: concat this bucket's left slices and
+    (key-renamed) right slices, run the preps / ``pd.merge`` / ``post``
+    chain, pin the no-``post`` output schema."""
+    live_l = [p for p in lparts if p is not None and p.num_rows]
+    live_r = [p for p in rparts if p is not None and p.num_rows]
+    if live_l:
+        # select by name (block column order is not contractual), cast to
+        # the declared side schema (callers may declare wider types)
+        ltbl = pa.concat_tables(live_l).select(spec["lcols"]).cast(spec["lschema"])
+    else:
+        ltbl = spec["lschema"].empty_table()
+    lpd = ltbl.to_pandas()
+    if live_r:
+        rtbl = (
+            pa.concat_tables(live_r)
+            .select(spec["rnames"])
+            .rename_columns(spec["rrename"])
+            .cast(spec["rschema_renamed"])
+        )
+    else:
+        rtbl = spec["rschema_renamed"].empty_table()
+    rpd = rtbl.to_pandas()[[spec["left_on"]] + spec["rcols_out"]]
+    l, r = lpd, rpd
+    if spec["left_prep"] is not None:
+        l = spec["left_prep"](l)
+    if spec["right_prep"] is not None:
+        r = spec["right_prep"](r)
+    out = l.merge(r, on=spec["left_on"], how=spec["how"])
+    if spec["post"] is not None:
+        out = spec["post"](out)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(
+        out, schema=spec["out_schema"], preserve_index=False
+    )
+
+
+def _join_reduce_task():
+    global _JOIN_REDUCE_TASK
+    if _JOIN_REDUCE_TASK is None:
+        import ray
+
+        @ray.remote
+        def join_bucket(spec, n_left, *parts) -> pa.Table:
+            return _join_bucket_impl(
+                spec, list(parts[:n_left]), list(parts[n_left:])
+            )
+
+        _JOIN_REDUCE_TASK = join_bucket
+    return _JOIN_REDUCE_TASK
 
 
 _REDUCE_BUCKET_TASK = None

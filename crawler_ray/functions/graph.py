@@ -78,7 +78,17 @@ def pagerank(
     """
     import ray
 
+    from ..stages.shuffle import apply_refs
+
     edges = _dedup_edges(edges_ds, src_col, dst_col, n_buckets)
+    if edges.count() == 0:  # nothing survives dedup/self-loop filtering
+        return pd.DataFrame(
+            {"node": pd.Series(dtype=object), "pr": pd.Series(dtype=float)}
+        )
+    # every pass below re-reads the SAME pinned edge blocks: plain task
+    # waves (apply_refs) instead of a streaming-executor launch per pass
+    # (2 node-scale passes + ``iters`` contribution passes)
+    edge_refs = edges.to_arrow_refs()
 
     # node-scale: out-degree per src and the node universe
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -89,7 +99,7 @@ def pagerank(
             {"src": pa.array(u, pa.string()), "one": pa.array(c, pa.int64())}
         )
 
-    deg_parts = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg_parts = apply_refs(deg_partial, edge_refs)
     if deg_parts.empty:  # no edges survive dedup/self-loop filtering
         return pd.DataFrame(
             {"node": pd.Series(dtype=object), "pr": pd.Series(dtype=float)}
@@ -106,7 +116,7 @@ def pagerank(
         )  # per-batch combiner: output ∝ distinct endpoints per batch
         return pa.table({"node": pa.array(u, pa.string())})
 
-    endpoints = edges.map_batches(batch_nodes, batch_format="pyarrow").to_pandas()
+    endpoints = apply_refs(batch_nodes, edge_refs)
     nodes = np.unique(endpoints["node"].to_numpy())
     n = len(nodes)
     if n == 0:
@@ -146,15 +156,14 @@ def pagerank(
                 }
             )
 
-        partial_ds = edges.map_batches(contrib, batch_format="pyarrow")
         if n <= driver_combine_nodes:
-            # small-graph fast path: the per-batch partials are already
+            # small-graph fast path: the per-block partials are already
             # ≤ nodes rows each — fold them on the driver instead of
             # paying a task exchange per iteration. Sorting by (dst, c)
             # makes the float64 fold order-insensitive even across
             # different batchings (equal addends sum identically).
             parts = (
-                partial_ds.to_pandas()
+                apply_refs(contrib, edge_refs)
                 .sort_values(["dst", "c"])
                 .groupby("dst", sort=True)["c"]
                 .sum()
@@ -162,7 +171,7 @@ def pagerank(
             )
         else:
             parts = bucketed_group_map(
-                partial_ds,
+                edges.map_batches(contrib, batch_format="pyarrow"),
                 bucket_on="dst",
                 fn=lambda df: df.groupby("dst", sort=True)["c"].sum().reset_index(),
                 n_buckets=n_buckets,

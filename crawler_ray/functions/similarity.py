@@ -472,24 +472,26 @@ def kmeans_embeddings(
     """
     import ray
 
+    from ..stages.shuffle import apply_refs
+
     # pin the input blocks once: every Lloyd iteration re-scans the SAME
     # data, so re-executing the read per pass would pay (iters+2) parquet
-    # scans for zero benefit — the standard iterative-ML materialize
-    ds = ds.materialize()
+    # scans for zero benefit — the standard iterative-ML materialize.
+    # Every subsequent pass is a plain task wave over these refs
+    # (shuffle.apply_refs): per-pass streaming-executor launches dominated the
+    # wall time for the bounded passes below.
+    refs = ds.materialize().to_arrow_refs()
 
     # ---- deterministic init: embeddings of the k smallest ids
     import pyarrow.compute as pc
 
-    seed = (
-        ds.map_batches(
-            lambda t: t.filter(pc.less(t[id_col], k)).select(
-                [id_col, emb_col]
-            ),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .sort_values(id_col)
-    )
+    seed = apply_refs(
+        lambda t: t.filter(pc.less(t[id_col], k)).select([id_col, emb_col]),
+        refs,
+        empty=pa.schema(
+            [(id_col, pa.int64()), (emb_col, pa.list_(pa.float32()))]
+        ).empty_table(),
+    ).sort_values(id_col)
     if len(seed) < k:
         raise ValueError(f"need ids 0..{k-1} present for deterministic init")
     cents = np.asarray(list(seed[emb_col]), dtype=np.float32)[:k]
@@ -511,7 +513,7 @@ def kmeans_embeddings(
                 }
             )
 
-        parts = ds.map_batches(step, batch_format="pyarrow").to_pandas()
+        parts = apply_refs(step, refs)
         cnt = parts.groupby("cluster", sort=True)["cnt"].sum().to_numpy()
         vsum = np.zeros((k, dim), np.float64)
         np.add.at(
@@ -555,8 +557,7 @@ def kmeans_embeddings(
             )
 
         rows = (
-            ds.map_batches(final_assign, batch_format="pyarrow")
-            .to_pandas()
+            apply_refs(final_assign, refs)
             .sort_values(id_col)
             .reset_index(drop=True)
         )
@@ -573,7 +574,7 @@ def kmeans_embeddings(
         summary["size"] = summary["size"].astype("int64")
         return summary, rows[[id_col, "cluster"]]
 
-    parts = ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    parts = apply_refs(final, refs)
     agg = (
         parts.groupby("cluster", sort=True)[["cnt", "inertia"]]
         .sum()

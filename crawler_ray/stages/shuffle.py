@@ -137,6 +137,39 @@ def _chunk_refs(refs: list, n_chunks: int = _MAX_SPLITS) -> list[list]:
     return [refs[i : i + k] for i in range(0, len(refs), k)]
 
 
+_BLOCK_APPLY_TASK = None
+
+
+def _block_apply_task():
+    global _BLOCK_APPLY_TASK
+    if _BLOCK_APPLY_TASK is None:
+        import ray
+
+        @ray.remote
+        def apply_block(fn, t) -> pa.Table:
+            return fn(_as_arrow(t))
+
+        _BLOCK_APPLY_TASK = apply_block
+    return _BLOCK_APPLY_TASK
+
+
+def apply_refs(fn, refs, empty: pa.Table | None = None) -> pd.DataFrame:
+    """Run ``fn(block) -> pa.Table`` as one plain task per pinned block ref
+    and concat the (small) outputs on the driver. The iterative-ML inner
+    loop: a streaming-executor launch per pass costs more than the pass
+    itself once blocks are pinned, while a task wave is just scheduling.
+    Same dataflow at scale — block-parallel map, driver folds only the
+    per-block combiner outputs, never the data. ``fn`` must emit combiner
+    outputs (rows ∝ groups, not input rows)."""
+    import ray
+
+    task = _block_apply_task()
+    outs = [t for t in ray.get([task.remote(fn, r) for r in refs]) if t.num_rows]
+    if not outs:
+        return (empty if empty is not None else pa.table({})).to_pandas()
+    return pa.concat_tables(outs).to_pandas()
+
+
 def _group_reduce_task():
     global _GROUP_REDUCE_TASK
     if _GROUP_REDUCE_TASK is None:

@@ -79,11 +79,41 @@ class RobotsCache:
         return any(path.startswith(p) for p in prefixes)
 
     def filter_frontier(self, frontier: pa.Table) -> tuple[pa.Table, int]:
-        """Drop disallowed rows; returns (kept, n_dropped)."""
-        hosts = {h for h in frontier["host"].to_pylist() if h is not None}
+        """Drop disallowed rows; returns (kept, n_dropped). Vectorized:
+        the path+query string is one regex kernel over the url column and
+        only hosts that actually HAVE disallow prefixes pay a startswith
+        pass — no per-row ``un.parse`` (frontier-sized Python on the
+        driver was the old form). Differential-tested against the scalar
+        ``disallowed`` in test_priority_robots.py."""
+        if frontier.num_rows == 0:
+            return frontier, 0
+        host_col = frontier["host"].combine_chunks()
+        hosts = {h for h in host_col.unique().to_pylist() if h is not None}
         self.ensure_hosts(hosts)
-        keep = pa.array(
-            [not self.disallowed(u) for u in frontier["url"].to_pylist()]
-        )
-        kept = frontier.filter(keep)
-        return kept, frontier.num_rows - kept.num_rows
+        active = {h: p for h, p in self.rules.items() if p and h in hosts}
+        if not active:
+            return frontier, 0
+        import numpy as np
+
+        urls = frontier["url"].combine_chunks()
+        # path+query = serialization minus scheme://authority and fragment
+        # (frontier urls are canonical serializations, same invariant the
+        # lookup-table build relies on)
+        path = pc.replace_substring_regex(
+            pc.replace_substring_regex(urls, pattern=r"(?s)#.*$", replacement=""),
+            pattern=r"^[^:]*://[^/]*",
+            replacement="",
+        ).to_pandas()
+        hs = host_col.to_pandas()
+        drop = np.zeros(frontier.num_rows, dtype=bool)
+        for h, prefixes in active.items():
+            m = (hs == h).to_numpy()
+            if not m.any():
+                continue
+            sub = path[m]
+            d = np.zeros(int(m.sum()), dtype=bool)
+            for p in prefixes:
+                d |= sub.str.startswith(p).to_numpy()
+            drop[m] = d
+        kept = frontier.filter(pa.array(~drop))
+        return kept, int(drop.sum())

@@ -24,6 +24,42 @@ Disallow: /other
     assert parse_robots(body) == ["/private/", "/tmp"]
 
 
+def test_filter_frontier_matches_scalar_disallowed():
+    """The vectorized frontier gate must equal the scalar ``disallowed``
+    reference row-for-row (including hostless rows, query strings,
+    multi-prefix hosts and hosts with no rules)."""
+    import pyarrow as pa
+
+    from crawler_ray.stages.robots import RobotsCache
+
+    rc = RobotsCache(corpus_path=[])
+    rc.rules = {
+        "a.test": ["/private/", "/tmp"],
+        "b.test": ["/x?y="],
+        "c.test": [],
+    }
+    urls = [
+        "http://a.test/private/page",
+        "http://a.test/public",
+        "http://a.test/tmpfile",  # startswith("/tmp") → blocked
+        "http://b.test/x?y=1",
+        "http://b.test/x?z=1",
+        "http://c.test/anything",
+        "http://a.test/ok#frag",  # fragment excluded from the match
+        "mailto:nohost@example",  # hostless row: never blocked
+    ]
+    hosts = [
+        "a.test", "a.test", "a.test", "b.test", "b.test", "c.test",
+        "a.test", None,
+    ]
+    frontier = pa.table({"url": urls, "host": hosts})
+    rc.ensure_hosts = lambda hs: None  # rules pinned above; no corpus probe
+    kept, n_dropped = rc.filter_frontier(frontier)
+    want_keep = [not rc.disallowed(u) for u in urls]
+    assert kept["url"].to_pylist() == [u for u, k in zip(urls, want_keep) if k]
+    assert n_dropped == want_keep.count(False)
+
+
 @pytest.mark.parametrize("priority", ["shallow_first", "hot_host_first"])
 @pytest.mark.usefixtures("ray_session")
 def test_priority_modes_match_oracle(t1_corpus, tmp_path, priority):

@@ -249,6 +249,50 @@ def _dedup_jaccard(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the exact trigram-Jaccard pair graph
+    (threshold 0.5): every document labelled with the min doc_id of its
+    component, singletons labelling themselves. The pair graph comes from
+    the inverted-index shingle join (no all-pairs stage) and components run
+    through the DISTRIBUTED min-label-propagation path
+    (functions/dedup.cc_label_propagation — bucketed join + group-min
+    rounds, driver sees one scalar per round), so this query gives the
+    distributed CC operator a real recursive-CTE SQL oracle rather than
+    the pytest-only union-find parity it had before. The component labels
+    (rows ∝ near-dup docs, ≪ corpus by LSH construction) broadcast-join
+    back onto the doc ids; at the 10^10 design point that last stage would
+    ``write_parquet`` instead of returning a frame."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import (
+        cc_label_propagation,
+        jaccard_ngram_pairs,
+    )
+    from crawler_ray.pipelines.relational import bjoin
+
+    pairs = jaccard_ngram_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), n=3, threshold=0.5
+    )
+    ds = _docs_ds(sf_dir, ["doc_id"])
+    if len(pairs):
+        lbl = cc_label_propagation(
+            rd.from_pandas(pairs[["a", "b"]].astype("int64")), n_buckets=8
+        ).rename(columns={"rep_id": "cluster_id"})
+        out = bjoin(ds, lbl, on="doc_id", how="left").to_pandas()
+        out["cluster_id"] = (
+            out["cluster_id"].fillna(out["doc_id"]).astype("int64")
+        )
+    else:
+        out = ds.to_pandas()
+        out["cluster_id"] = out["doc_id"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "cluster_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination over the documents table: docs whose id is
     ≡0 (mod 7) stand in for the held-out eval set; every OTHER doc is
@@ -728,6 +772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
+        "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_decontaminate": _docs_decontaminate,
         "corpus_top_bigrams": _corpus_top_bigrams,
         "docs_curation_funnel": _docs_curation_funnel,
@@ -1108,6 +1153,55 @@ WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
 ORDER BY common.a, common.b
 """
 
+#: Connected components over the trigram-Jaccard pair graph. The oracle
+#: re-derives the SAME pair set as JACCARD_PAIRS_SQL, then labels each
+#: node with the min id reachable through the symmetrized edge set via a
+#: recursive CTE (transitive closure is fine at oracle scale; the engine
+#: runs distributed min-label propagation instead). Singletons label
+#: themselves via the LEFT JOIN + coalesce.
+JACCARD_CLUSTERS_SQL = r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, array_length(w) - 2)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = common.a
+  JOIN sizes sb ON sb.doc_id = common.b
+  WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN lbl l USING (doc_id)
+ORDER BY doc_id
+"""
+
 #: The n-gram language-ID scorer is not SQL-expressible; the oracle is the
 #: PINNED expected output over the deterministic sf0.01 documents table
 #: (the driver's correctness gate runs at sf0.01). Checks end-to-end
@@ -1286,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": R.ANN_TOPK_SQL,
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
+        "docs_jaccard_clusters": JACCARD_CLUSTERS_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,

@@ -12,6 +12,7 @@ SF = "/root/testdata/sf0.001"
 #: extension queries whose oracle is real SQL (not a pinned table)
 REAL_SQL = [
     "dedup_jaccard_pairs",
+    "docs_jaccard_clusters",
     "docs_decontaminate",
     "docs_line_dedup",
     "docs_frequent_words",

@@ -293,6 +293,22 @@ def _docs_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Rule-distillation quality classifier (functions/classify.py): a
+    logistic regression over 5 cheap text features is trained to mimic a
+    hard Gopher-style keep rule (n_words >= 56 AND stopword_ratio >= 0.06)
+    — the CCNet pattern of replacing a brittle rule bundle with a smooth
+    learned score. One featurize pass pins numeric design blocks; 30
+    full-batch GD task waves fold (d+1)-float mergeable gradient partials;
+    weights are float32-quantized per step so reduce order cannot leak.
+    Pinned oracle; pytest recomputes training single-process and checks
+    exact weight + score parity."""
+    from crawler_ray.functions.classify import logreg_quality
+
+    scores, _model = logreg_quality(_docs_ds(sf_dir, ["doc_id", "text"]))
+    return scores
+
+
 def _docs_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination over the documents table: docs whose id is
     ≡0 (mod 7) stand in for the held-out eval set; every OTHER doc is
@@ -773,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_jaccard_clusters": _docs_jaccard_clusters,
+        "docs_quality_classifier": _docs_quality_classifier,
         "docs_decontaminate": _docs_decontaminate,
         "corpus_top_bigrams": _corpus_top_bigrams,
         "docs_curation_funnel": _docs_curation_funnel,
@@ -1381,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_jaccard_clusters": JACCARD_CLUSTERS_SQL,
+        "docs_quality_classifier": PIN.DOCS_QUALITY_CLASSIFIER_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,

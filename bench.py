@@ -295,6 +295,7 @@ def run_bench() -> dict:
         minhash_lsh_dedup,
         window_dup_pairs,
     )
+    from crawler_ray.functions.classify import logreg_quality
     from crawler_ray.functions.similarity import kmeans_embeddings
 
     docs = f"{SF_DIR}/documents.parquet"
@@ -324,6 +325,12 @@ def run_bench() -> dict:
             "embeddings_kmeans",
             lambda: kmeans_embeddings(
                 rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), k=8, iters=5
+            ),
+        ),
+        (
+            "quality_classifier",
+            lambda: logreg_quality(
+                rd.read_parquet(docs, columns=["doc_id", "text"])
             ),
         ),
     ]:

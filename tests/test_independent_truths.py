@@ -735,3 +735,103 @@ def test_pinned_tables_reproduced_at_pinned_params(ray_session):
     pin = duckdb.sql(PIN.CRAWL_HOST_PAGERANK_SQL).df()
     assert pin["node"].tolist() == nodes.tolist()
     assert (pin["pr"].to_numpy() == pr).all()
+
+
+def test_logreg_quality_independent_reference_parity(ray_session):
+    """logreg_quality (distributed: pinned design blocks, mergeable
+    gradient partials, float32 weight quantization per step) must equal a
+    from-scratch single-process restatement of the spec — features via
+    plain re/str ops, training via plain numpy — at sf0.001, AND the
+    sf0.01 pinned driver oracle must match the same independent recompute
+    row-for-row."""
+    import re as _re
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray import pinned_oracles as PIN
+    from crawler_ray.functions.classify import logreg_quality
+
+    stop = set(
+        "the a an and or of to in is are was were be been it this that "
+        "for on with as at by from".split()
+    )
+    punct = _re.compile(r"[^\w\s]")
+
+    def reference(sf: str) -> pd.DataFrame:
+        t = (
+            pq.read_table(f"{sf}/documents.parquet")
+            .select(["doc_id", "text"])
+            .sort_by("doc_id")
+        )
+        feats, labels = [], []
+        for s in t["text"].to_pylist():
+            s = s or ""
+            words = s.lower().split()
+            nw = len(words)
+            sr = sum(w in stop for w in words) / max(nw, 1)
+            mwl = float(np.mean([len(w) for w in words])) if words else 0.0
+            feats.append(
+                [
+                    np.log1p(len(s)),
+                    np.log1p(nw),
+                    len(punct.findall(s)) / max(len(s), 1),
+                    sr,
+                    mwl,
+                ]
+            )
+            labels.append(1.0 if nw >= 56 and sr >= 0.06 else 0.0)
+        x = np.asarray(feats, np.float64)
+        y = np.asarray(labels, np.float64)
+        n = len(x)
+        mu = (x.sum(0) / n).astype(np.float32)
+        sd = np.maximum(
+            np.sqrt(np.maximum((x * x).sum(0) / n - (x.sum(0) / n) ** 2, 0)),
+            1e-6,
+        ).astype(np.float32)
+        xb = np.column_stack(
+            [np.ones(n), (x - mu.astype(np.float64)) / sd.astype(np.float64)]
+        )
+
+        def sig(z):
+            out = np.empty_like(z)
+            pos = z >= 0
+            out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+            ez = np.exp(z[~pos])
+            out[~pos] = ez / (1.0 + ez)
+            return out
+
+        w = np.zeros(6, np.float32)
+        for _ in range(30):
+            p = sig(xb @ w.astype(np.float64))
+            w = (w.astype(np.float64) - 0.5 * (xb.T @ (p - y)) / n).astype(
+                np.float32
+            )
+        p = sig(xb @ w.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "label": y.astype(np.int64),
+                "prob": np.floor(p * 1e4 + 0.5) / 1e4,
+            }
+        )
+
+    # engine vs reference at sf0.001, plus rebatching invariance
+    sf = "/root/testdata/sf0.001"
+    got, _model = logreg_quality(
+        rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
+    pd.testing.assert_frame_equal(got, reference(sf))
+    got13, _m13 = logreg_quality(
+        rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(13)
+    )
+    pd.testing.assert_frame_equal(got, got13)
+
+    # the committed sf0.01 pin must equal the independent recompute
+    pinned = duckdb.sql(PIN.DOCS_QUALITY_CLASSIFIER_SQL).df()
+    pd.testing.assert_frame_equal(pinned, reference("/root/testdata/sf0.01"))

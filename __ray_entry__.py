@@ -293,6 +293,52 @@ def _docs_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_snapshot_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental cross-snapshot dedup (functions/dedup.snapshot_dedup):
+    docs with doc_id % 3 == 0 stand in for the previously-collected
+    snapshot; the rest are the new dump. The synthetic corpus has no
+    natural cross-split duplicates, so the query PLANTS exact copies
+    (doc_id + 100000 carrying the text of every snapshot doc with
+    doc_id < 30) — the planted rows must all be dropped, proving the
+    Bloom-prefilter → candidate-bloom → exact-settle chain end to end.
+    ``capacity=256`` deliberately undersizes the filter so a few real
+    Bloom false positives flow through the settle exchange and SURVIVE
+    (exactness despite the approximate prefilter). Oracle: real
+    anti-join SQL."""
+    import pyarrow.compute as _pc
+
+    from crawler_ray.functions.dedup import snapshot_dedup
+
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+
+    def snap_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 3 == 0))
+
+    snap = docs.map_batches(snap_rows, batch_format="pyarrow")
+
+    def new_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = t.filter(pa.array(ids % 3 != 0))
+        planted_src = t.filter(pa.array((ids % 3 == 0) & (ids < 30)))
+        planted = pa.table(
+            {
+                "doc_id": _pc.add(planted_src["doc_id"], 100000),
+                "text": planted_src["text"],
+            }
+        )
+        return pa.concat_tables([keep, planted])
+
+    new = docs.map_batches(new_rows, batch_format="pyarrow")
+    out = (
+        snapshot_dedup(new, snap, capacity=256, fpp=0.05)
+        .to_pandas()[["doc_id"]]
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
     """Rule-distillation quality classifier (functions/classify.py): a
     logistic regression over 5 cheap text features is trained to mimic a
@@ -790,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_quality_classifier": _docs_quality_classifier,
+        "docs_snapshot_dedup": _docs_snapshot_dedup,
         "docs_decontaminate": _docs_decontaminate,
         "corpus_top_bigrams": _corpus_top_bigrams,
         "docs_curation_funnel": _docs_curation_funnel,
@@ -1219,6 +1266,22 @@ FROM documents d LEFT JOIN lbl l USING (doc_id)
 ORDER BY doc_id
 """
 
+#: Incremental cross-snapshot dedup: the same split + planted copies as
+#: the engine query, expressed as a plain anti-join — the oracle states
+#: the exact semantics the Bloom-prefiltered engine path must preserve.
+DOCS_SNAPSHOT_DEDUP_SQL = """
+WITH snap AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id < 30
+)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id FROM new n
+WHERE NOT EXISTS (SELECT 1 FROM snap s WHERE s.text = n.text)
+ORDER BY doc_id
+"""
+
 #: The n-gram language-ID scorer is not SQL-expressible; the oracle is the
 #: PINNED expected output over the deterministic sf0.01 documents table
 #: (the driver's correctness gate runs at sf0.01). Checks end-to-end
@@ -1399,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_jaccard_clusters": JACCARD_CLUSTERS_SQL,
         "docs_quality_classifier": PIN.DOCS_QUALITY_CLASSIFIER_SQL,
+        "docs_snapshot_dedup": DOCS_SNAPSHOT_DEDUP_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,

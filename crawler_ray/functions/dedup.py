@@ -1275,3 +1275,128 @@ def window_dup_pairs(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------- snapshot dedup
+
+
+def _bloom_over(ds, col: str, capacity: int, fpp: float):
+    """Mergeable Bloom build: one linear pass emits per-block packed bit
+    arrays of FIXED size (independent of block rows — the bytes moved are
+    ∝ blocks), OR-folded on the driver into one filter. At the 10^10
+    design point a single filter outgrows one broadcast (1.2 GB per 10^9
+    keys) and this becomes the hash-prefix-sharded form state/seen.py
+    already implements; the single-filter broadcast below is the
+    small-snapshot fast path."""
+    from ..keys import hash_pair
+    from ..state.filters import BloomFilter
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fpp)
+        h1, h2 = hash_pair(t[col])
+        bf.add(h1, h2)
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bf = BloomFilter(capacity, fpp)
+    for b in parts["bits"]:
+        bf.bits |= np.frombuffer(b, dtype=np.uint8)
+    return bf
+
+
+def snapshot_dedup(
+    new_ds,
+    snap_ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 1 << 20,
+    fpp: float = 0.01,
+    n_buckets: int = 32,
+):
+    """Incremental cross-snapshot EXACT dedup: keep only the new docs whose
+    content did not already appear in a previous snapshot — the
+    CCNet/Common-Crawl discipline of deduplicating each new dump against
+    the dumps already collected, without re-shuffling the old corpus.
+
+    Shape: (1) a mergeable Bloom filter over the snapshot broadcasts to
+    one linear probe pass over the new docs; definite misses — the
+    overwhelming majority at 1 % fpp — are kept with NO shuffle at all.
+    (2) Only Bloom-positive candidates (true dups + ~fpp of the new
+    corpus) go further: a SECOND Bloom built over just the candidates
+    broadcasts to a snapshot scan, so the snapshot ships only its
+    candidate-matching rows — both exchange sides stay ∝ candidates, not
+    corpus. (3) One bucketed exchange on the 64-bit content hash settles
+    candidates by EXACT text comparison (hash collisions and Bloom false
+    positives both survive), so the final semantics are exact.
+
+    The probe-marked new corpus is materialized once (object-store
+    blocks, spill-backed) so the keep/candidate split does not re-read
+    the input. Returns a Dataset of ``(id_col, col)`` survivors.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..keys import hash_pair, hash64
+    from ..stages.shuffle import bucketed_group_map
+
+    snap_ref = ray.put(_bloom_over(snap_ds, col, capacity, fpp))
+
+    def mark(t: pa.Table) -> pa.Table:
+        h1, h2 = hash_pair(t[col])
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                col: t[col].cast(pa.string()),
+                "_maybe": pa.array(ray.get(snap_ref).contains(h1, h2)),
+            }
+        )
+
+    marked = new_ds.map_batches(mark, batch_format="pyarrow").materialize()
+    kept_direct = marked.map_batches(
+        lambda t: t.filter(pc.invert(t["_maybe"])).drop_columns(["_maybe"]),
+        batch_format="pyarrow",
+    )
+    cands = marked.map_batches(
+        lambda t: t.filter(t["_maybe"]).drop_columns(["_maybe"]),
+        batch_format="pyarrow",
+    )
+    if cands.count() == 0:
+        return kept_direct
+
+    cand_ref = ray.put(_bloom_over(cands, col, capacity, fpp))
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                col: t[col],
+                "_h": pa.array(hash64(t[col])),
+                "_side": pa.array(["n"] * t.num_rows),
+            }
+        )
+
+    def snap_rows(t: pa.Table) -> pa.Table:
+        h1, h2 = hash_pair(t[col])
+        hit = t.filter(pa.array(ray.get(cand_ref).contains(h1, h2)))
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.full(hit.num_rows, -1, dtype=np.int64)
+                ),
+                col: hit[col].cast(pa.string()),
+                "_h": pa.array(hash64(hit[col])),
+                "_side": pa.array(["s"] * hit.num_rows),
+            }
+        )
+
+    both = cands.map_batches(cand_rows, batch_format="pyarrow").union(
+        snap_ds.map_batches(snap_rows, batch_format="pyarrow")
+    )
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        snap_texts = set(df.loc[df["_side"] == "s", col])
+        keep = df[(df["_side"] == "n") & (~df[col].isin(snap_texts))]
+        return keep[[id_col, col]]
+
+    settled = bucketed_group_map(both, "_h", settle, n_buckets=n_buckets)
+    return kept_direct.union(settled)

@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 REAL_SQL = [
     "dedup_jaccard_pairs",
     "docs_jaccard_clusters",
+    "docs_snapshot_dedup",
     "docs_decontaminate",
     "docs_line_dedup",
     "docs_frequent_words",

@@ -735,3 +735,55 @@ def test_langid_top_grams_matches_counter_most_common():
     for c in cases:
         ref = [g for g, _ in Counter(li._grams(c)).most_common(300)]
         assert li._top_grams(c) == ref, repr(c[:40])
+
+
+def test_snapshot_dedup_exact_despite_tiny_bloom(ray_session):
+    """snapshot_dedup must implement EXACT anti-join semantics no matter
+    how bad the Bloom prefilter is: a deliberately undersized filter
+    (capacity 64 for 200 snapshot keys → most probes are false positives,
+    forcing nearly everything through the candidate exchange) must still
+    keep exactly the non-duplicate new docs, and a generously sized filter
+    (candidate set empty → the no-exchange fast path) must agree."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import snapshot_dedup
+
+    snap_texts = [f"snapshot doc number {i} body" for i in range(200)]
+    new_rows = [
+        # 50 true dups of snapshot docs, 150 genuinely new
+        {"doc_id": i, "text": snap_texts[i] if i < 50 else f"new doc {i}"}
+        for i in range(200)
+    ]
+    snap = rd.from_items(
+        [{"doc_id": 10000 + i, "text": t} for i, t in enumerate(snap_texts)]
+    )
+    new = rd.from_items(new_rows)
+    want = sorted(r["doc_id"] for r in new_rows if r["doc_id"] >= 50)
+
+    tiny = snapshot_dedup(new, snap, capacity=64, fpp=0.5)
+    assert sorted(tiny.to_pandas()["doc_id"]) == want
+    roomy = snapshot_dedup(
+        rd.from_items(new_rows), rd.from_items(
+            [{"doc_id": 10000 + i, "text": t} for i, t in enumerate(snap_texts)]
+        ),
+        capacity=1 << 16, fpp=0.001,
+    )
+    assert sorted(roomy.to_pandas()["doc_id"]) == want
+
+
+def test_snapshot_dedup_no_candidates_fast_path(ray_session):
+    """Disjoint corpora with a roomy filter: zero Bloom positives, so the
+    candidate exchange never runs and every new doc streams straight
+    through."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import snapshot_dedup
+
+    snap = rd.from_items(
+        [{"doc_id": 100 + i, "text": f"old {i}"} for i in range(50)]
+    )
+    new = rd.from_items(
+        [{"doc_id": i, "text": f"fresh {i}"} for i in range(50)]
+    )
+    out = snapshot_dedup(new, snap, capacity=1 << 16, fpp=0.001)
+    assert sorted(out.to_pandas()["doc_id"]) == list(range(50))

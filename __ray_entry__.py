@@ -293,6 +293,56 @@ def _docs_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL sink → source round trip (sources/jsonl.py): documents become
+    gzip-sharded JSON Lines files (the WET-style text-corpus interchange
+    format), read back through the parallel JSONL reader; per-record char
+    counts and sha256 digests plus the lang column must match the
+    original table (real-SQL oracle over documents)."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.sources.jsonl import read_jsonl, write_jsonl_file
+
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    tbl = pa.table(
+        {
+            "url": pa.array([f"http://docs.example/{d}" for d in ids]),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000] * len(ids), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "text": docs["text"],
+            "lang": docs["lang"],
+        }
+    )
+    out_dir = Path(f"/tmp/crawler_ray/jsonl_{Path(sf_dir).name}")
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
+    out_dir.mkdir(parents=True)
+    shard = max(1, tbl.num_rows // 4)
+    for i in range(0, tbl.num_rows, shard):
+        write_jsonl_file(
+            tbl.slice(i, shard),
+            str(out_dir / f"docs-{i // shard:03d}.jsonl.gz"),
+        )
+    back = read_jsonl(str(out_dir)).to_pandas()
+    back["doc_id"] = back["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+    txt = back["text"].fillna("")
+    back["nbytes"] = txt.str.encode("utf-8").map(len).astype("int64")
+    back["sha"] = txt.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    return (
+        back[["doc_id", "nbytes", "sha", "lang"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_snapshot_dedup(sf_dir: str) -> pd.DataFrame:
     """Incremental cross-snapshot dedup (functions/dedup.snapshot_dedup):
     docs with doc_id % 3 == 0 stand in for the previously-collected
@@ -837,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_quality_classifier": _docs_quality_classifier,
         "docs_snapshot_dedup": _docs_snapshot_dedup,
+        "jsonl_roundtrip": _jsonl_roundtrip,
         "docs_decontaminate": _docs_decontaminate,
         "corpus_top_bigrams": _corpus_top_bigrams,
         "docs_curation_funnel": _docs_curation_funnel,
@@ -1406,6 +1457,14 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS nbytes,
+       sha256(coalesce(text,'')) AS sha,
+       lang
+FROM documents ORDER BY doc_id
+"""
+
 #: Histogram-sketch quantiles: pinned deterministic truth at sf0.01 (the
 #: sketch is additive-merge deterministic; accuracy vs exact quantiles is
 #: pytest-checked in test_sessions_sketches.py).
@@ -1489,4 +1548,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_redacted": DOC_REDACTED_SQL,
         "events_value_quantile_sketch": QUANTILE_SKETCH_SQL,
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
+        "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }

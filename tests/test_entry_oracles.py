@@ -29,6 +29,7 @@ REAL_SQL = [
     "cosine_near_dups",
     "doc_redacted",
     "warc_roundtrip",
+    "jsonl_roundtrip",
 ]
 
 

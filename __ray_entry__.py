@@ -626,6 +626,16 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _docs_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style head/middle/tail LM-quality bucketing
+    (functions/textstats.perplexity_buckets): exact inverted-CDF terciles
+    of the corpus-unigram logprob, broadcast-compare assignment, ties to
+    the better bucket. Real SQL oracle (quantile_disc + CASE)."""
+    from crawler_ray.functions.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def _docs_window_dups(sf_dir: str) -> pd.DataFrame:
     """Exact duplicate-substring pairs — docs sharing ≥1 exact 8-word
     window (functions/dedup.window_dup_pairs), the deterministic
@@ -904,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_frequent_words": _docs_frequent_words,
         "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_perplexity_buckets": _docs_perplexity_buckets,
         "docs_window_dup_pairs": _docs_window_dups,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
@@ -1070,6 +1081,37 @@ SELECT t.doc_id,
 FROM tok t JOIN vocab v USING (word)
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+#: Perplexity bucketing: the unigram-logprob CTE extended with exact
+#: tercile thresholds (quantile_disc == the engine's inverted-CDF element
+#: pick) and the same >=-ties-up CASE assignment.
+DOCS_PERPLEXITY_BUCKETS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, word FROM w WHERE word <> ''),
+vocab AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+tot AS (SELECT count(*) AS n FROM tok),
+lp AS (
+  SELECT t.doc_id,
+         count(*) AS n_tokens,
+         round(avg(log10(CAST(v.c AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot))), 6)
+           AS logprob_mean
+  FROM tok t JOIN vocab v USING (word)
+  GROUP BY t.doc_id
+),
+thr AS (
+  SELECT quantile_disc(logprob_mean, 1.0/3) AS t_lo,
+         quantile_disc(logprob_mean, 2.0/3) AS t_hi
+  FROM lp
+)
+SELECT lp.doc_id, lp.n_tokens, lp.logprob_mean,
+       CASE WHEN lp.logprob_mean >= thr.t_hi THEN 'head'
+            WHEN lp.logprob_mean >= thr.t_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lp, thr ORDER BY lp.doc_id
 """
 
 #: Exact window-dup oracle: the inverted-index join stated relationally —
@@ -1520,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
         "docs_jaccard_clusters": JACCARD_CLUSTERS_SQL,
+        "docs_perplexity_buckets": DOCS_PERPLEXITY_BUCKETS_SQL,
         "docs_quality_classifier": PIN.DOCS_QUALITY_CLASSIFIER_SQL,
         "docs_snapshot_dedup": DOCS_SNAPSHOT_DEDUP_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,

@@ -519,3 +519,33 @@ def unigram_logprob(
         concurrency=concurrency,
     ).to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def perplexity_buckets(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet head/middle/tail perplexity bucketing: documents are split
+    into terciles of the corpus-unigram LM score (``unigram_logprob``
+    above — higher mean logprob = more in-distribution = ``head``), the
+    bucketing CCNet uses to stratify Common Crawl by LM quality before
+    sampling.
+
+    Thresholds are the EXACT inverted-CDF terciles of the score
+    distribution (``np.quantile(..., method="inverted_cdf")`` — element
+    picking, no interpolation — byte-identical to DuckDB
+    ``quantile_disc``), computed over the 6-dp-rounded scores so the SQL
+    oracle sees the same grid. Ties land in the better bucket (``>=``),
+    mirrored in the SQL CASE. At the 10^10 design point the thresholds
+    come from the mergeable histogram sketch (functions/sketches.py) and
+    assignment is the same broadcast-compare map; at test scale the exact
+    terciles keep the oracle bit-exact.
+
+    Returns ``(doc_id, n_tokens, logprob_mean, bucket)`` sorted by id;
+    zero-token docs are excluded (inherited from unigram_logprob).
+    """
+    lp = unigram_logprob(ds, text_col=text_col, id_col=id_col)
+    v = lp["logprob_mean"].to_numpy()
+    t_lo = float(np.quantile(v, 1 / 3, method="inverted_cdf"))
+    t_hi = float(np.quantile(v, 2 / 3, method="inverted_cdf"))
+    lp["bucket"] = np.where(
+        v >= t_hi, "head", np.where(v >= t_lo, "middle", "tail")
+    )
+    return lp

@@ -179,6 +179,26 @@ def _extract_links(sf_dir: str) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
+def _crawl_anchor_texts(sf_dir: str) -> pd.DataFrame:
+    """Per-target anchor-text aggregation over the crawl corpus
+    (functions/graph.anchor_texts): tokenizer-level (href, anchor) capture
+    per page, reference-parity URL resolution, per-batch combiner
+    pre-aggregation, one bucketed exchange keeping each target's top-3
+    anchors by (count desc, anchor asc), reporting targets with >= 8
+    total anchor mentions. Pinned oracle over the
+    deterministic sf0.01 corpus; the extractor's tokenizer-level spec
+    (rawtext exclusion, no-nesting, first-duplicate-href) is unit-tested
+    in test_html_extract.py."""
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import anchor_texts
+
+    corpus, _, _ = _corpus_for(sf_dir)
+    return anchor_texts(
+        rd.read_parquet(corpus, columns=["url", "html"]), min_mentions=8
+    )
+
+
 def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
     """PageRank over the host-level page-link graph of the crawl corpus
     (functions/graph.pagerank): single-pass link extraction → host→host
@@ -887,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curated_stats": _crawl_curated_stats,
         "extract_links": _extract_links,
         "crawl_host_pagerank": _crawl_host_pagerank,
+        "crawl_anchor_texts": _crawl_anchor_texts,
         # training-data extensions — every entry below is oracle-checked:
         # real SQL where expressible, committed deterministic-truth tables
         # otherwise. Only the crawl-semantics queries above are rows-only
@@ -1564,6 +1585,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jaccard_clusters": JACCARD_CLUSTERS_SQL,
         "docs_perplexity_buckets": DOCS_PERPLEXITY_BUCKETS_SQL,
         "docs_quality_classifier": PIN.DOCS_QUALITY_CLASSIFIER_SQL,
+        "crawl_anchor_texts": PIN.CRAWL_ANCHOR_TEXTS_SQL,
         "docs_snapshot_dedup": DOCS_SNAPSHOT_DEDUP_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,

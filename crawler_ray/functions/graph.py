@@ -187,3 +187,92 @@ def pagerank(
     scale = 10.0**round_dp
     pr = np.floor(pr * scale + 0.5) / scale  # half-up (values positive)
     return pd.DataFrame({"node": nodes, "pr": pr})
+
+
+def anchor_texts(
+    corpus_ds, top_k: int = 3, min_mentions: int = 1, n_buckets: int = 32
+) -> pd.DataFrame:
+    """Per-target anchor-text aggregation — the classic link-based
+    relevance signal (anchor text describes the TARGET page better than
+    the target's own body; search engines and webtext curators use the
+    aggregate as a caption/quality feature for the linked URL).
+
+    Input: the corpus (url, html). Per page, a tokenizer-level pass
+    (html_extract.extract_anchors) captures ``(href, anchor)`` pairs;
+    hrefs resolve with the reference semantics (origin-root base for
+    relatives, malformed dropped, scheme-contains-http + host-present
+    kept — urlnorm.parse semantics, main.rs:207-221 parity). Per-batch
+    COMBINER pre-aggregation (groupby count over (url, anchor)) bounds
+    the exchange to distinct pairs per batch; one bucketed exchange on
+    the target url sums counts and keeps each target's ``top_k`` anchors
+    by (count desc, anchor asc). Empty anchor strings (image links,
+    ``<a/>``) are dropped from the aggregate; ``min_mentions`` prunes
+    weakly-linked targets (total anchor mentions below the floor) inside
+    the same per-bucket pass — all of a target's rows co-locate there, so
+    the total is exact.
+
+    Returns ``(url, anchor, n)`` sorted by (url, n desc, anchor). Rows ∝
+    targets × top_k; at the 10^10 design point the final exchange writes
+    parquet per bucket instead of returning a frame.
+    """
+    from .. import urlnorm as un
+    from ..html_extract import extract_anchors
+    from ..stages.shuffle import bucketed_group_map
+
+    def page_pairs(t: pa.Table) -> pa.Table:
+        urls: list[str] = []
+        anchors: list[str] = []
+        for page_url, html in zip(
+            t["url"].to_pylist(), t["html"].to_pylist()
+        ):
+            try:
+                base = un.parse(page_url).origin_root()
+            except un.UrlParseError:
+                continue
+            for href, text in extract_anchors(html):
+                if not text:
+                    continue
+                try:
+                    u = un.parse(href)
+                except un.RelativeUrlError:
+                    u = un.join(base, href)  # join failure raises (panic parity)
+                except un.UrlParseError:
+                    continue
+                if un.scheme_is_httpish(u.scheme) and u.host is not None:
+                    urls.append(str(u))
+                    anchors.append(text)
+        if not urls:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "anchor": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = (
+            pd.DataFrame({"url": urls, "anchor": anchors})
+            .groupby(["url", "anchor"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = corpus_ds.map_batches(page_pairs, batch_format="pyarrow")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby(["url", "anchor"], sort=False)["n"].sum().reset_index()
+        )
+        if min_mentions > 1:
+            tot = agg.groupby("url", sort=False)["n"].transform("sum")
+            agg = agg[tot >= min_mentions]
+        agg = agg.sort_values(
+            ["url", "n", "anchor"], ascending=[True, False, True]
+        )
+        return agg.groupby("url", sort=False).head(top_k)
+
+    out = bucketed_group_map(pairs, "url", topk, n_buckets=n_buckets)
+    out = out.to_pandas().astype({"n": "int64"})
+    return out.sort_values(
+        ["url", "n", "anchor"], ascending=[True, False, True]
+    ).reset_index(drop=True)

@@ -263,3 +263,83 @@ def extract(body: str | bytes, fast: bool = True) -> tuple[list[str], list[str],
     if fast:
         return _fast_extract(body)
     return _reference_extract(body)
+
+
+# ----------------------------------------------------------- anchor text
+
+
+class _AnchorExtractor(HTMLParser):
+    """Tokenizer-level anchor-text capture (an engine extension — the
+    reference collects only the href attribute, main.rs:227-247; anchor
+    text is the classic link-based relevance signal, so the curation
+    side wants it too). Spec, stated tokenizer-style with no tree:
+
+    - an ``<a>`` start tag carrying an ``href`` (first-duplicate-wins,
+      like the link extractor above) OPENS an anchor; a later ``<a>``
+      start tag closes the previous one first (no nesting at tokenizer
+      level);
+    - character data outside RAWTEXT elements accumulates into the open
+      anchor;
+    - ``</a>`` closes the open anchor; EOF closes a dangling one;
+    - self-closing ``<a/>`` emits an empty-text anchor;
+    - emitted text is whitespace-collapsed and stripped.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.anchors: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+        self._rawtext_depth = 0
+
+    @staticmethod
+    def _first_href(attrs: list[tuple[str, str | None]]) -> str | None:
+        seen: set[str] = set()
+        for name, value in attrs:
+            if name in seen:
+                continue
+            seen.add(name)
+            if name == "href" and value is not None:
+                return value
+        return None
+
+    def _close(self) -> None:
+        if self._href is not None:
+            self.anchors.append((self._href, " ".join("".join(self._parts).split())))
+        self._href, self._parts = None, []
+
+    def handle_starttag(self, tag, attrs) -> None:
+        if tag in _RAWTEXT:
+            self._rawtext_depth += 1
+        if tag == "a":
+            self._close()
+            self._href = self._first_href(attrs)
+
+    def handle_startendtag(self, tag, attrs) -> None:
+        if tag == "a":
+            self._close()
+            href = self._first_href(attrs)
+            if href is not None:
+                self.anchors.append((href, ""))
+
+    def handle_endtag(self, tag) -> None:
+        if tag in _RAWTEXT and self._rawtext_depth > 0:
+            self._rawtext_depth -= 1
+        if tag == "a":
+            self._close()
+
+    def handle_data(self, data) -> None:
+        if self._rawtext_depth == 0 and self._href is not None:
+            self._parts.append(data)
+
+
+def extract_anchors(body: str | bytes) -> list[tuple[str, str]]:
+    """Tokenize one page body → ordered ``(href, anchor_text)`` pairs (see
+    _AnchorExtractor for the exact tokenizer-level spec)."""
+    if isinstance(body, bytes):
+        body = body.decode("utf-8", errors="replace")
+    ex = _AnchorExtractor()
+    ex.feed(body)
+    ex.close()
+    ex._close()
+    return ex.anchors

@@ -109,3 +109,69 @@ def test_fast_path_differential_full_corpus():
         bodies.append(bytes(rng.randrange(256) for _ in range(rng.randint(0, 50))))
     for b in bodies:
         assert extract(b, fast=True) == extract(b, fast=False), b[:120]
+
+
+def test_anchor_extractor_tokenizer_spec():
+    """extract_anchors' tokenizer-level contract: capture between an
+    href-carrying <a> start tag and the first </a> or next <a> (no
+    nesting), rawtext excluded, self-closing emits empty text, duplicate
+    href keeps the first, dangling anchors close at EOF, charrefs decode,
+    whitespace collapses."""
+    from crawler_ray.html_extract import extract_anchors
+
+    assert extract_anchors('<a href="x">hello <b>world</b></a>') == [
+        ("x", "hello world")
+    ]
+    assert extract_anchors('<a href="x">one<a href="y">two</a>') == [
+        ("x", "one"),
+        ("y", "two"),
+    ]
+    assert extract_anchors(
+        '<a href="x"><script>alert("no")</script>yes</a>'
+    ) == [("x", "yes")]
+    assert extract_anchors('<a href="x"/><a href="y">t</a>') == [
+        ("x", ""),
+        ("y", "t"),
+    ]
+    assert extract_anchors('<a href="a" href="b">t</a>') == [("a", "t")]
+    assert extract_anchors("<a>bare</a>") == []
+    assert extract_anchors('<a href="x">dangling') == [("x", "dangling")]
+    assert extract_anchors('<a href="x">a &amp; b</a>') == [("x", "a & b")]
+    assert extract_anchors(b'<a href="x">caf\xc3\xa9\n  two</a>') == [
+        ("x", "café two")
+    ]
+    assert extract_anchors('<!-- <a href="c">no</a> -->real<a href="y">t</a>') == [
+        ("y", "t")
+    ]
+
+
+def test_anchor_texts_aggregation(ray_session):
+    """anchor_texts: counts per (target, anchor), top-k by (count desc,
+    anchor asc), min_mentions floor on the target total, empty anchors
+    dropped, relative hrefs resolved against the origin root."""
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import anchor_texts
+
+    pages = [
+        {
+            "url": "http://h.test/a/page1",
+            "html": b'<a href="/t">alpha</a><a href="/t">alpha</a>'
+            b'<a href="t2">beta</a><a href="/img"></a>',
+        },
+        {
+            "url": "http://h.test/page2",
+            "html": b'<a href="http://h.test/t">gamma</a>'
+            b'<a href="http://h.test/t">alpha</a>',
+        },
+    ]
+    out = anchor_texts(rd.from_items(pages), top_k=1)
+    # /t: alpha×3, gamma×1 → top-1 alpha; t2 resolves against ORIGIN ROOT
+    # (http://h.test/t2, not /a/t2); /img dropped (empty anchor)
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == [
+        ("http://h.test/t", "alpha", 3),
+        ("http://h.test/t2", "beta", 1),
+    ]
+    floored = anchor_texts(rd.from_items(pages), top_k=3, min_mentions=2)
+    assert set(floored["url"]) == {"http://h.test/t"}

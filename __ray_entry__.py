@@ -646,6 +646,22 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _docs_bpe_subwords(sf_dir: str) -> pd.DataFrame:
+    """Trained-BPE subword counts (functions/bpe.py): distributed word
+    count (combiner + bucketed exchange) → merge learning over the
+    vocab-scale frequency table (50 merges, max-frequency pair, lex-asc
+    ties, Sennrich et al. 2016) → broadcast-ranks encode pass with a
+    per-worker word cache. Pinned oracle; pytest re-learns the merges and
+    counts with a from-scratch single-process reference and checks exact
+    parity plus rebatching invariance."""
+    from crawler_ray.functions.bpe import bpe_subword_counts
+
+    counts, _merges = bpe_subword_counts(
+        _docs_ds(sf_dir, ["doc_id", "text"]), n_merges=50
+    )
+    return counts
+
+
 def _docs_perplexity_buckets(sf_dir: str) -> pd.DataFrame:
     """CCNet-style head/middle/tail LM-quality bucketing
     (functions/textstats.perplexity_buckets): exact inverted-CDF terciles
@@ -936,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_frequent_words": _docs_frequent_words,
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_perplexity_buckets": _docs_perplexity_buckets,
+        "docs_bpe_subwords": _docs_bpe_subwords,
         "docs_window_dup_pairs": _docs_window_dups,
         "multimodal_decode": _multimodal_decode,
         "approx_distinct_users": _approx_distinct_users,
@@ -1586,6 +1603,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_perplexity_buckets": DOCS_PERPLEXITY_BUCKETS_SQL,
         "docs_quality_classifier": PIN.DOCS_QUALITY_CLASSIFIER_SQL,
         "crawl_anchor_texts": PIN.CRAWL_ANCHOR_TEXTS_SQL,
+        "docs_bpe_subwords": PIN.DOCS_BPE_SUBWORDS_SQL,
         "docs_snapshot_dedup": DOCS_SNAPSHOT_DEDUP_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,

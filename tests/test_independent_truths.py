@@ -835,3 +835,103 @@ def test_logreg_quality_independent_reference_parity(ray_session):
     # the committed sf0.01 pin must equal the independent recompute
     pinned = duckdb.sql(PIN.DOCS_QUALITY_CLASSIFIER_SQL).df()
     pd.testing.assert_frame_equal(pinned, reference("/root/testdata/sf0.01"))
+
+
+def test_bpe_independent_reference_parity(ray_session):
+    """bpe_subword_counts (distributed word count → driver merge learning
+    → broadcast encode) must equal a from-scratch single-process BPE —
+    Counter-based pair counting, the paper's merge rule restated — on the
+    learned MERGE LIST and the per-doc counts at sf0.001, stay invariant
+    under rebatching, and the sf0.01 pinned driver oracle must match the
+    same independent recompute."""
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray import pinned_oracles as PIN
+    from crawler_ray.functions.bpe import bpe_subword_counts
+
+    def reference(sf: str):
+        t = pq.read_table(f"{sf}/documents.parquet").sort_by("doc_id")
+        texts = t["text"].to_pylist()
+        wf: Counter = Counter()
+        for s in texts:
+            for w in (s or "").split(" "):
+                if w:
+                    wf[w] += 1
+        vocab: dict = {}
+        for w, f in wf.items():
+            syms = tuple(w[:-1]) + (w[-1] + "</w>",)
+            vocab[syms] = vocab.get(syms, 0) + f
+        merges = []
+        for _ in range(50):
+            pairs: Counter = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            nb: dict = {}
+            for syms, f in vocab.items():
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == best[0]
+                        and syms[i + 1] == best[1]
+                    ):
+                        out.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nb[tuple(out)] = nb.get(tuple(out), 0) + f
+            vocab = nb
+        rank = {m: i for i, m in enumerate(merges)}
+
+        def enc(w: str) -> int:
+            syms = list(w[:-1]) + [w[-1] + "</w>"]
+            while len(syms) > 1:
+                bi, br = -1, None
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and (br is None or r < br):
+                        bi, br = i, r
+                if br is None:
+                    break
+                syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+            return len(syms)
+
+        rows = []
+        for d, s in zip(t["doc_id"].to_pylist(), texts):
+            ws = [w for w in (s or "").split(" ") if w]
+            rows.append((d, len(ws), sum(enc(w) for w in ws)))
+        return merges, pd.DataFrame(
+            rows, columns=["doc_id", "n_words", "n_subwords"]
+        )
+
+    sf = "/root/testdata/sf0.001"
+    got, merges = bpe_subword_counts(
+        rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        n_merges=50,
+    )
+    ref_merges, ref_counts = reference(sf)
+    assert merges == ref_merges
+    pd.testing.assert_frame_equal(got, ref_counts)
+    got13, _m = bpe_subword_counts(
+        rd.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).repartition(13),
+        n_merges=50,
+    )
+    pd.testing.assert_frame_equal(got, got13)
+
+    pinned = duckdb.sql(PIN.DOCS_BPE_SUBWORDS_SQL).df()
+    _m01, ref01 = reference("/root/testdata/sf0.01")
+    pd.testing.assert_frame_equal(pinned, ref01)

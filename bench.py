@@ -391,7 +391,8 @@ def run_scaling() -> dict:
     lo, hi = levels
     runs_by_level: dict = {lo: [], hi: []}
     pair_eff = []
-    for _rep in range(3):  # the sandbox host is shared: take best-of-3
+    n_reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    for _rep in range(n_reps):  # the sandbox host is shared: take best-of-N
         r_lo = child(lo)
         r_hi = child(hi)
         runs_by_level[lo].append(r_lo)

@@ -787,3 +787,31 @@ def test_snapshot_dedup_no_candidates_fast_path(ray_session):
     )
     out = snapshot_dedup(new, snap, capacity=1 << 16, fpp=0.001)
     assert sorted(out.to_pandas()["doc_id"]) == list(range(50))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_snapshot_dedup_random_vs_brute_force(ray_session, seed):
+    """Randomized corpora with overlapping content and an undersized
+    Bloom filter must still reproduce the exact brute-force anti-join."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import snapshot_dedup
+
+    rng = np.random.RandomState(seed)
+    pool = [f"text {i}" for i in range(40)]
+    snap = [
+        {"doc_id": 1000 + i, "text": pool[rng.randint(0, 40)]}
+        for i in range(60)
+    ]
+    new = [
+        {"doc_id": i, "text": pool[rng.randint(0, 40)] if rng.rand() < 0.5
+         else f"fresh {seed}-{i}"}
+        for i in range(80)
+    ]
+    snap_set = {r["text"] for r in snap}
+    want = sorted(r["doc_id"] for r in new if r["text"] not in snap_set)
+    out = snapshot_dedup(
+        rd.from_items(new), rd.from_items(snap), capacity=64, fpp=0.4
+    )
+    assert sorted(out.to_pandas()["doc_id"]) == want

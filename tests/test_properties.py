@@ -106,3 +106,30 @@ def test_join_always_lands_on_base_origin(host, segs):
     assert joined.host == base.host
     assert joined.scheme == "http"
     assert joined.path.startswith("/")
+
+
+@given(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=6), min_size=0, max_size=30),
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=6), min_size=0, max_size=30),
+)
+@settings(max_examples=25, deadline=None)
+def test_jsonl_salvage_matches_per_line_reference(snap_texts, new_texts):
+    """parse_jsonl_bytes on an arbitrary mix of valid records, junk lines
+    and url-less objects keeps exactly the per-line-json.loads survivors,
+    in order."""
+    import json
+
+    from crawler_ray.sources.jsonl import parse_jsonl_bytes
+
+    lines = []
+    expect = []
+    for i, t in enumerate(snap_texts):
+        lines.append(json.dumps({"url": f"http://h/{i}", "text": t}))
+        expect.append((f"http://h/{i}", t))
+    for t in new_texts:
+        lines.append(t if t != "" else "{broken")  # junk / malformed
+    lines.append('{"no_url": 1}')
+    data = ("\n".join(lines) + "\n").encode()
+    out = parse_jsonl_bytes(data)
+    got = list(zip(out["url"].to_pylist(), out["text"].to_pylist()))
+    assert got == expect

@@ -338,7 +338,14 @@ def minhash_lsh_dedup(
     Dataset; the driver only sees the verified pair list (small by
     construction) and, above ``_DRIVER_CC_LIMIT``, not even that —
     components then run distributed via ``cc_label_propagation``."""
-    from ..stages.shuffle import bucketed_group_map, bucketed_join
+    import ray as _ray
+    import ray.data as rd
+
+    from ..stages.shuffle import (
+        bucketed_group_map_refs,
+        bucketed_join,
+        nrows_refs,
+    )
 
     sigs = ds.map_batches(
         MinHasher,
@@ -354,11 +361,18 @@ def minhash_lsh_dedup(
     )
     sigs = sigs.materialize()  # read twice: banding + the estimate joins
 
-    pairs_ds = bucketed_group_map(
+    # band explode → task exchange → per-bucket pair gen, kept at the REFS
+    # level: the pair list is candidate-sized, and re-wrapping it in a
+    # Dataset just to count/gather costs 2-3 streaming-executor launches
+    # (~1-2 s fixed each on a busy host — measured to dominate this phase)
+    pair_refs = bucketed_group_map_refs(
         sigs.map_batches(_band_rows, batch_format="pyarrow", fn_kwargs={"bands": bands}),
         bucket_on="band_hash",
         fn=_bucket_pairs_vec,
-    ).materialize()
+    )
+    if pair_refs is None:  # no bucket ever held 2+ docs → no candidates
+        empty = pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({"doc_id": [], "rep_id": []}, dtype="int64"), empty
 
     # Semi-join prefilter: only CANDIDATE docs' payloads enter the verify
     # exchanges. The distinct candidate-id set is near-linear in the true
@@ -447,11 +461,15 @@ def minhash_lsh_dedup(
     sigma4 = 4.0 * float(np.sqrt(threshold * (1 - threshold) / num_perm))
     prune_margin = max(prune_margin or 0.0, sigma4)
 
-    n_pair_rows = pairs_ds.count()  # block metadata on the materialized pairs
+    n_pair_rows = nrows_refs(pair_refs)  # tiny tasks; no pair bytes move
     pp = cand_ids = None
     if n_pair_rows <= _BC_PAIR_LIMIT:
         # one gather serves the pair list, its dedup AND the candidate ids
-        pp = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
+        pp = (
+            pa.concat_tables(_ray.get(pair_refs))
+            .to_pandas()
+            .drop_duplicates(["a", "b"])
+        )
         cand_ids = (
             np.unique(np.concatenate([pp["a"].to_numpy(), pp["b"].to_numpy()]))
             if len(pp)
@@ -463,6 +481,9 @@ def minhash_lsh_dedup(
             verify, threshold, prune_margin, shingle_k,
         )
     else:
+        # above the gate: back into Dataset form for the join path (the
+        # refs are complete — nrows_refs was a barrier)
+        pairs_ds = rd.from_arrow_refs(pair_refs)
         if cand_ids is None:
             cand_ids = _distinct_ids(pairs_ds)
         verified_ds = _verify_joins(
@@ -531,12 +552,23 @@ def _verify_broadcast(
     driver (``pp`` = the already-gathered, deduped pair frame), then the
     exact n-gram check fanned out as Ray tasks against a broadcast
     candidate-text dict."""
+    import functools
+
     import ray as _ray
     import ray.data as rd
 
-    sig_pdf = sigs.map_batches(
-        only_candidates, batch_format="pyarrow", fn_kwargs={"wanted": cand_ids}
-    ).to_pandas()
+    from ..stages.shuffle import apply_refs
+
+    # sigs is materialized: gather the candidate rows with one plain task
+    # per pinned block (a map_batches().to_pandas() here would pay a whole
+    # streaming-executor launch to filter candidate-sized data)
+    sig_pdf = apply_refs(
+        functools.partial(only_candidates, wanted=cand_ids),
+        sigs.to_arrow_refs(),
+        empty=pa.schema(
+            [("doc_id", pa.int64()), ("sig", pa.list_(pa.uint64()))]
+        ).empty_table(),
+    )
     out_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
     )

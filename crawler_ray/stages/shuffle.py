@@ -164,7 +164,11 @@ def apply_refs(fn, refs, empty: pa.Table | None = None) -> pd.DataFrame:
     import ray
 
     task = _block_apply_task()
-    outs = [t for t in ray.get([task.remote(fn, r) for r in refs]) if t.num_rows]
+    # ship fn (and anything it closes over, e.g. a candidate-id array)
+    # through the object store ONCE — passing it inline would serialize a
+    # fresh copy per block task
+    fn_ref = ray.put(fn)
+    outs = [t for t in ray.get([task.remote(fn_ref, r) for r in refs]) if t.num_rows]
     if not outs:
         return (empty if empty is not None else pa.table({})).to_pandas()
     return pa.concat_tables(outs).to_pandas()
@@ -183,6 +187,58 @@ def _group_reduce_task():
 
         _GROUP_REDUCE_TASK = reduce_bucket
     return _GROUP_REDUCE_TASK
+
+
+def bucketed_group_map_refs(
+    ds,
+    bucket_on: str,
+    fn,
+    n_buckets: int = 64,
+):
+    """The core of ``bucketed_group_map``, returning the raw list of
+    reduce-task output refs (one ``pa.Table`` per non-empty bucket) instead
+    of a Dataset — or ``None`` when the input produced no rows (callers
+    fall back to the sorted form, which can propagate an empty schema).
+
+    Refs-level access exists because wrapping the outputs back into a
+    Dataset is NOT free: ``from_arrow_refs(...).materialize()`` plus each
+    downstream ``count()`` / ``to_pandas()`` is a fresh streaming-executor
+    launch with ~1-2 s fixed cost on a busy host (measured: the launches,
+    not the exchange, dominated MinHash's banding phase). Consumers that
+    immediately gather a small result should stay on plain tasks."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return None
+
+    split = _split_task(n_buckets)
+    reduce_bucket = _group_reduce_task()
+    slices = [split.remote(bucket_on, *chunk) for chunk in _chunk_refs(refs)]
+    counts = sum(ray.get([s[-1] for s in slices]))
+    nonempty = np.nonzero(counts)[0]
+    if len(nonempty) == 0:
+        return None
+    return [reduce_bucket.remote(fn, *[s[b] for s in slices]) for b in nonempty]
+
+
+_NROWS_TASK = None
+
+
+def nrows_refs(refs: list) -> int:
+    """Total row count across table refs via tiny metadata tasks — no
+    table bytes move to the driver."""
+    global _NROWS_TASK
+    import ray
+
+    if _NROWS_TASK is None:
+
+        @ray.remote
+        def _nrows(t) -> int:
+            return int(_as_arrow(t).num_rows)
+
+        _NROWS_TASK = _nrows
+    return int(sum(ray.get([_NROWS_TASK.remote(r) for r in refs])))
 
 
 def bucketed_group_map(
@@ -207,23 +263,11 @@ def bucketed_group_map(
     consumers don't need sorted buckets (none here do: every ``fn`` does
     its own keyed work). Nothing lands on the driver except one int64
     count per (block, bucket) used to skip empty buckets."""
-    import ray
     import ray.data as rd
 
-    refs = ds.to_arrow_refs()
-    if not refs:
+    out_refs = bucketed_group_map_refs(ds, bucket_on, fn, n_buckets)
+    if out_refs is None:
         return bucketed_group_map_sorted(ds, bucket_on, fn, n_buckets, batch_size)
-
-    split = _split_task(n_buckets)
-    reduce_bucket = _group_reduce_task()
-    slices = [split.remote(bucket_on, *chunk) for chunk in _chunk_refs(refs)]
-    counts = sum(ray.get([s[-1] for s in slices]))
-    nonempty = np.nonzero(counts)[0]
-    if len(nonempty) == 0:
-        return bucketed_group_map_sorted(ds, bucket_on, fn, n_buckets, batch_size)
-    out_refs = [
-        reduce_bucket.remote(fn, *[s[b] for s in slices]) for b in nonempty
-    ]
     return rd.from_arrow_refs(out_refs)
 
 

@@ -344,6 +344,7 @@ def minhash_lsh_dedup(
     from ..stages.shuffle import (
         bucketed_group_map_refs,
         bucketed_join,
+        gather_refs_pd,
         nrows_refs,
     )
 
@@ -465,11 +466,7 @@ def minhash_lsh_dedup(
     pp = cand_ids = None
     if n_pair_rows <= _BC_PAIR_LIMIT:
         # one gather serves the pair list, its dedup AND the candidate ids
-        pp = (
-            pa.concat_tables(_ray.get(pair_refs))
-            .to_pandas()
-            .drop_duplicates(["a", "b"])
-        )
+        pp = gather_refs_pd(pair_refs).drop_duplicates(["a", "b"])
         cand_ids = (
             np.unique(np.concatenate([pp["a"].to_numpy(), pp["b"].to_numpy()]))
             if len(pp)
@@ -753,7 +750,7 @@ def jaccard_ngram_pairs(
     can only LOWER a pair's computed similarity, never raise it). Default
     None = exact. Returns (a, b, jaccard) sorted, jaccard rounded to 6dp
     after thresholding on the unrounded value."""
-    from ..stages.shuffle import bucketed_group_map
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -806,15 +803,31 @@ def jaccard_ngram_pairs(
         g["jaccard"] = jac
         return g.loc[jac >= threshold, ["a", "b", "jaccard"]]
 
-    partials = bucketed_group_map(
+    # both exchanges chained at the refs level: re-entering Ray Data between
+    # rounds (and for the final small gather) costs a streaming-executor
+    # launch each — the fixed costs, not the exchanges, dominated this op
+    import ray as _ray
+
+    p_refs = bucketed_group_map_refs(
         ds.map_batches(shingle_rows, batch_format="pyarrow"),
         bucket_on="shingle",
         fn=partial_counts,
         n_buckets=n_buckets,
     )
-    out = bucketed_group_map(
-        partials, bucket_on="a", fn=finalize, n_buckets=n_buckets
-    ).to_pandas()
+    o_refs = (
+        None
+        if p_refs is None
+        else bucketed_group_map_refs(
+            p_refs, bucket_on="a", fn=finalize, n_buckets=n_buckets
+        )
+    )
+    if o_refs is None:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    # thresholded pair list: small by construction
+    out = gather_refs_pd(o_refs)
     if len(out) == 0:
         return pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
@@ -941,13 +954,22 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype="int64")
         return pd.concat(out, ignore_index=True)
 
-    from ..stages.shuffle import bucketed_group_map
+    import ray as _ray
 
-    got = bucketed_group_map(
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    # refs-level: the banded pair list is small, so gather it with one
+    # ray.get instead of paying a streaming launch for the to_pandas
+    g_refs = bucketed_group_map_refs(
         sigs.map_batches(chunks, batch_format="pyarrow"),
         bucket_on="chunk_val",
         fn=pairs_in_bucket,
-    ).to_pandas()
+    )
+    got = (
+        gather_refs_pd(g_refs)
+        if g_refs is not None
+        else pd.DataFrame({"a": [], "b": [], "hamming": []})
+    )
     if len(got) == 0:
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
     return (
@@ -1241,7 +1263,7 @@ def window_dup_pairs(
     windows — both standard for the exact-substring criterion; the unitless
     default is exact to match the SQL oracle. Tokens = space-split,
     empties dropped, matching the repo's SQL tokenizer convention."""
-    from ..stages.shuffle import bucketed_group_map
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
 
     def window_rows(batch: pa.Table) -> pa.Table:
         ids: list[int] = []
@@ -1285,15 +1307,26 @@ def window_dup_pairs(
             .rename(columns={"c": "n_shared"})
         )
 
-    partials = bucketed_group_map(
+    import ray as _ray
+
+    p_refs = bucketed_group_map_refs(
         ds.map_batches(window_rows, batch_format="pyarrow"),
         bucket_on="win",
         fn=partial_pairs,
         n_buckets=n_buckets,
     )
-    out = bucketed_group_map(
-        partials, bucket_on="a", fn=finalize, n_buckets=n_buckets
-    ).to_pandas()
+    o_refs = (
+        None
+        if p_refs is None
+        else bucketed_group_map_refs(
+            p_refs, bucket_on="a", fn=finalize, n_buckets=n_buckets
+        )
+    )
+    out = (
+        gather_refs_pd(o_refs)
+        if o_refs is not None
+        else pd.DataFrame({"a": [], "b": [], "n_shared": []})
+    )
     if len(out) == 0:
         return pd.DataFrame(
             {

@@ -199,6 +199,8 @@ def bucketed_group_map_refs(
     reduce-task output refs (one ``pa.Table`` per non-empty bucket) instead
     of a Dataset — or ``None`` when the input produced no rows (callers
     fall back to the sorted form, which can propagate an empty schema).
+    ``ds`` may also be a LIST of table refs (e.g. a previous exchange's
+    output), so multi-round exchanges chain without re-entering Ray Data.
 
     Refs-level access exists because wrapping the outputs back into a
     Dataset is NOT free: ``from_arrow_refs(...).materialize()`` plus each
@@ -208,7 +210,7 @@ def bucketed_group_map_refs(
     immediately gather a small result should stay on plain tasks."""
     import ray
 
-    refs = ds.to_arrow_refs()
+    refs = ds if isinstance(ds, list) else ds.to_arrow_refs()
     if not refs:
         return None
 
@@ -220,6 +222,22 @@ def bucketed_group_map_refs(
     if len(nonempty) == 0:
         return None
     return [reduce_bucket.remote(fn, *[s[b] for s in slices]) for b in nonempty]
+
+
+def gather_refs_pd(refs: list, empty: pa.Table | None = None) -> pd.DataFrame:
+    """ray.get + concat table refs to ONE pandas frame (for exchange
+    outputs known to be small). Zero-row parts are dropped and the concat
+    is permissive, because a bucket fn that saw no survivors may emit an
+    empty frame whose inferred dtypes differ from the populated buckets'."""
+    import ray
+
+    parts = [_as_arrow(t) for t in ray.get(list(refs))]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return (empty if empty is not None else pa.table({})).to_pandas()
+    if len(parts) == 1:
+        return parts[0].to_pandas()
+    return pa.concat_tables(parts, promote_options="permissive").to_pandas()
 
 
 _NROWS_TASK = None

@@ -902,11 +902,25 @@ class SimHasher:
         )
 
 
+_SIMHASHER: "SimHasher | None" = None
+
+
+def _simhash_block(batch: pa.Table) -> pa.Table:
+    """Task form of the SimHasher stage with a per-worker cached instance:
+    its setup is one regex compile, so an actor POOL here buys nothing and
+    pays ~0.5 s/actor spin-up per call (measured to dominate the stage at
+    bench scale). Stages with real setup (models, profiles) stay actors."""
+    global _SIMHASHER
+    if _SIMHASHER is None:
+        _SIMHASHER = SimHasher()
+    return _SIMHASHER(batch)
+
+
 def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs by SimHash banding: 4×16-bit chunks, docs sharing any
     chunk are candidates (guaranteed to catch hamming ≤ 3 by pigeonhole),
     verified by exact Hamming distance. Returns (a, b, hamming)."""
-    sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(_simhash_block, batch_format="pyarrow", batch_size=1024)
 
     def chunks(batch: pa.Table) -> pa.Table:
         # vectorized 4-way explode: doc-major order (chunk index inner)

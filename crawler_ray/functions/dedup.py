@@ -115,6 +115,24 @@ class MinHasher:
         )
 
 
+_MINHASHERS: dict = {}
+
+
+def _minhash_block(
+    batch: pa.Table, num_perm: int, shingle_k: int, seed: int
+) -> pa.Table:
+    """Task form of the MinHasher stage (per-worker instance cache keyed on
+    the hash params): its setup is two rng coefficient arrays derived from
+    the seed, so an actor pool buys nothing and pays spin-up per call."""
+    key = (num_perm, shingle_k, seed)
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        mh = _MINHASHERS.setdefault(
+            key, MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+        )
+    return mh(batch)
+
+
 def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
     """Explode signatures into (band, band_hash, doc_id) bucket rows — one
     vectorized (n × bands × rows_per_band) polynomial hash per batch, no
@@ -348,17 +366,14 @@ def minhash_lsh_dedup(
         nrows_refs,
     )
 
+    # task form with a per-worker cache keyed on the hash params: MinHasher
+    # setup is two rng arrays derived from the seed, so an actor pool here
+    # bought nothing and paid per-call spin-up (same finding as SimHash)
     sigs = ds.map_batches(
-        MinHasher,
+        _minhash_block,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(2, 16),  # autoscaling actor pool; signature math is the
-        # compute-heavy stage, so let it claim idle cores
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "shingle_k": shingle_k,
-            "seed": seed,
-        },
+        fn_kwargs={"num_perm": num_perm, "shingle_k": shingle_k, "seed": seed},
     )
     sigs = sigs.materialize()  # read twice: banding + the estimate joins
 

@@ -468,11 +468,11 @@ def _corpus_top_bigrams(sf_dir: str) -> pd.DataFrame:
 
 
 def _lang_id_counts(sf_dir: str) -> pd.DataFrame:
-    from crawler_ray.functions.textstats import LangId
+    from crawler_ray.functions.textstats import lang_id_block
 
     out = (
         _docs_ds(sf_dir, ["doc_id", "text"])
-        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .map_batches(lang_id_block, batch_format="pyarrow")
         .to_pandas()
     )
     return (

@@ -327,6 +327,20 @@ class LangId:
         return batch.append_column("pred_lang", pa.array(langs, pa.string()))
 
 
+_LANGID: "LangId | None" = None
+
+
+def lang_id_block(batch: pa.Table) -> pa.Table:
+    """Task form of the LangId stage with a per-worker cached instance: the
+    profile build is a few hundred tiny dict entries, so an actor pool buys
+    nothing over worker-process caching and pays spin-up per call (same
+    finding as the MinHash/SimHash signature stages)."""
+    global _LANGID
+    if _LANGID is None:
+        _LANGID = LangId()
+    return _LANGID(batch)
+
+
 def corpus_top_ngrams(
     ds,
     n: int = 2,

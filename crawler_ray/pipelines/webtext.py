@@ -61,8 +61,8 @@ def build_training_set(
     vectorized stage when set."""
     from ..functions.dedup import exact_dedup
     from ..functions.textstats import (
-        LangId,
         fingerprints,
+        lang_id_block,
         quality_scores,
         repetition_scores,
         token_counts,
@@ -115,7 +115,7 @@ def build_training_set(
 
         ds = ds.map_batches(keep_rep, batch_format="pyarrow")
 
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2, batch_size=2048)
+    ds = ds.map_batches(lang_id_block, batch_format="pyarrow", batch_size=2048)
     ds = ds.map_batches(token_counts, batch_format="pyarrow", batch_size=4096)
     ds = ds.map_batches(fingerprints, batch_format="pyarrow", batch_size=4096)
 

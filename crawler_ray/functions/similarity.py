@@ -135,6 +135,23 @@ class HyperplaneLSH:
         return reps.append_column("tb", pa.array(tb.reshape(-1)))
 
 
+_HYPERPLANES: dict = {}
+
+
+def _hyperplane_block(
+    batch: pa.Table, dim: int, n_planes: int, n_tables: int, seed: int
+) -> pa.Table:
+    """Task form of the HyperplaneLSH banding stage (per-worker instance
+    cache keyed on the sampling params): the planes derive from the seed,
+    so an actor pool buys nothing and pays spin-up per call — the same
+    finding as the MinHash/SimHash signature stages."""
+    key = (dim, n_planes, n_tables, seed)
+    lsh = _HYPERPLANES.get(key)
+    if lsh is None:
+        lsh = _HYPERPLANES.setdefault(key, HyperplaneLSH(dim, n_planes, n_tables, seed))
+    return lsh(batch)
+
+
 def lsh_topk(
     ds,
     queries: np.ndarray,
@@ -354,10 +371,9 @@ def cosine_near_dup_pairs(
     banded = ds.map_batches(
         lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
     ).map_batches(
-        HyperplaneLSH,
+        _hyperplane_block,
         batch_format="pyarrow",
-        concurrency=2,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "dim": dim,
             "n_planes": n_planes,
             "n_tables": n_tables,

@@ -1253,7 +1253,8 @@ def docs_exact_dedup_ids(sf_dir: str) -> pd.DataFrame:
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
     from ..functions.dedup import exact_dedup
 
-    kept = exact_dedup(ds).to_pandas()[["doc_id"]]
+    # project to ids BEFORE the gather — the survivor set carries text
+    kept = exact_dedup(ds).select_columns(["doc_id"]).to_pandas()
     return kept.sort_values("doc_id").reset_index(drop=True)
 
 

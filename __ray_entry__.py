@@ -601,6 +601,38 @@ def _cosine_near_dups(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _embeddings_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (functions/similarity.semantic_dedup): k-means cluster the
+    embeddings, link within-cluster pairs with cosine ≥ 0.95, keep each
+    group's min id. Same planted-duplicate augmentation as
+    ``cosine_near_dups`` (vec_id+100000 copies of vec_id<8): the sf*
+    embeddings are random (max non-identical cosine ≈0.51), so at 0.95 the
+    dup groups are EXACTLY the planted identical pairs — and an identical
+    pair always shares a cluster (identical vectors assign identically),
+    which is why the cluster-free SQL below is a valid oracle here. The
+    cluster-SCOPING semantics (a near pair split across clusters is NOT
+    linked) are exercised by the independent pytest reference at a lower
+    threshold."""
+    import pyarrow.compute as _pc
+
+    from crawler_ray.functions.similarity import semantic_dedup
+
+    def plant(t: pa.Table) -> pa.Table:
+        sub = t.filter(_pc.less(t["vec_id"], 8))
+        return pa.table(
+            {
+                "vec_id": _pc.add(sub["vec_id"], 100000),
+                "embedding": sub["embedding"],
+            }
+        )
+
+    base = _emb_ds(sf_dir).map_batches(
+        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    ds = base.union(base.map_batches(plant, batch_format="pyarrow"))
+    return semantic_dedup(ds, k=8, iters=5, threshold=0.95)
+
+
 def _docs_frequent_words(sf_dir: str) -> pd.DataFrame:
     """Exact heavy-hitter words over the documents table via the two-pass
     Misra-Gries recipe (functions/sketches.frequent_words): bounded-state
@@ -946,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
         "cosine_near_dups": _cosine_near_dups,
+        "embeddings_semantic_dedup": _embeddings_semantic_dedup,
         "embeddings_kmeans": _embeddings_kmeans,
         "embeddings_pca": _embeddings_pca,
         "docs_line_dedup": _docs_line_dedup,
@@ -999,6 +1032,25 @@ FROM feat
 #: (vec_id+100000 for vec_id<8) so the answer is NON-EMPTY at sf0.01
 #: (random embeddings top out at cosine ≈0.51); identical vectors hash to
 #: the same bucket in every LSH table, so planted-pair recall is exactly 1.
+#: SemDeDup over the duplicate-planted embeddings. Cluster-free SQL is a
+#: valid truth at threshold 0.95 on this fixture: the only qualifying
+#: pairs are the planted identical copies (max non-identical cosine
+#: ~0.51), identical vectors always share a k-means cluster, and each dup
+#: group is exactly a pair whose representative is the smaller id.
+SEMANTIC_DEDUP_SQL = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 8
+)
+SELECT b.vec_id AS vec_id, a.vec_id AS rep_id,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE),
+             4) AS sim
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+ORDER BY vec_id
+"""
+
 COSINE_NEAR_DUPS_SQL = """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
@@ -1626,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_pca": PIN.EMBEDDINGS_PCA_SQL,
         "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,
+        "embeddings_semantic_dedup": SEMANTIC_DEDUP_SQL,
         "lang_id_counts": LANG_ID_COUNTS_SQL,
         "webtext_training_set": WEBTEXT_STATS_SQL,
         "doc_redacted": DOC_REDACTED_SQL,

@@ -296,7 +296,10 @@ def run_bench() -> dict:
         window_dup_pairs,
     )
     from crawler_ray.functions.classify import logreg_quality
-    from crawler_ray.functions.similarity import kmeans_embeddings
+    from crawler_ray.functions.similarity import (
+        kmeans_embeddings,
+        semantic_dedup,
+    )
 
     docs = f"{SF_DIR}/documents.parquet"
     for name, fn in [
@@ -325,6 +328,18 @@ def run_bench() -> dict:
             "embeddings_kmeans",
             lambda: kmeans_embeddings(
                 rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), k=8, iters=5
+            ),
+        ),
+        (
+            "semantic_dedup",
+            lambda: semantic_dedup(
+                rd.read_parquet(
+                    f"{SF_DIR}/embeddings.parquet",
+                    columns=["vec_id", "embedding"],
+                ),
+                k=8,
+                iters=5,
+                threshold=0.95,
             ),
         ),
         (

@@ -442,6 +442,12 @@ def _kmeans_partials(t: pa.Table, ref, emb_col: str):
     import ray
 
     cents = ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+    if t.num_rows == 0:  # empty blocks (e.g. from union'd pipelines)
+        return (
+            np.zeros((0, cents.shape[1]), np.float64),
+            np.zeros(0, np.int64),
+            np.zeros((0, cents.shape[0]), np.float64),
+        )
     x = _to_matrix(t[emb_col]).astype(np.float64)
     d2 = (
         (x * x).sum(axis=1, keepdims=True)
@@ -450,6 +456,63 @@ def _kmeans_partials(t: pa.Table, ref, emb_col: str):
     )
     assign = d2.argmin(axis=1)  # ties → lowest cluster index
     return x, assign, d2
+
+
+def _train_centroids(
+    refs: list, k: int, iters: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """The deterministic Lloyd loop over pinned blocks shared by
+    ``kmeans_embeddings`` and ``semantic_dedup``: init from the k smallest
+    ids, broadcast centroids + mergeable per-batch partials per step,
+    float32 centroid quantization (see ``kmeans_embeddings`` docstring for
+    the full spec)."""
+    import ray
+
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import apply_refs
+
+    seed = apply_refs(
+        lambda t: t.filter(pc.less(t[id_col], k)).select([id_col, emb_col]),
+        refs,
+        empty=pa.schema(
+            [(id_col, pa.int64()), (emb_col, pa.list_(pa.float32()))]
+        ).empty_table(),
+    ).sort_values(id_col)
+    if len(seed) < k:
+        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
+    cents = np.asarray(list(seed[emb_col]), dtype=np.float32)[:k]
+
+    dim = cents.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def step(t: pa.Table, _ref=ref) -> pa.Table:
+            x, assign, _ = _kmeans_partials(t, _ref, emb_col)
+            sums = np.zeros((k, dim), np.float64)
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k), pa.int64()),
+                    "cnt": pa.array(cnt, pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = apply_refs(step, refs)
+        cnt = parts.groupby("cluster", sort=True)["cnt"].sum().to_numpy()
+        vsum = np.zeros((k, dim), np.float64)
+        np.add.at(
+            vsum,
+            parts["cluster"].to_numpy(),
+            np.asarray(list(parts["vsum"]), dtype=np.float64),
+        )
+        nonempty = cnt > 0
+        new = cents.astype(np.float64).copy()
+        new[nonempty] = vsum[nonempty] / cnt[nonempty, None]
+        cents = new.astype(np.float32)  # quantize: absorb reduce-order noise
+    return cents
 
 
 def kmeans_embeddings(
@@ -497,50 +560,7 @@ def kmeans_embeddings(
     # (shuffle.apply_refs): per-pass streaming-executor launches dominated the
     # wall time for the bounded passes below.
     refs = ds.materialize().to_arrow_refs()
-
-    # ---- deterministic init: embeddings of the k smallest ids
-    import pyarrow.compute as pc
-
-    seed = apply_refs(
-        lambda t: t.filter(pc.less(t[id_col], k)).select([id_col, emb_col]),
-        refs,
-        empty=pa.schema(
-            [(id_col, pa.int64()), (emb_col, pa.list_(pa.float32()))]
-        ).empty_table(),
-    ).sort_values(id_col)
-    if len(seed) < k:
-        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
-    cents = np.asarray(list(seed[emb_col]), dtype=np.float32)[:k]
-
-    dim = cents.shape[1]
-    for _ in range(iters):
-        ref = ray.put(cents)
-
-        def step(t: pa.Table, _ref=ref) -> pa.Table:
-            x, assign, _ = _kmeans_partials(t, _ref, emb_col)
-            sums = np.zeros((k, dim), np.float64)
-            np.add.at(sums, assign, x)
-            cnt = np.bincount(assign, minlength=k).astype(np.int64)
-            return pa.table(
-                {
-                    "cluster": pa.array(np.arange(k), pa.int64()),
-                    "cnt": pa.array(cnt, pa.int64()),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
-                }
-            )
-
-        parts = apply_refs(step, refs)
-        cnt = parts.groupby("cluster", sort=True)["cnt"].sum().to_numpy()
-        vsum = np.zeros((k, dim), np.float64)
-        np.add.at(
-            vsum,
-            parts["cluster"].to_numpy(),
-            np.asarray(list(parts["vsum"]), dtype=np.float64),
-        )
-        nonempty = cnt > 0
-        new = cents.astype(np.float64).copy()
-        new[nonempty] = vsum[nonempty] / cnt[nonempty, None]
-        cents = new.astype(np.float32)  # quantize: absorb reduce-order noise
+    cents = _train_centroids(refs, k, iters, id_col, emb_col)
 
     # ---- final pass: per-cluster size + inertia (and assignments if asked)
     ref = ray.put(cents)
@@ -601,6 +621,139 @@ def kmeans_embeddings(
     agg["inertia"] = agg["inertia"].round(2)
     agg["size"] = agg["size"].astype("int64")
     return agg[["cluster", "size", "inertia"]], None
+
+
+def semantic_dedup(
+    ds,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then find near-duplicates only WITHIN clusters — the
+    clustering is what makes all-pairs cosine tractable at corpus scale
+    (pairs are O(Σ m_c²) over cluster sizes m_c, not O(n²); pick k so
+    clusters stay bounded — the paper uses k ≈ n/10⁴; a pathologically
+    hot cluster means k is too small for the corpus).
+
+    Semantics (deterministic, restated by the independent pytest
+    reference): centroids/assignment per ``kmeans_embeddings``'s spec;
+    within a cluster, docs whose cosine ≥ ``threshold`` are linked, the
+    link set is closed transitively (union-find), and each group keeps its
+    minimum-id member. Returns one row per REMOVED member:
+    ``(vec_id, rep_id, sim)`` with rep_id the kept representative and sim
+    = cosine(member, rep) rounded half-up to 4 dp, sorted by vec_id.
+
+    Ray shape: pinned blocks → Lloyd loop (broadcast centroids, mergeable
+    partials) → one assignment pass tagging each row's cluster → bucketed
+    task exchange on cluster → per-cluster vectorized cosine + grouping →
+    one small gather of the removal list."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    refs = ds.materialize().to_arrow_refs()
+    cents = _train_centroids(refs, k, iters, id_col, emb_col)
+    cref = ray.put(cents)
+
+    def assign_block(t: pa.Table, _ref=cref) -> pa.Table:
+        if t.num_rows == 0:  # union/plant paths can produce empty blocks
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    emb_col: pa.array([], t.schema.field(emb_col).type),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        _, assign, _ = _kmeans_partials(t, _ref, emb_col)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                emb_col: t[emb_col],
+                "cluster": pa.array(assign, pa.int64()),
+            }
+        )
+
+    assigned = rd.from_arrow_refs(refs).map_batches(
+        assign_block, batch_format="pyarrow"
+    )
+
+    def cluster_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cluster", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            mat = np.asarray(list(g[emb_col]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(m, k=1)
+            hit = sims[iu, ju] >= threshold
+            if not hit.any():
+                continue
+            # transitive closure over the hit pairs (local union-find —
+            # the component lives entirely inside this cluster)
+            parent = np.arange(m)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for x, y in zip(iu[hit], ju[hit]):
+                rx, ry = find(int(x)), find(int(y))
+                if rx != ry:
+                    parent[max(rx, ry)] = min(rx, ry)
+            root = np.fromiter(
+                (find(i) for i in range(m)), np.int64, m
+            )
+            loc = pd.DataFrame({"i": np.arange(m), "root": root, "id": ids})
+            rep_of_root = loc.loc[loc.groupby("root")["id"].idxmin()].set_index(
+                "root"
+            )["i"]
+            rep = rep_of_root[root].to_numpy()
+            grp_size = loc.groupby("root")["i"].transform("size").to_numpy()
+            emit = (grp_size >= 2) & (np.arange(m) != rep)
+            if not emit.any():
+                continue
+            sim = np.einsum("ij,ij->i", mat[emit], mat[rep[emit]])
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids[emit],
+                        "rep_id": ids[rep[emit]],
+                        # half-up 4dp, matching DuckDB round() on positives
+                        "sim": np.floor(sim * 1e4 + 0.5) / 1e4,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "rep_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    o_refs = bucketed_group_map_refs(assigned, "cluster", cluster_dedup)
+    empty = pa.schema(
+        [("vec_id", pa.int64()), ("rep_id", pa.int64()), ("sim", pa.float64())]
+    ).empty_table()
+    out = gather_refs_pd(o_refs, empty=empty) if o_refs is not None else empty.to_pandas()
+    return (
+        out.astype({"vec_id": "int64", "rep_id": "int64", "sim": "float64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------- PCA

@@ -28,6 +28,7 @@ REAL_SQL = [
     "doc_repetition_scores",
     "doc_normalized",
     "cosine_near_dups",
+    "embeddings_semantic_dedup",
     "doc_redacted",
     "warc_roundtrip",
     "jsonl_roundtrip",

@@ -182,6 +182,106 @@ def test_kmeans_independent_reference_parity(ray_session):
     assert np.allclose(summary["inertia"].to_numpy(), inertia, atol=0.01)
 
 
+def test_semantic_dedup_independent_reference_parity(ray_session):
+    """semantic_dedup (SemDeDup: k-means scope, within-cluster cosine
+    linking, transitive closure, min-id representative) must equal a
+    single-process numpy restatement of the same spec. Run at a LOW
+    threshold on the random sf0.001 embeddings so near pairs exist both
+    within clusters (linked — 34 on this fixture) and across clusters
+    (must NOT be linked — 32 here): this is the cluster-scoping behavior
+    that distinguishes SemDeDup from plain cosine near-dup."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    k, iters, thr = 4, 3, 0.4
+    got = semantic_dedup(
+        rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        k=k,
+        iters=iters,
+        threshold=thr,
+    )
+
+    t = pq.read_table(sf + "/embeddings.parquet").sort_by("vec_id")
+    ids = t["vec_id"].to_numpy()
+    X = np.asarray(
+        [np.asarray(v) for v in t["embedding"].to_pylist()], np.float64
+    )
+    n = len(X)
+    C = X[:k].astype(np.float32)
+
+    def assign_of(C):
+        d2 = (
+            (X * X).sum(1, keepdims=True)
+            - 2 * X @ C.T.astype(np.float64)
+            + (C.astype(np.float64) ** 2).sum(1)
+        )
+        return d2.argmin(1)
+
+    for _ in range(iters):
+        a = assign_of(C)
+        new = C.astype(np.float64).copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = X[m].sum(0) / m.sum()
+        C = new.astype(np.float32)
+    a = assign_of(C)
+
+    N = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_within = n_cross = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if N[i] @ N[j] >= thr:
+                if a[i] == a[j]:
+                    n_within += 1
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+                else:
+                    n_cross += 1
+    # the fixture must exercise BOTH the linking and the scoping
+    assert n_within > 0 and n_cross > 0
+
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    rows = []
+    for g in groups.values():
+        if len(g) < 2:
+            continue
+        rep = min(g, key=lambda i: ids[i])
+        for i in g:
+            if i != rep:
+                rows.append(
+                    (
+                        ids[i],
+                        ids[rep],
+                        np.floor((N[i] @ N[rep]) * 1e4 + 0.5) / 1e4,
+                    )
+                )
+    want = (
+        pd.DataFrame(rows, columns=["vec_id", "rep_id", "sim"])
+        .astype({"vec_id": "int64", "rep_id": "int64", "sim": "float64"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_pagerank_independent_reference_parity(ray_session):
     """graph.pagerank (broadcast weights + combiner + bucketed exchange)
     must exactly equal a dense single-process power iteration restating

@@ -633,6 +633,20 @@ def _embeddings_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     return semantic_dedup(ds, k=8, iters=5, threshold=0.95)
 
 
+def _docs_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style unigram importance resampling toward the lang='en'
+    target (functions/textstats.dsir_sample): add-one-smoothed target vs
+    source unigram log-ratio, mean per doc, top-25% kept on the rounded
+    grid with doc_id tiebreak."""
+    from crawler_ray.functions.textstats import dsir_sample
+
+    return dsir_sample(
+        _docs_ds(sf_dir, ["doc_id", "text", "lang"]),
+        target_lang="en",
+        frac=0.25,
+    )
+
+
 def _docs_frequent_words(sf_dir: str) -> pd.DataFrame:
     """Exact heavy-hitter words over the documents table via the two-pass
     Misra-Gries recipe (functions/sketches.frequent_words): bounded-state
@@ -984,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "docs_frequent_words": _docs_frequent_words,
         "docs_unigram_logprob": _docs_unigram_logprob,
+        "docs_dsir_sample": _docs_dsir_sample,
         "docs_perplexity_buckets": _docs_perplexity_buckets,
         "docs_bpe_subwords": _docs_bpe_subwords,
         "docs_window_dup_pairs": _docs_window_dups,
@@ -1156,6 +1171,48 @@ ORDER BY c.word
 #: corpus total; per-doc mean of log10 p rounded half-away-from-zero to
 #: 6 dp (DuckDB round(x, 6) semantics, mirrored sign-aware in the engine).
 #: Zero-token docs drop out through the inner join, as in the engine.
+#: DSIR unigram importance resampling: same tokenizer as the unigram-LM
+#: oracle; add-one smoothing over the source vocabulary on both models;
+#: rank on the 6-dp-rounded weight with doc_id tiebreak so the cutoff is
+#: reproducible.
+DOCS_DSIR_SAMPLE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(coalesce(text, ''), ' ')) AS word
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, word FROM w WHERE word <> ''),
+vocab AS (
+  SELECT word,
+         count(*) AS c,
+         count(*) FILTER (WHERE lang = 'en') AS ct
+  FROM tok GROUP BY word
+),
+consts AS (
+  SELECT (SELECT count(*) FROM tok) AS ns,
+         (SELECT count(*) FROM tok WHERE lang = 'en') AS nt,
+         (SELECT count(*) FROM vocab) AS v
+),
+scored AS (
+  SELECT t.doc_id,
+         round(avg(
+           log10((CAST(v.ct AS DOUBLE) + 1)
+                 / ((SELECT nt FROM consts) + (SELECT v FROM consts)))
+         - log10((CAST(v.c AS DOUBLE) + 1)
+                 / ((SELECT ns FROM consts) + (SELECT v FROM consts)))
+         ), 6) AS dsir_weight
+  FROM tok t JOIN vocab v USING (word)
+  GROUP BY t.doc_id
+),
+ranked AS (
+  SELECT doc_id, dsir_weight,
+         row_number() OVER (ORDER BY dsir_weight DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, dsir_weight FROM ranked
+WHERE rn <= CAST(ceil(0.25 * (SELECT count(*) FROM scored)) AS BIGINT)
+ORDER BY doc_id
+"""
+
 DOCS_UNIGRAM_LOGPROB_SQL = r"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
@@ -1661,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
+        "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
         "docs_window_dup_pairs": DOCS_WINDOW_DUPS_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,

@@ -535,6 +535,127 @@ def unigram_logprob(
     return out.sort_values(id_col).reset_index(drop=True)
 
 
+def dsir_sample(
+    ds,
+    target_lang: str = "en",
+    frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """DSIR-style unigram importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely its
+    tokens are under a TARGET language model than under the SOURCE (whole
+    corpus) model, then keep the highest-importance fraction — the
+    data-selection step that tilts a raw crawl toward a target domain.
+    The paper uses hashed n-gram features; this unigram form keeps the
+    same estimator shape while staying bit-checkable against a SQL oracle
+    (the repo's tokenizer convention: space-split, empties dropped).
+
+    Deterministic spec:
+      * target corpus = rows with ``lang_col == target_lang``; source =
+        all rows;
+      * p_X(w) = (cnt_X(w)+1) / (n_X + V), add-one smoothed over the
+        SOURCE vocabulary (V = distinct source words, so every scored
+        token is in-vocabulary by construction);
+      * weight(doc) = mean over tokens of log10 p_T(w) − log10 p_S(w),
+        rounded 6-dp half-away-from-zero; zero-token docs are excluded;
+      * keep the top ``ceil(frac × n_scored)`` docs ordered by (rounded
+        weight DESC, doc_id ASC) — ordering on the rounded grid keeps the
+        cutoff reproducible against the oracle.
+
+    Ray shape: ONE combiner pass emits per-batch (word, cnt, cnt_target)
+    partials (volume ∝ vocabulary) → bucketed task exchange sums them →
+    the vocabulary-sized log-ratio table broadcasts once → the scoring
+    pass reuses ``_UnigramScorer``'s vectorized searchsorted/bincount
+    math. At the 10^10 design point the vocab caps to top-V with an OOV
+    floor and the final rank is a distributed top-k; at test scale the
+    exact forms keep the oracle bit-exact.
+
+    Returns ``(doc_id, dsir_weight)`` for the kept docs, sorted by id."""
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    ds = ds.materialize()  # the scoring pass must see exactly the counted rows
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
+        )
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        is_t = (
+            pc.equal(pc.fill_null(t[lang_col], ""), target_lang)
+            .to_numpy(zero_copy_only=False)
+        )
+        tok_t = np.repeat(is_t, lens)
+        mask = vals != ""
+        vals, tok_t = vals[mask], tok_t[mask]
+        items, inv = np.unique(vals, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(items)).astype(np.int64)
+        cnt_t = np.bincount(
+            inv, weights=tok_t.astype(np.float64), minlength=len(items)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "word": pa.array(items, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "cnt_t": pa.array(cnt_t, pa.int64()),
+            }
+        )
+
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("word", sort=False)[["cnt", "cnt_t"]].sum().reset_index()
+        )
+
+    v_refs = bucketed_group_map_refs(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        bucket_on="word",
+        fn=sum_bucket,
+        n_buckets=n_buckets,
+    )
+    empty_out = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype="int64"),
+            "dsir_weight": pd.Series([], dtype="float64"),
+        }
+    )
+    if v_refs is None:
+        return empty_out
+    vocab = gather_refs_pd(v_refs).sort_values("word").reset_index(drop=True)
+    V = float(len(vocab))
+    n_s = float(vocab["cnt"].sum())
+    n_t = float(vocab["cnt_t"].sum())
+    log_t = np.log10((vocab["cnt_t"].to_numpy(np.float64) + 1.0) / (n_t + V))
+    log_s = np.log10((vocab["cnt"].to_numpy(np.float64) + 1.0) / (n_s + V))
+    ref = ray.put((vocab["word"].to_numpy(), log_t - log_s))
+
+    scored = (
+        ds.map_batches(
+            _UnigramScorer,
+            fn_constructor_args=(ref, text_col, id_col),
+            batch_format="pyarrow",
+            concurrency=(2, 8),
+        )
+        .to_pandas()
+        .rename(columns={"logprob_mean": "dsir_weight"})
+    )
+    if len(scored) == 0:
+        return empty_out
+    m = int(np.ceil(frac * len(scored)))
+    kept = scored.sort_values(
+        ["dsir_weight", id_col], ascending=[False, True]
+    ).head(m)
+    return (
+        kept[[id_col, "dsir_weight"]]
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+
+
 def perplexity_buckets(ds, text_col: str = "text", id_col: str = "doc_id"):
     """CCNet head/middle/tail perplexity bucketing: documents are split
     into terciles of the corpus-unigram LM score (``unigram_logprob``

@@ -18,6 +18,7 @@ REAL_SQL = [
     "docs_line_dedup",
     "docs_frequent_words",
     "docs_unigram_logprob",
+    "docs_dsir_sample",
     "docs_perplexity_buckets",
     "docs_temperature_sample",
     "docs_window_dup_pairs",

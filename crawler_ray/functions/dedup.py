@@ -127,6 +127,10 @@ def _minhash_block(
     key = (num_perm, shingle_k, seed)
     mh = _MINHASHERS.get(key)
     if mh is None:
+        # Params are constant within a pipeline run: keep only the most
+        # recent key so long-lived workers serving many parameter sets
+        # don't grow the cache without bound.
+        _MINHASHERS.clear()
         mh = _MINHASHERS.setdefault(
             key, MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
         )
@@ -356,7 +360,6 @@ def minhash_lsh_dedup(
     Dataset; the driver only sees the verified pair list (small by
     construction) and, above ``_DRIVER_CC_LIMIT``, not even that —
     components then run distributed via ``cc_label_propagation``."""
-    import ray as _ray
     import ray.data as rd
 
     from ..stages.shuffle import (
@@ -386,7 +389,7 @@ def minhash_lsh_dedup(
         bucket_on="band_hash",
         fn=_bucket_pairs_vec,
     )
-    if pair_refs is None:  # no bucket ever held 2+ docs → no candidates
+    if pair_refs is None:  # banding produced no rows (empty input)
         empty = pd.DataFrame({"a": [], "b": [], "jaccard": []})
         return pd.DataFrame({"doc_id": [], "rep_id": []}, dtype="int64"), empty
 
@@ -821,8 +824,6 @@ def jaccard_ngram_pairs(
     # both exchanges chained at the refs level: re-entering Ray Data between
     # rounds (and for the final small gather) costs a streaming-executor
     # launch each — the fixed costs, not the exchanges, dominated this op
-    import ray as _ray
-
     p_refs = bucketed_group_map_refs(
         ds.map_batches(shingle_rows, batch_format="pyarrow"),
         bucket_on="shingle",
@@ -982,8 +983,6 @@ def simhash_pairs(ds, max_hamming: int = 3) -> pd.DataFrame:
         if not out:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype="int64")
         return pd.concat(out, ignore_index=True)
-
-    import ray as _ray
 
     from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
 
@@ -1335,8 +1334,6 @@ def window_dup_pairs(
             .reset_index()
             .rename(columns={"c": "n_shared"})
         )
-
-    import ray as _ray
 
     p_refs = bucketed_group_map_refs(
         ds.map_batches(window_rows, batch_format="pyarrow"),

@@ -148,6 +148,9 @@ def _hyperplane_block(
     key = (dim, n_planes, n_tables, seed)
     lsh = _HYPERPLANES.get(key)
     if lsh is None:
+        # Bounded cache: params are constant within a run (same rationale
+        # as _MINHASHERS) — evict before inserting a new parameter set.
+        _HYPERPLANES.clear()
         lsh = _HYPERPLANES.setdefault(key, HyperplaneLSH(dim, n_planes, n_tables, seed))
     return lsh(batch)
 

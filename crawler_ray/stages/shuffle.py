@@ -245,7 +245,10 @@ _NROWS_TASK = None
 
 def nrows_refs(refs: list) -> int:
     """Total row count across table refs via tiny metadata tasks — no
-    table bytes move to the driver."""
+    table bytes move to the DRIVER (each ``_nrows`` task still dereferences
+    its block argument, so on a multi-node cluster the block's bytes are
+    fetched to whichever node runs the counting task; counts come from the
+    producing task's return value where a stage can thread them instead)."""
     global _NROWS_TASK
     import ray
 

@@ -57,13 +57,24 @@ class HttpFetcher:
     boundary (same pattern as the multimodal codec stub)."""
 
     def __init__(
-        self, connect_timeout_s: float = 5.0, user_agent: str = "crawler-ray/0.1"
+        self,
+        connect_timeout_s: float = 5.0,
+        user_agent: str = "crawler-ray/0.1",
+        max_concurrency: int = 16,
     ) -> None:
         import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
 
         self.opener = urllib.request.build_opener()
         self.opener.addheaders = [("User-Agent", user_agent)]
         self.timeout = connect_timeout_s
+        # The reference spawns one task per dispatched URL with NO cap
+        # (main.rs:110-117); a bounded in-actor pool is the scale-sane
+        # analog — requests in one batch overlap instead of serializing
+        # on each response's latency, while `max_concurrency × actors`
+        # bounds the node's open sockets. Threads are built once per
+        # actor (stateful setup), reused for every batch.
+        self._pool = ThreadPoolExecutor(max_workers=max(1, int(max_concurrency)))
 
     def fetch_one(self, url: str) -> "bytes | None":
         try:
@@ -73,13 +84,21 @@ class HttpFetcher:
             return None  # miss: reference warns and drops (main.rs:151-155)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["fetch_url"].to_pylist()
+        # executor.map yields results in submission order: output rows keep
+        # the batch's (canonical) row order regardless of completion order,
+        # so the deterministic-checkpoint contract survives concurrency.
         keep, htmls = [], []
-        for i, fu in enumerate(batch["fetch_url"].to_pylist()):
-            body = self.fetch_one(fu)
+        for i, body in enumerate(self._pool.map(self.fetch_one, urls)):
             if body is not None:
                 keep.append(i)
                 htmls.append(body)
         return _emit(batch, keep, htmls)
+
+    def __del__(self) -> None:  # actor teardown: don't leak threads
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 _SHARD_ACTOR = None
@@ -372,15 +391,32 @@ class DictFetcher:
     the seam's test double AND a usable local-corpus fetch mode."""
 
     def __init__(self, corpus_ref) -> None:
+        import pandas as pd
         import ray
 
-        self.corpus: dict = ray.get(corpus_ref)
+        corpus: dict = ray.get(corpus_ref)
+        # Vectorized probe state, built once per actor: the same persistent
+        # pd.Index + Arrow payload layout CorpusShard.fetch uses, instead of
+        # a per-row dict.get loop over to_pylist() strings.
+        self._index = pd.Index(list(corpus.keys()))
+        self._html = pa.array(
+            [v if isinstance(v, bytes) else v.encode() for v in corpus.values()],
+            pa.binary(),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keep, htmls = [], []
-        for i, fu in enumerate(batch["fetch_url"].to_pylist()):
-            body = self.corpus.get(fu)
-            if body is not None:
-                keep.append(i)
-                htmls.append(body if isinstance(body, bytes) else body.encode())
-        return _emit(batch, keep, htmls)
+        import numpy as np
+
+        pos = self._index.get_indexer(batch["fetch_url"].to_pandas())
+        hit = pos >= 0
+        if not hit.any():
+            return _emit(batch, [], [])
+        keep = pa.array(np.nonzero(hit)[0], pa.int64())
+        return pa.table(
+            {
+                "url": batch["url"].take(keep),
+                "kind": batch["kind"].take(keep),
+                "depth": batch["depth"].take(keep),
+                "html": self._html.take(pa.array(pos[hit], pa.int64())),
+            }
+        )

@@ -490,6 +490,52 @@ def test_http_fetcher_shape():
     assert f.fetch_one("http://127.0.0.1:1/none") is None
 
 
+def test_http_fetcher_concurrent_batch():
+    """The in-actor thread pool must overlap a batch's requests (the
+    reference spawns one task per URL, main.rs:110-117): N slow fetches
+    through one actor finish in ~one slow-fetch time, misses drop their
+    row, and output preserves the batch's row order regardless of
+    completion order (slowest URL first)."""
+    import time
+
+    import pyarrow as pa
+
+    from crawler_ray.stages.fetch import HttpFetcher
+
+    DELAY = 0.25
+
+    class SlowFake(HttpFetcher):
+        def fetch_one(self, url):  # noqa: D102 — test double
+            time.sleep(DELAY)
+            if url.endswith("/miss"):
+                return None
+            return f"body:{url}".encode()
+
+    urls = [f"http://h{i}.example/p" for i in range(7)] + ["http://h7.example/miss"]
+    batch = pa.table(
+        {
+            "fetch_url": pa.array(urls),
+            "url": pa.array(urls),
+            "kind": pa.array(["page"] * 8),
+            "depth": pa.array([0] * 8, pa.int32()),
+        }
+    )
+    f = SlowFake(max_concurrency=8)
+    t0 = time.time()
+    out = f(batch)
+    wall = time.time() - t0
+    assert wall < 4 * DELAY, wall  # serial would be 8 × DELAY
+    assert out["url"].to_pylist() == urls[:7]  # miss dropped, order kept
+    assert out["html"].to_pylist() == [f"body:{u}".encode() for u in urls[:7]]
+
+    # and with a pool of 1 the same batch degrades to serial (sanity that
+    # the speedup above came from the pool, not from the fake)
+    f1 = SlowFake(max_concurrency=1)
+    t0 = time.time()
+    f1(batch)
+    assert time.time() - t0 >= 8 * DELAY * 0.9
+
+
 def test_build_lookup_table_matches_reference_semantics():
     """The vectorized lookup build (Arrow kernels) must agree with the
     per-row reference-semantics build_lookups on every canonical URL shape

@@ -165,16 +165,27 @@ def _corpus_findings_ds(sf_dir: str):
     )
 
 
-def _extract_links(sf_dir: str) -> pa.Table:
+def _extract_links(sf_dir: str, out_path: "str | None" = None):
     """Single-pass link extraction over the whole corpus (the minimum-slice
-    pipeline: read → map_batches(parse) → findings), no BFS loop."""
+    pipeline: read → map_batches(parse) → findings), no BFS loop.
+
+    Default return gathers the sorted link table (the driver's rows-only
+    check wants the rows; fine at sf scale). ``out_path`` is the
+    corpus-scale contract: the distributed sort's output blocks stream
+    straight to partitioned parquet from the workers and only a one-row
+    stats frame reaches the driver."""
     parsed = _corpus_findings_ds(sf_dir)
+    ds = parsed.sort(["src_url", "kind", "url"])
+    if out_path is not None:
+        from crawler_ray.stages.output import sink_parquet
+
+        return sink_parquet(ds, out_path)
     # distributed sort; only the final (already-sorted) result lands here
     import ray
 
     from crawler_ray.stages.shuffle import _as_arrow
 
-    parts = ray.get(parsed.sort(["src_url", "kind", "url"]).to_arrow_refs())
+    parts = ray.get(ds.to_arrow_refs())
     parts = [t for t in map(_as_arrow, parts) if t.num_rows]
     return pa.concat_tables(parts).combine_chunks()
 
@@ -496,52 +507,76 @@ def _doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def _quality_scores(sf_dir: str) -> pd.DataFrame:
+def _per_doc_result(ds, finalize, out_path: "str | None"):
+    """Shared return contract for per-doc (corpus-sized) query frames:
+    default = driver pandas (fine at sf scale, what the harness hashes);
+    ``out_path`` = streaming partitioned-parquet sink returning a one-row
+    stats frame — the 100 TB path, where a per-doc result IS the corpus
+    and must never land on the driver. ``finalize`` is elementwise
+    (projection + rounding), so applying it per batch in the sink path
+    and once on the gathered frame in the driver path is bit-identical."""
+    if out_path is not None:
+        from crawler_ray.stages.output import sink_parquet
+
+        return sink_parquet(
+            ds.map_batches(finalize, batch_format="pandas"), out_path
+        )
+    return finalize(ds.to_pandas()).sort_values("doc_id").reset_index(drop=True)
+
+
+def _quality_scores(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame:
     from crawler_ray.functions.textstats import quality_scores, token_counts
 
-    out = (
+    ds = (
         _docs_ds(sf_dir, ["doc_id", "text"])
         .map_batches(quality_scores, batch_format="pyarrow")
         .map_batches(token_counts, batch_format="pyarrow")
-        .to_pandas()
     )
-    cols = [
-        "doc_id",
-        "n_words",
-        "ws_tokens",
-        "bpe_tokens",
-        "punct_ratio",
-        "stopword_ratio",
-        "mean_word_len",
-    ]
-    out = out[cols]
-    for c in ["punct_ratio", "stopword_ratio", "mean_word_len"]:
-        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
-    return out.sort_values("doc_id").reset_index(drop=True)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[
+            [
+                "doc_id",
+                "n_words",
+                "ws_tokens",
+                "bpe_tokens",
+                "punct_ratio",
+                "stopword_ratio",
+                "mean_word_len",
+            ]
+        ].copy()
+        for c in ["punct_ratio", "stopword_ratio", "mean_word_len"]:
+            df[c] = np.floor(df[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
+        return df
+
+    return _per_doc_result(ds, finalize, out_path)
 
 
-def _doc_normalized(sf_dir: str) -> pd.DataFrame:
+def _doc_normalized(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame:
     from crawler_ray.functions.textstats import normalize_text
 
-    out = (
-        _docs_ds(sf_dir, ["doc_id", "text"])
-        .map_batches(normalize_text, batch_format="pyarrow")
-        .to_pandas()[["doc_id", "norm_text"]]
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        normalize_text, batch_format="pyarrow"
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _per_doc_result(
+        ds, lambda df: df[["doc_id", "norm_text"]], out_path
+    )
 
 
-def _repetition_scores(sf_dir: str) -> pd.DataFrame:
+def _repetition_scores(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame:
     from crawler_ray.functions.textstats import repetition_scores
 
-    out = (
-        _docs_ds(sf_dir, ["doc_id", "text"])
-        .map_batches(repetition_scores, batch_format="pyarrow")
-        .to_pandas()[["doc_id", "dup_line_char_ratio", "top_bigram_ratio"]]
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_scores, batch_format="pyarrow"
     )
-    for c in ["dup_line_char_ratio", "top_bigram_ratio"]:
-        out[c] = np.floor(out[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
-    return out.sort_values("doc_id").reset_index(drop=True)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "dup_line_char_ratio", "top_bigram_ratio"]].copy()
+        for c in ["dup_line_char_ratio", "top_bigram_ratio"]:
+            df[c] = np.floor(df[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
+        return df
+
+    return _per_doc_result(ds, finalize, out_path)
 
 
 def _ann_lsh(sf_dir: str) -> pd.DataFrame:
@@ -827,7 +862,7 @@ def _webtext_training_set(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _doc_redacted(sf_dir: str) -> pd.DataFrame:
+def _doc_redacted(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame:
     """PII redaction over documents. The synthetic corpus has no natural
     PII, so the query first APPENDS a deterministic doc_id-derived PII
     suffix (email + url + long number) — the SQL oracle builds the same
@@ -852,13 +887,12 @@ def _doc_redacted(sf_dir: str) -> pd.DataFrame:
         )
         return pa.table({"doc_id": t["doc_id"], "text": aug})
 
-    out = (
+    ds = (
         _docs_ds(sf_dir, ["doc_id", "text"])
         .map_batches(augment, batch_format="pyarrow")
         .map_batches(redact_pii, batch_format="pyarrow")
-        .to_pandas()[["doc_id", "red_text"]]
     )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _per_doc_result(ds, lambda df: df[["doc_id", "red_text"]], out_path)
 
 
 def _events_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:

@@ -270,6 +270,13 @@ class CrawlConfig:
     # pages' bytes — the cost model of a real fetch fleet, where bytes/wave
     # ∝ dispatches and fetch capacity scales with nodes.
     fetch_service_shards: int | None = None  # default: num_seen_shards
+    distributed_counts: bool = False  # carry host-visit counts as
+    # per-bucket object-store shards (politeness.CarriedCounts) instead of
+    # a driver Counter + per-wave ray.put broadcast — the 10^8-host form:
+    # the driver holds counts_buckets refs, each admission bucket task
+    # joins its frontier slice against its own shard, and the per-wave
+    # host_counts snapshot is written per bucket from inside those tasks.
+    counts_buckets: int = 32
     curate: bool = False  # inline text curation (stages/curate.py): lang ID,
     # token counts and quality features computed in the SAME task that
     # parsed the page and written as extra rec=t checkpoint columns — the
@@ -430,7 +437,10 @@ class CrawlRun:
         dirs = self.wave_dirs()
         if not dirs:
             return Counter()
-        t = pq.read_table(dirs[-1] / "host_counts.parquet")
+        p = dirs[-1] / "host_counts.parquet"
+        if p.is_dir() and not any(p.glob("*.parquet")):
+            return Counter()  # distributed carry, no host ever admitted
+        t = pq.read_table(p)
         return Counter(dict(zip(t["host"].to_pylist(), t["dispatches"].to_pylist())))
 
     def _parsed(self, rec: str, columns: list[str]) -> pa.Table:
@@ -852,13 +862,29 @@ def run_crawl(
         cfg.seen_fpp,
         cfg.approx_seen,
     )
-    counts: Counter = Counter()
+    counts: "Counter | politeness.CarriedCounts" = (
+        politeness.CarriedCounts.empty(cfg.counts_buckets)
+        if cfg.distributed_counts
+        else Counter()
+    )
     wave = 0
 
     if resume and run.wave_dirs():
         last = run.wave_dirs()[-1]
         wave = int(last.name.split("=")[1]) + 1
-        counts = run.host_counts()
+        snap = last / "host_counts.parquet"
+        if cfg.distributed_counts and snap.is_dir():
+            # per-bucket shards restore straight into the object store
+            counts = politeness.CarriedCounts.restore(
+                str(snap), cfg.counts_buckets
+            )
+        elif cfg.distributed_counts:
+            # checkpoint written by the driver-Counter form: re-shard it
+            counts = politeness.CarriedCounts.from_counter(
+                run.host_counts(), cfg.counts_buckets
+            )
+        else:
+            counts = run.host_counts()
         archive = run.archive()
         if archive.num_rows:
             seen.restore(
@@ -963,19 +989,39 @@ def _run_wave(
         part_files = (
             sorted(fpath.glob("*.parquet")) if fpath.is_dir() else [fpath]
         )
-        admitted, m = politeness.admit_ray(
-            [read.remote(str(f)) for f in part_files],
-            counts,
-            cfg.host_limit,
-            cfg.priority,
-        )
+        if isinstance(counts, politeness.CarriedCounts):
+            admitted, m, snap_barriers = politeness.admit_carried(
+                [read.remote(str(f)) for f in part_files],
+                counts,
+                cfg.host_limit,
+                cfg.priority,
+                snapshot_dir=str(wave_dir / "host_counts.parquet"),
+            )
+        else:
+            admitted, m = politeness.admit_ray(
+                [read.remote(str(f)) for f in part_files],
+                counts,
+                cfg.host_limit,
+                cfg.priority,
+            )
     else:
         frontier = politeness.with_host(frontier)
         if robots is not None:
             frontier, n_robots = robots.filter_frontier(frontier)
             if n_robots:
                 wave_metrics["dropped_robots"] = n_robots
-        if frontier.num_rows <= cfg.ray_state_threshold:
+        if isinstance(counts, politeness.CarriedCounts):
+            # distributed carry admits via the bucket exchange at EVERY
+            # size (the counts shards live in the object store; there is
+            # no driver Counter for admit_local to read)
+            admitted, m, snap_barriers = politeness.admit_carried(
+                frontier,
+                counts,
+                cfg.host_limit,
+                cfg.priority,
+                snapshot_dir=str(wave_dir / "host_counts.parquet"),
+            )
+        elif frontier.num_rows <= cfg.ray_state_threshold:
             admitted, m = politeness.admit_local(
                 frontier, counts, cfg.host_limit, cfg.priority
             )
@@ -1384,17 +1430,26 @@ def _run_wave(
         )
 
     # ---- carried state snapshots + lineage --------------------------------
-    pq.write_table(
-        pa.table(
-            {
-                "host": pa.array(sorted(counts.keys()), pa.string()),
-                "dispatches": pa.array(
-                    [counts[h] for h in sorted(counts)], pa.int64()
-                ),
-            }
-        ),
-        wave_dir / "host_counts.parquet",
-    )
+    if isinstance(counts, politeness.CarriedCounts):
+        # per-bucket snapshots were written from inside the admission gate
+        # tasks (touched buckets: implied done by the admitted gather) /
+        # tiny copy tasks (untouched buckets: barrier here) — the driver
+        # never serializes a host-keyed table
+        import ray as _ray_mod
+
+        _ray_mod.get(snap_barriers)
+    else:
+        pq.write_table(
+            pa.table(
+                {
+                    "host": pa.array(sorted(counts.keys()), pa.string()),
+                    "dispatches": pa.array(
+                        [counts[h] for h in sorted(counts)], pa.int64()
+                    ),
+                }
+            ),
+            wave_dir / "host_counts.parquet",
+        )
     nonzero = sorted(k for k, v in wave_metrics.items() if v)
     pq.write_table(
         pa.table(
@@ -1454,6 +1509,12 @@ def main() -> None:
         "of per-wave corpus scans",
     )
     ap.add_argument(
+        "--distributed-counts",
+        action="store_true",
+        help="carry host-visit counts as per-bucket object-store shards "
+        "(the 10^8-host form) instead of a driver Counter",
+    )
+    ap.add_argument(
         "--curate",
         action="store_true",
         help="inline text curation: language ID, token counts and quality "
@@ -1482,6 +1543,7 @@ def main() -> None:
             host_limit=args.host_limit,
             faithful_depth=not args.increment_depth,
             use_fetch_service=args.fetch_service,
+            distributed_counts=args.distributed_counts,
             curate=args.curate,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)

@@ -193,27 +193,16 @@ def _prep_block_task():
     return _PREP_BLOCK_TASK
 
 
-def admit_ray(
-    frontier_ds,
-    counts: Counter,
-    limit: int = 256,
-    priority: str = "canonical",
-) -> tuple[pa.Table, Counter]:
-    """Shuffle-native admission over frontier rows (url, kind, depth, host)
-    given as a Dataset, a driver Table, or a LIST of Arrow-table object
-    refs (the crawl's big-frontier form: plain read tasks per checkpoint
-    part, no per-wave streaming-executor launch).
-    Broadcasts the prior counts once (ray.put); each host
-    group admits independently in canonical order. Returns the same
-    (admitted, metrics) as admit_local and applies the same counts update.
-
-    Scale note: at 10^8+ hosts the broadcast dict is replaced by unioning a
-    counts table into the groupby (same group function reads the carrier
-    row); the broadcast form is used here because counts ≪ frontier in all
-    sandbox workloads."""
+def _prep_valid(
+    frontier_ds, limit: int, priority: str
+) -> "tuple[pa.Table, int, int, dict | None]":
+    """Shared map side of the admission exchange: attach host keys, count
+    total/valid rows, and apply the per-host top-(limit+1) combiner —
+    distributed per frontier block when the input is a Dataset / list of
+    table refs, one vectorized pass when the coordinator already holds the
+    wave table. Returns (pruned valid table, n_total, n_valid_in,
+    per-host wave counts or None)."""
     import ray
-
-    from .shuffle import bucketed_exchange_tasks
 
     # Hot-host skew bound (the "salting" of the north-star design): a host
     # can never admit more than limit+1 rows total, so rows ranked past
@@ -282,6 +271,43 @@ def admit_ray(
                 [wc.get(h, 0) for h in valid["host"].to_pylist()], pa.int64()
             ),
         )
+    return valid, n_total, n_valid_in, wave_counts
+
+
+_ADMITTED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("kind", pa.string()),
+        ("depth", pa.int32()),
+        ("host", pa.string()),
+    ]
+)
+
+
+def admit_ray(
+    frontier_ds,
+    counts: Counter,
+    limit: int = 256,
+    priority: str = "canonical",
+) -> tuple[pa.Table, Counter]:
+    """Shuffle-native admission over frontier rows (url, kind, depth, host)
+    given as a Dataset, a driver Table, or a LIST of Arrow-table object
+    refs (the crawl's big-frontier form: plain read tasks per checkpoint
+    part, no per-wave streaming-executor launch).
+    Broadcasts the prior counts once (ray.put); each host
+    group admits independently in canonical order. Returns the same
+    (admitted, metrics) as admit_local and applies the same counts update.
+
+    Scale note: at 10^8+ hosts the broadcast dict stops fitting — that is
+    ``admit_carried``, which shards the counts per bucket and never holds
+    them on the driver; this form is used where counts ≪ frontier."""
+    import ray
+
+    from .shuffle import bucketed_exchange_tasks
+
+    valid, n_total, n_valid_in, _wave_counts = _prep_valid(
+        frontier_ds, limit, priority
+    )
     counts_ref = ray.put(dict(counts))
 
     def gate_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -320,3 +346,282 @@ def admit_ray(
     metrics["dropped_hostless"] = int(n_total - n_valid_in)
     metrics["dropped_budget"] = int(n_valid_in - admitted.num_rows)
     return admitted, metrics
+
+
+# --------------------------------------------------------------------------
+# Distributed host-counts carry (the 10^8-host form)
+# --------------------------------------------------------------------------
+
+_GATE_CARRIED_TASK = None
+_SNAP_TASK = None
+_READ_COUNTS_TASK = None
+
+
+def _gate_carried_task():
+    """Module-singleton bucket gate for the carried-counts exchange: admits
+    this bucket's frontier slice against ITS OWN counts shard, returns the
+    admitted rows and the post-admission counts shard as two separate
+    objects (the driver keeps the counts ref without dereferencing it),
+    and — when a snapshot path is given — writes the shard's per-wave
+    parquet snapshot from inside the same task (state write fused with the
+    admission exchange: no extra task wave, no driver serialization)."""
+    global _GATE_CARRIED_TASK
+    if _GATE_CARRIED_TASK is None:
+        import ray
+
+        @ray.remote(num_returns=2)
+        def gate_carried(
+            part: pa.Table,
+            counts_tbl: "pa.Table | None",
+            limit: int,
+            priority: str,
+            snap_path: "str | None",
+        ):
+            from .shuffle import _as_arrow
+
+            df = _as_arrow(part).to_pandas()
+            prior_map: dict = (
+                dict(
+                    zip(
+                        counts_tbl["host"].to_pylist(),
+                        counts_tbl["dispatches"].to_pylist(),
+                    )
+                )
+                if counts_tbl is not None and counts_tbl.num_rows
+                else {}
+            )
+            pairs = [
+                (c, a)
+                for c, a in zip(*PRIORITY_MODES[priority])
+                if c in df.columns
+            ]
+            sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
+            ascending = [True] + [a for c, a in pairs if c != "host"]
+            df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            rank = df.groupby("host", sort=False).cumcount()
+            prior = df["host"].map(prior_map).fillna(0).astype(int)
+            adm = df[(prior + rank) <= limit]
+            for h, c in adm["host"].value_counts().items():
+                prior_map[h] = int(prior_map.get(h, 0)) + int(c)
+            hosts = sorted(prior_map)
+            new_counts = pa.table(
+                {
+                    "host": pa.array(hosts, pa.string()),
+                    "dispatches": pa.array(
+                        [prior_map[h] for h in hosts], pa.int64()
+                    ),
+                }
+            )
+            if snap_path is not None:
+                import pyarrow.parquet as pq
+
+                pq.write_table(new_counts, snap_path)
+            admitted = pa.Table.from_pandas(
+                adm[["url", "kind", "depth", "host"]], preserve_index=False
+            ).cast(_ADMITTED_SCHEMA)
+            return admitted, new_counts
+
+        _GATE_CARRIED_TASK = gate_carried
+    return _GATE_CARRIED_TASK
+
+
+def _snap_task():
+    """Snapshot an UNTOUCHED bucket's counts shard (no frontier rows this
+    wave) to its per-wave parquet — a tiny copy task per shard, so every
+    wave's host_counts dir is a complete restore point."""
+    global _SNAP_TASK
+    if _SNAP_TASK is None:
+        import ray
+
+        @ray.remote
+        def snap(counts_tbl: pa.Table, snap_path: str) -> None:
+            import pyarrow.parquet as pq
+
+            pq.write_table(counts_tbl, snap_path)
+
+        _SNAP_TASK = snap
+    return _SNAP_TASK
+
+
+def _read_counts_task():
+    global _READ_COUNTS_TASK
+    if _READ_COUNTS_TASK is None:
+        import ray
+
+        @ray.remote
+        def read_counts(path: str) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            return pq.read_table(path)
+
+        _READ_COUNTS_TASK = read_counts
+    return _READ_COUNTS_TASK
+
+
+class CarriedCounts:
+    """Host-visit counts carried as ``n_buckets`` per-bucket Arrow shards
+    held in the OBJECT STORE (one ref per bucket, ``hash(host) %
+    n_buckets`` — the same bucket space the admission exchange uses), so
+    the driver holds B refs and never a host-keyed dict. This is the
+    documented 10^8-host form of ST2's carried state: at design scale the
+    driver Counter + per-wave ``ray.put`` broadcast stops fitting; here
+    each admission bucket task reads exactly its own shard and emits the
+    updated shard + its per-wave parquet snapshot."""
+
+    def __init__(self, refs: "list") -> None:
+        self.refs = list(refs)
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.refs)
+
+    @classmethod
+    def empty(cls, n_buckets: int = 32) -> "CarriedCounts":
+        return cls([None] * n_buckets)
+
+    @classmethod
+    def from_counter(cls, counts: Counter, n_buckets: int = 32) -> "CarriedCounts":
+        import ray
+
+        from .shuffle import _bucket_ids
+
+        refs: list = [None] * n_buckets
+        if counts:
+            hosts = pa.array(sorted(counts), pa.string())
+            b = _bucket_ids(hosts, n_buckets)
+            for bucket in np.unique(b):
+                sel = b == bucket
+                hs = [h for h, s in zip(hosts.to_pylist(), sel) if s]
+                refs[int(bucket)] = ray.put(
+                    pa.table(
+                        {
+                            "host": pa.array(hs, pa.string()),
+                            "dispatches": pa.array(
+                                [counts[h] for h in hs], pa.int64()
+                            ),
+                        }
+                    )
+                )
+        return cls(refs)
+
+    @classmethod
+    def restore(cls, snapshot_dir: str, n_buckets: int = 32) -> "CarriedCounts":
+        """Resume from a per-wave snapshot dir WITHOUT driver
+        materialization: one read task per bucket file, refs kept."""
+        from pathlib import Path
+
+        read = _read_counts_task()
+        refs: list = [None] * n_buckets
+        for f in sorted(Path(snapshot_dir).glob("bucket_*.parquet")):
+            b = int(f.stem.split("_")[1])
+            refs[b] = read.remote(str(f))
+        return cls(refs)
+
+    def to_counter(self) -> Counter:
+        """Gather to a driver Counter — accessor for tests / small scale
+        (this is the one deliberately corpus-∝-hosts gather; the crawl
+        itself never calls it)."""
+        import ray
+
+        out: Counter = Counter()
+        for r in self.refs:
+            if r is not None:
+                t = ray.get(r)
+                out.update(
+                    dict(
+                        zip(t["host"].to_pylist(), t["dispatches"].to_pylist())
+                    )
+                )
+        return out
+
+
+def admit_carried(
+    frontier_ds,
+    carried: CarriedCounts,
+    limit: int = 256,
+    priority: str = "canonical",
+    snapshot_dir: "str | None" = None,
+) -> "tuple[pa.Table, Counter, list]":
+    """Admission with the counts carried as per-bucket object-store shards
+    (see CarriedCounts) instead of a driver Counter: identical admission
+    semantics to admit_local / admit_ray (equivalence-tested), but no
+    host-keyed state ever lands on the driver — each bucket's gate task
+    joins its frontier slice against its own counts shard and emits the
+    updated shard. ``carried`` is updated IN PLACE (refs swap). When
+    ``snapshot_dir`` is set, every non-empty shard's per-wave parquet
+    snapshot is written from inside the gate tasks (touched buckets,
+    fused) or a tiny copy task (untouched buckets); returns those write
+    barriers as the third element — the caller ray.gets them before its
+    wave-commit marker."""
+    import ray
+
+    from .shuffle import _bucket_ids
+
+    if snapshot_dir is not None:
+        from pathlib import Path
+
+        Path(snapshot_dir).mkdir(parents=True, exist_ok=True)
+
+    valid, n_total, n_valid_in, _wc = _prep_valid(frontier_ds, limit, priority)
+    n = carried.n_buckets
+    gate = _gate_carried_task()
+    snap = _snap_task()
+
+    admitted_refs: list = []
+    new_refs: list = [None] * n
+    barriers: list = []
+    touched = np.zeros(n, dtype=bool)
+    if valid.num_rows:
+        buckets = _bucket_ids(valid["host"], n)
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = valid.take(pa.array(order))
+        bounds = np.searchsorted(buckets[order], np.arange(n + 1))
+        for b in range(n):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            if hi > lo:
+                touched[b] = True
+                spath = (
+                    f"{snapshot_dir}/bucket_{b:05d}.parquet"
+                    if snapshot_dir is not None
+                    else None
+                )
+                adm_ref, cnt_ref = gate.remote(
+                    sorted_tbl.slice(lo, hi - lo),
+                    carried.refs[b],
+                    limit,
+                    priority,
+                    spath,
+                )
+                admitted_refs.append(adm_ref)
+                new_refs[b] = cnt_ref
+    for b in range(n):
+        if not touched[b]:
+            new_refs[b] = carried.refs[b]
+            if snapshot_dir is not None and carried.refs[b] is not None:
+                barriers.append(
+                    snap.remote(
+                        carried.refs[b],
+                        f"{snapshot_dir}/bucket_{b:05d}.parquet",
+                    )
+                )
+    parts = [t for t in ray.get(admitted_refs) if t.num_rows]
+    # getting an admitted output implies its gate task finished, i.e. its
+    # fused snapshot file is on disk — touched buckets need no barrier
+    admitted = (
+        priority_sort(
+            pa.concat_tables(parts).combine_chunks(), priority
+        )
+        if parts
+        else _ADMITTED_SCHEMA.empty_table()
+    )
+    if "host_wave_rows" in admitted.column_names:
+        admitted = admitted.drop_columns(["host_wave_rows"])
+    admitted = admitted.select(["url", "kind", "depth", "host"]).cast(
+        _ADMITTED_SCHEMA
+    )
+    carried.refs = new_refs
+
+    metrics: Counter = Counter()
+    metrics["dropped_hostless"] = int(n_total - n_valid_in)
+    metrics["dropped_budget"] = int(n_valid_in - admitted.num_rows)
+    return admitted, metrics, barriers

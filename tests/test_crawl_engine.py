@@ -320,6 +320,51 @@ def test_streaming_probe_bit_identical_to_driver_path(t1_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_distributed_counts_bit_identical_and_resumable(t1_corpus, tmp_path):
+    """distributed_counts=True (host counts carried as per-bucket
+    object-store shards, snapshots written per bucket from the admission
+    tasks — no driver Counter anywhere) must reproduce the default run
+    bit-for-bit, and a resume that restores the per-bucket snapshot
+    straight into the object store must match an uninterrupted run."""
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    a = run_crawl(
+        path, seeds, str(tmp_path / "drv"), CrawlConfig(num_seen_shards=2)
+    )
+    cfg = CrawlConfig(
+        num_seen_shards=2, distributed_counts=True, counts_buckets=8
+    )
+    b = run_crawl(path, seeds, str(tmp_path / "dist"), cfg)
+    assert b.n_waves() == a.n_waves()
+    assert b.order().equals(a.order())
+    assert b.archive().equals(a.archive())
+    assert b.host_counts() == a.host_counts()
+    assert b.texts() == a.texts()
+    assert b.metrics() == a.metrics()
+    # snapshot layout: a DIRECTORY of per-bucket files on every wave
+    for d in b.wave_dirs():
+        snap = d / "host_counts.parquet"
+        assert snap.is_dir() and list(snap.glob("bucket_*.parquet")), d
+
+    run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "dcrash"),
+        CrawlConfig(
+            num_seen_shards=2,
+            distributed_counts=True,
+            counts_buckets=8,
+            max_waves=3,
+        ),
+    )
+    resumed = run_crawl(path, seeds, str(tmp_path / "dcrash"), cfg, resume=True)
+    assert resumed.order().equals(a.order())
+    assert resumed.archive().equals(a.archive())
+    assert resumed.host_counts() == a.host_counts()
+    assert resumed.metrics() == a.metrics()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_streaming_probe_crash_resume(t1_corpus, tmp_path):
     """Crash-mid-wave resume must also reproduce the run through the
     streaming probe path."""

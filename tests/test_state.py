@@ -160,6 +160,59 @@ def test_admit_ray_equivalent_to_local():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_admit_carried_equivalent_to_local(tmp_path):
+    """The distributed host-counts carry (per-bucket object-store shards,
+    politeness.CarriedCounts) must admit exactly what admit_local admits,
+    update the carried counts identically across TWO waves (carry), and
+    write a complete per-bucket snapshot restorable without a driver
+    gather."""
+    from crawler_ray.stages.politeness import (
+        CarriedCounts,
+        admit_carried,
+        admit_local,
+        with_host,
+    )
+
+    rng = np.random.default_rng(11)
+    waves = []
+    for w in range(2):
+        rows = [
+            (
+                f"http://h{rng.integers(6)}.test/w{w}p{i}",
+                "page" if i % 3 else "image",
+                0,
+            )
+            for i in range(1_500)
+        ]
+        rows += [("mailto:x@y", "page", 0)] * 2
+        waves.append(with_host(_frontier(rows)))
+
+    counts_a = Counter({"h0.test": 200, "h1.test": 256})
+    carried = CarriedCounts.from_counter(
+        Counter({"h0.test": 200, "h1.test": 256}), n_buckets=8
+    )
+    for w, f in enumerate(waves):
+        local, m_local = admit_local(f, counts_a, limit=256)
+        snap = tmp_path / f"wave{w}"
+        dist, m_dist, barriers = admit_carried(
+            f, carried, limit=256, snapshot_dir=str(snap)
+        )
+        import ray
+
+        ray.get(barriers)
+        assert local.select(["url", "kind", "depth"]).equals(
+            dist.select(["url", "kind", "depth"]).cast(
+                local.select(["url", "kind", "depth"]).schema
+            )
+        ), f"wave {w}"
+        assert m_local == m_dist, f"wave {w}"
+        assert carried.to_counter() == counts_a, f"wave {w}"
+        # snapshot restores to the same state, shard-for-shard
+        restored = CarriedCounts.restore(str(snap), n_buckets=8)
+        assert restored.to_counter() == counts_a, f"wave {w}"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_probe_idempotent_under_retry():
     """A retried probe presenting the same probe_id must get its ORIGINAL
     mask back (not all-False), and the memo must clear on end_epoch."""

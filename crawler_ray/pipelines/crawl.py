@@ -477,17 +477,28 @@ class CrawlRun:
         return t
 
     def image_files(self) -> dict[str, str]:
-        """filename → url of the canonically-last write (overwrite wins)."""
-        out: dict[str, str] = {}
-        for d in self.wave_dirs():
+        """filename → url of the canonically-last write (overwrite wins).
+        One sort + one keep-last dedup kernel over all waves' image rows
+        (global order = (wave, url) ascending), no per-row Python loop."""
+        parts = []
+        for w, d in enumerate(self.wave_dirs()):
             sub = d / "parsed" / "rec=i"
             if sub.exists() and any(sub.glob("*.parquet")):
                 t = pq.read_table(sub, columns=["url", "filename"])
-                # canonical within-wave order
-                t = t.sort_by([("url", "ascending")])
-                for u, f in zip(t["url"].to_pylist(), t["filename"].to_pylist()):
-                    out[f] = u
-        return out
+                parts.append(
+                    t.append_column(
+                        "wave", pa.array(np.full(t.num_rows, w, dtype=np.int32))
+                    )
+                )
+        if not parts:
+            return {}
+        df = (
+            pa.concat_tables(parts)
+            .sort_by([("wave", "ascending"), ("url", "ascending")])
+            .to_pandas()
+            .drop_duplicates("filename", keep="last")
+        )
+        return dict(zip(df["filename"], df["url"]))
 
     def export_images(self, dest_dir: str) -> int:
         """Reference image-sink parity (main.rs:271-278): write each image's
@@ -546,15 +557,27 @@ def _probe_new(
         # key-dedup before the probe is free of ordering concerns
         pass
     # wave-level self-dedup: links are discovered by many pages (~fan-in×),
-    # so dropping duplicate keys first shrinks the probe by that factor
+    # so dropping duplicate keys first shrinks the probe by that factor.
+    # Same vectorized sort + adjacent-neq kernel as the streaming path
+    # (_dedup_bucket): findings were just sorted on the key columns above
+    # (non-faithful) or are key-identical in every column that matters
+    # (faithful — sort only for adjacency), so keep-first == keep-min.
+    if faithful_depth:
+        findings = findings.sort_by(
+            [("url", "ascending"), ("kind", "ascending"), ("depth", "ascending")]
+        )
     keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
-    import pandas as pd
-
-    first_mask = ~pd.Series(keys.to_pylist()).duplicated(keep="first")
-    if not bool(first_mask.all()):
-        findings = findings.filter(pa.array(first_mask.to_numpy()))
-        keys = finding_keys(findings["url"], findings["kind"], findings["depth"])
-    mask = seen.probe_and_insert(keys)
+    k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    if len(k) > 1:
+        neq = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first = np.concatenate([[True], neq])
+        if not first.all():
+            m = pa.array(first)
+            findings = findings.filter(m)
+            k = k.filter(m)
+    mask = seen.probe_and_insert(k)
     return _canonical_findings_sort(findings.filter(pa.array(mask)))
 
 

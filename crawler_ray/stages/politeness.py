@@ -75,13 +75,20 @@ def attach_priority_columns(tbl: pa.Table, priority: str) -> pa.Table:
     """Attach any computed columns a priority mode sorts on (per-wave
     aggregates). For hot_host_first this is the wave's per-host row count."""
     if priority == "hot_host_first" and "host_wave_rows" not in tbl.column_names:
-        counts = Counter(h for h in tbl["host"].to_pylist() if h is not None)
-        tbl = tbl.append_column(
-            "host_wave_rows",
-            pa.array(
-                [counts.get(h, 0) for h in tbl["host"].to_pylist()], pa.int64()
-            ),
-        )
+        # vectorized: dictionary-encode the host column once, count codes
+        # with one bincount, gather counts back by code — no Python loop
+        # over hosts on the wave-prep path
+        h = tbl["host"]
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        enc = h.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)  # float64 w/ NaN nulls
+        valid = ~np.isnan(idx)
+        codes = idx[valid].astype(np.int64)
+        counts = np.bincount(codes, minlength=len(enc.dictionary))
+        rows = np.zeros(len(idx), dtype=np.int64)
+        rows[valid] = counts[codes]
+        tbl = tbl.append_column("host_wave_rows", pa.array(rows, pa.int64()))
     return tbl
 
 

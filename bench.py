@@ -488,8 +488,76 @@ def run_scaling() -> dict:
     }
 
 
+def run_approx_demo() -> dict:
+    """Design-scale seen-set mode, end to end at the 90k-page scaling
+    corpus: exact vs approx_seen+cuckoo crawls on identical input, report
+    the archive delta (must sit under the filter's false-positive budget)
+    and the per-shard filter memory — the evidence row BASELINE.md cites
+    for the 10^10-key design point, where the exact backing set cannot
+    exist and the fpp-bounded drop is the accepted trade."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from crawler_ray import fixtures
+    from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus, _, n_pages = ensure_corpus("scaling")
+    seeds = [
+        fixtures.page_url(i, j)
+        for i in range(SCALING_SIZE[0])
+        for j in range(0, SCALING_SIZE[1], 6)
+    ]
+    shards = max(2, NUM_CPUS // 4)
+    results = {}
+    for mode, cfg in [
+        ("exact", CrawlConfig(num_seen_shards=shards, use_fetch_service=True)),
+        (
+            "approx_cuckoo",
+            CrawlConfig(
+                num_seen_shards=shards,
+                use_fetch_service=True,
+                approx_seen=True,
+                seen_filter="cuckoo",
+                seen_capacity_per_shard=1_000_000,
+            ),
+        ),
+    ]:
+        out = f"/tmp/crawler_ray/approx_demo_{mode}_{NUM_CPUS}"
+        t0 = time.perf_counter()
+        run = run_crawl(corpus, seeds, out, cfg)
+        sec = time.perf_counter() - t0
+        stats = json.loads((Path(out) / "seen_stats.json").read_text())
+        results[mode] = {
+            "sec": round(sec, 2),
+            "archive_rows": run.archive().num_rows,
+            "dispatched": run.order().num_rows,
+            "filter_bytes_per_shard": stats[0]["bloom_bytes"],
+            "n_exact_per_shard": stats[0]["n_exact"],
+        }
+    delta = results["exact"]["archive_rows"] - results["approx_cuckoo"]["archive_rows"]
+    ray.shutdown()
+    return {
+        "metric": "approx-seen (cuckoo) vs exact archive delta, scaling corpus",
+        "corpus_pages": n_pages,
+        **{f"{m}_{k}": v for m, r in results.items() for k, v in r.items()},
+        "archive_delta_rows": delta,
+        "archive_delta_frac": round(
+            delta / max(results["exact"]["archive_rows"], 1), 6
+        ),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--approx-demo" in sys.argv:
+        print(json.dumps(run_approx_demo()))
     else:
         print(json.dumps(run_bench()))

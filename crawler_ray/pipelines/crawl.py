@@ -239,7 +239,10 @@ class CrawlConfig:
     num_seen_shards: int = 8
     seen_capacity_per_shard: int = 1_000_000
     seen_fpp: float = 0.01
-    approx_seen: bool = False  # design-scale mode: bloom only, no exact set
+    approx_seen: bool = False  # design-scale mode: filter only, no exact set
+    seen_filter: str = "bloom"  # | "cuckoo" — the probe filter backend each
+    # seen shard holds (north_rule names both; cuckoo supports deletion and
+    # runs ~2 bytes/key at its fixed fingerprint width)
     batch_size: int = 256  # pages per parse batch
     ray_state_threshold: int = 50_000  # rows above which state ops go via Ray
     scan_pushdown_limit: int = 10_000  # wave lookups above which scan skips isin
@@ -884,6 +887,7 @@ def run_crawl(
         cfg.seen_capacity_per_shard,
         cfg.seen_fpp,
         cfg.approx_seen,
+        filter_kind=cfg.seen_filter,
     )
     counts: "Counter | politeness.CarriedCounts" = (
         politeness.CarriedCounts.empty(cfg.counts_buckets)
@@ -957,6 +961,13 @@ def run_crawl(
             )
             wave += 1
     finally:
+        try:
+            # shard memory/occupancy report (design-scale evidence: the
+            # seen state is the crawl's only unbounded carry) — written
+            # before the actor pool dies so post-run tooling can read it
+            (out / "seen_stats.json").write_text(json.dumps(seen.stats()))
+        except Exception:
+            pass  # stats are diagnostics; never fail a finished crawl
         seen.shutdown()
         if fetch_service is not None:
             fetch_service.shutdown()

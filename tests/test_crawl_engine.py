@@ -320,6 +320,74 @@ def test_streaming_probe_bit_identical_to_driver_path(t1_corpus, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cuckoo_approx_seen_end_to_end(tmp_path):
+    """Design-scale seen-set mode, end to end at t2 scale (50×100 corpus):
+    approx_seen=True with the CUCKOO backend must terminate, never
+    dispatch a Finding key twice, lose at most fpp-bounded archive rows vs
+    the exact run, and report per-shard filter memory (no exact set held)
+    via the run's seen_stats.json."""
+    import json as _json
+
+    import pyarrow.parquet as pq2
+
+    tbl = fixtures.gen_corpus(50, 100)
+    path = tmp_path / "t2corpus.parquet"
+    pq2.write_table(tbl, path)
+    seeds = fixtures.default_seeds(50)
+
+    exact = run_crawl(
+        str(path), seeds, str(tmp_path / "ex"), CrawlConfig(num_seen_shards=4)
+    )
+    approx = run_crawl(
+        str(path),
+        seeds,
+        str(tmp_path / "ap"),
+        CrawlConfig(
+            num_seen_shards=4,
+            approx_seen=True,
+            seen_filter="cuckoo",
+            seen_capacity_per_shard=100_000,
+        ),
+    )
+
+    def keyset(run):
+        a = run.archive()
+        return set(
+            zip(a["url"].to_pylist(), a["kind"].to_pylist(), a["depth"].to_pylist())
+        )
+
+    ks_exact, ks_approx = keyset(exact), keyset(approx)
+    assert ks_approx <= ks_exact  # a false positive only DROPS, never adds
+    # archive delta bounded by the filter's false-positive budget: the
+    # 16-bit-fingerprint cuckoo's fp rate is ~1e-4 per probe, so allow a
+    # generous 1% of the exact archive and require an explicit count
+    missing = len(ks_exact) - len(ks_approx)
+    assert missing <= max(5, 0.01 * len(ks_exact)), missing
+
+    # no Finding key dispatches twice — except seeds, which the reference
+    # never archives (main.rs:87-92: seeds enqueue directly; only response
+    # findings enter the archive), so a seed rediscovered as a link may
+    # legitimately dispatch a second time
+    o = approx.order()
+    keys = list(
+        zip(o["url"].to_pylist(), o["kind"].to_pylist(), o["depth"].to_pylist())
+    )
+    from collections import Counter as C
+
+    seed_keys = {(s, "page", 0) for s in seeds}
+    dupes = {k for k, c in C(keys).items() if c > 1}
+    assert dupes <= seed_keys, dupes - seed_keys
+
+    stats = _json.loads((tmp_path / "ap" / "seen_stats.json").read_text())
+    assert len(stats) == 4
+    for s in stats:
+        assert s["n_exact"] is None  # design-scale mode: no exact set held
+        assert s["bloom_bytes"] > 0  # per-shard filter memory reported
+    ex_stats = _json.loads((tmp_path / "ex" / "seen_stats.json").read_text())
+    assert all(s["n_exact"] is not None for s in ex_stats)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_distributed_counts_bit_identical_and_resumable(t1_corpus, tmp_path):
     """distributed_counts=True (host counts carried as per-bucket
     object-store shards, snapshots written per bucket from the admission

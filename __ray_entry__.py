@@ -825,8 +825,21 @@ def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
-    """Image-decode plumbing demo: document text bytes as opaque payloads →
-    wrap → actor-pool decode (deterministic fake codec)."""
+    """Image-decode PLUMBING demo: document text bytes as opaque payloads →
+    wrap → actor-pool decode.
+
+    FAKE-CODEC DISCLOSURE (do not mistake the pinned oracle for real
+    decode coverage): no image library ships in this container, so the
+    decode stage runs DecodeImage's deterministic fake (dims/features
+    derived from content hashes) and the pinned truth certifies the
+    Ray-side plumbing only — schema, content-derived media ids,
+    byte-sized batching, actor-pool shape, payload drop. The REAL codec
+    branch is what runs wherever pillow is installed (DecodeImage picks
+    it up per actor with no code change) and is tested both ways:
+    strict-mode raise without a codec + stand-in codec dispatch
+    (tests/test_functions.py::test_decode_image_real_codec_path) and a
+    genuine PNG through real PIL under skip-if-absent
+    (test_decode_image_with_real_pil)."""
     from crawler_ray.functions.multimodal import DecodeImage, wrap_binary
 
     ds = _docs_ds(sf_dir, ["text"]).map_batches(

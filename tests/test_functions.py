@@ -693,6 +693,38 @@ def test_decode_image_real_codec_path():
         DecodeImage(codec="pil")  # no PIL in this container
 
 
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="pillow not installed in this container (honest codec stub)",
+)
+def test_decode_image_with_real_pil():
+    """The REAL PIL branch, exercised whenever pillow is installed: a
+    genuine encoded PNG must decode through DecodeImage(strict=True) with
+    correct dimensions/channels and a 16-dim feature grid — so deploying
+    this repo in an image-enabled environment turns the codec stub into a
+    tested real path with no code change (skips here: no pillow)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from crawler_ray.functions.multimodal import DecodeImage
+
+    buf = io.BytesIO()
+    arr = np.zeros((20, 32, 3), dtype=np.uint8)
+    arr[:, :16] = 255
+    Image.fromarray(arr).save(buf, format="PNG")
+
+    d = DecodeImage(strict=True)
+    assert d.codec is not None  # auto picked PIL up
+    w, h, c, feats = d._decode(buf.getvalue())
+    assert (w, h, c) == (32, 20, 3)
+    assert feats.shape == (16,)
+    # left half white, right half black in the 4x4 grayscale grid
+    grid = feats.reshape(4, 4)
+    assert (grid[:, :2] > 0.9).all() and (grid[:, 2:] < 0.1).all()
+
+
 def test_sig_estimate_matches_naive_gather():
     """_sig_estimate (chunked, reused gather buffers) must equal the naive
     one-shot smat[idx_a]==smat[idx_b] form bit-for-bit — the chunking is a

@@ -67,10 +67,17 @@ class FrontierRef:
     path (file or part-dir) plus its row count (from footers/probe
     counters). Waves above ``ray_state_threshold`` pass this between
     supersteps instead of a driver-held Arrow table; admission then reads
-    it as a Dataset and runs the distributed politeness prep."""
+    it as a Dataset and runs the distributed politeness prep — unless
+    ``prep`` carries the politeness.PreppedParts the PREVIOUS wave's sink
+    tasks already produced (host attach + top-(limit+1) prune fused into
+    the probe finalize, overlapping wave K's checkpoint tail), in which
+    case admission starts directly at the gate exchange. The parquet parts
+    are still written either way: ``prep`` is a same-process fast path,
+    resume always reconstructs from disk."""
 
     path: str
     num_rows: int  # same accessor name as pa.Table, so callers are agnostic
+    prep: "object | None" = None  # politeness.PreppedParts for the NEXT wave
 
 
 @functools.lru_cache(maxsize=4)
@@ -684,7 +691,7 @@ def _finalize_bucket(
     round-3 profile measured intermittent 5-30 s probe spikes from exactly
     that before this split)."""
     if t is None:
-        return None
+        return (None, None) if out_spec is not None else None
     new = t.filter(pa.array(mask)).drop_columns(["fkey"])
     if out_spec is None:
         return new
@@ -695,7 +702,7 @@ def _finalize_bucket(
     # canonical order; the cross-part order is by bucket id (file name),
     # and readers that need the global canonical order sort per wave
     # (CrawlRun.archive) — new-finding sets are order-insensitive.
-    archive_dir, frontier_dir, depth_limit, codec = out_spec
+    archive_dir, frontier_dir, depth_limit, codec, host_limit, priority = out_spec
     new = _canonical_findings_sort(new.cast(_FINDINGS_SCHEMA))
     n_new = new.num_rows
     if n_new:
@@ -713,7 +720,31 @@ def _finalize_bucket(
             Path(frontier_dir) / f"part-{bucket_id:05d}.parquet",
             compression=codec,
         )
-    return n_new, nf.num_rows
+    # NEXT wave's politeness prep, fused here: attach the host key, count
+    # valid rows, and run the per-host top-(limit+1) combiner on this
+    # bucket's frontier slice WHILE the current wave's tail is still
+    # draining — the next admission then starts directly at the gate
+    # exchange (politeness.PreppedParts), saving the frontier re-read and
+    # the prep task round every wave. The parquet part above is still the
+    # durable copy; resume rebuilds prep from disk.
+    prepped = None
+    n_valid = 0
+    hostc = None
+    if nf.num_rows:
+        v = politeness.with_host(nf)
+        valid = v.filter(pc.is_valid(v["host"]))
+        n_valid = valid.num_rows
+        if n_valid:
+            if priority == "hot_host_first":
+                import pandas as _pd
+
+                hostc = (
+                    _pd.Series(valid["host"].to_pylist())
+                    .value_counts()
+                    .to_dict()
+                )
+            prepped = politeness.presalt_prune(valid, host_limit, priority)
+    return (n_new, nf.num_rows, n_valid, hostc), prepped
 
 
 _PROBE_REMOTES = None
@@ -811,12 +842,19 @@ def _probe_submit(
     n_buckets = seen.num_shards * max(2, -(-16 // seen.num_shards))
     out_spec = None
     if sink is not None:
-        wave_dir, depth_limit, codec = sink
+        wave_dir, depth_limit, codec, host_limit, priority = sink
         archive_dir = Path(wave_dir) / "archive_delta.parquet"
         frontier_dir = Path(wave_dir) / "next_frontier.parquet"
         archive_dir.mkdir(parents=True, exist_ok=True)
         frontier_dir.mkdir(parents=True, exist_ok=True)
-        out_spec = (str(archive_dir), str(frontier_dir), depth_limit, codec)
+        out_spec = (
+            str(archive_dir),
+            str(frontier_dir),
+            depth_limit,
+            codec,
+            host_limit,
+            priority,
+        )
     split, dedup, finalize = _probe_remotes()
     slices = [
         split.options(num_returns=n_buckets).remote(r, n_buckets) for r in refs
@@ -828,7 +866,16 @@ def _probe_submit(
         mask_ref = seen.shards[s].probe_and_insert.remote(
             keys_ref, (wave, "wavebucket", b, s)
         )
-        futures.append(finalize.remote(t_ref, mask_ref, b, out_spec))
+        if out_spec is not None:
+            # sink mode returns (scalars, prepped-frontier slice) as two
+            # objects so the driver can keep the prep ref undereferenced
+            futures.append(
+                finalize.options(num_returns=2).remote(
+                    t_ref, mask_ref, b, out_spec
+                )
+            )
+        else:
+            futures.append(finalize.remote(t_ref, mask_ref, b, out_spec))
     dirs = (archive_dir, frontier_dir) if out_spec is not None else None
     return futures, out_spec, dirs
 
@@ -839,12 +886,24 @@ def _probe_collect(run: tuple, seen: SeenSet) -> "pa.Table | tuple[int, int]":
     import ray
 
     futures, out_spec, dirs = run
-    results = ray.get(futures)
-    seen.end_epoch()
     if out_spec is not None:
+        # sink futures are (scalars_ref, prep_ref) pairs: get the scalars,
+        # keep the prepped-frontier slices as refs for the next admission
+        scalars = ray.get([f[0] for f in futures])
+        prep_refs = [f[1] for f in futures]
+        seen.end_epoch()
         archive_dir, frontier_dir = dirs
-        n_new = sum(r[0] for r in results if r is not None)
-        n_next = sum(r[1] for r in results if r is not None)
+        n_new = sum(s[0] for s in scalars if s is not None)
+        n_next = sum(s[1] for s in scalars if s is not None)
+        n_valid = sum(s[2] for s in scalars if s is not None)
+        wave_counts = None
+        merged: dict = {}
+        for s in scalars:
+            if s is not None and s[3]:
+                for h, c in s[3].items():
+                    merged[h] = merged.get(h, 0) + int(c)
+        if merged:
+            wave_counts = merged
         # a dir a reader may open must contain ≥1 parquet file
         if n_new == 0:
             pq.write_table(
@@ -854,7 +913,10 @@ def _probe_collect(run: tuple, seen: SeenSet) -> "pa.Table | tuple[int, int]":
             pq.write_table(
                 FRONTIER_SCHEMA.empty_table(), frontier_dir / "part-empty.parquet"
             )
-        return n_new, n_next
+        prep = politeness.PreppedParts(prep_refs, n_next, n_valid, wave_counts)
+        return n_new, n_next, prep
+    results = ray.get(futures)
+    seen.end_epoch()
     parts = [t for t in results if t is not None and t.num_rows]
     if not parts:
         return _FINDINGS_SCHEMA.empty_table()
@@ -1015,17 +1077,24 @@ def _run_wave(
         # are cheaper on the driver fast-path anyway
         frontier = pq.read_table(frontier.path)
     if isinstance(frontier, FrontierRef):
-        # big frontier: it never enters driver memory — one plain read task
-        # per checkpoint part feeds the distributed politeness prep
-        # (per-block host attach + top-(limit+1) combiner in admit_ray)
-        read = _read_frontier_task()
-        fpath = Path(frontier.path)
-        part_files = (
-            sorted(fpath.glob("*.parquet")) if fpath.is_dir() else [fpath]
-        )
+        # big frontier: it never enters driver memory. Preferred input is
+        # the PREVIOUS wave's fused prep (politeness.PreppedParts riding on
+        # the FrontierRef — host attach + top-(limit+1) prune already ran
+        # inside the probe's sink tasks during wave K's tail); otherwise
+        # one plain read task per checkpoint part feeds the distributed
+        # prep (resume, or a driver-probed wave)
+        if frontier.prep is not None:
+            src = frontier.prep
+        else:
+            read = _read_frontier_task()
+            fpath = Path(frontier.path)
+            part_files = (
+                sorted(fpath.glob("*.parquet")) if fpath.is_dir() else [fpath]
+            )
+            src = [read.remote(str(f)) for f in part_files]
         if isinstance(counts, politeness.CarriedCounts):
             admitted, m, snap_barriers = politeness.admit_carried(
-                [read.remote(str(f)) for f in part_files],
+                src,
                 counts,
                 cfg.host_limit,
                 cfg.priority,
@@ -1033,7 +1102,7 @@ def _run_wave(
             )
         else:
             admitted, m = politeness.admit_ray(
-                [read.remote(str(f)) for f in part_files],
+                src,
                 counts,
                 cfg.host_limit,
                 cfg.priority,
@@ -1150,7 +1219,8 @@ def _run_wave(
             # checkpoint barrier below
             probe_run = _probe_submit(
                 rd, parsed_dir, seen, wave, None,
-                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
+                      cfg.host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
         _mark("svc_fused_dispatch")
@@ -1205,7 +1275,8 @@ def _run_wave(
             # overlap the probe with the parse tail (see the fused branch)
             probe_run = _probe_submit(
                 rd, parsed_dir, seen, wave, None,
-                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
+                      cfg.host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
         _mark("svc_route_dispatch")
@@ -1451,16 +1522,17 @@ def _run_wave(
         # Fat service waves submitted the chain alongside their parse
         # tasks (probe_run) — only the residual wait shows up here.
         if probe_run is not None:
-            n_new, n_next = _probe_collect(probe_run, seen)
+            n_new, n_next, next_prep = _probe_collect(probe_run, seen)
         else:
-            n_new, n_next = _probe_new_streaming(
+            n_new, n_next, next_prep = _probe_new_streaming(
                 rd, parsed_dir, seen, wave, parsed_mat,
-                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression),
+                sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
+                      cfg.host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
         _mark("seen_probe")
         next_frontier = FrontierRef(
-            str(wave_dir / "next_frontier.parquet"), n_next
+            str(wave_dir / "next_frontier.parquet"), n_next, prep=next_prep
         )
 
     # ---- carried state snapshots + lineage --------------------------------

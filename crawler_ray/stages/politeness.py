@@ -200,6 +200,28 @@ def _prep_block_task():
     return _PREP_BLOCK_TASK
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class PreppedParts:
+    """Pre-prepped admission input, produced UPSTREAM of the wave barrier:
+    the probe's sink tasks already attached host keys, counted rows and ran
+    the per-host top-(limit+1) combiner on each next-frontier slice while
+    the previous wave's checkpoint tail was still draining — so the next
+    wave's admission skips its frontier re-read AND its prep task round
+    and starts directly at the gate exchange. ``refs`` are object refs to
+    the pruned slices (None where a slice was empty); counts/wave_counts
+    carry the exact accounting the prep tasks would have produced
+    (equivalence: per-slice prune + global prune == global prune, the same
+    invariant the per-block prep path relies on)."""
+
+    refs: list
+    n_total: int
+    n_valid: int
+    wave_counts: "dict | None" = None
+
+
 def _prep_valid(
     frontier_ds, limit: int, priority: str
 ) -> "tuple[pa.Table, int, int, dict | None]":
@@ -207,9 +229,36 @@ def _prep_valid(
     total/valid rows, and apply the per-host top-(limit+1) combiner —
     distributed per frontier block when the input is a Dataset / list of
     table refs, one vectorized pass when the coordinator already holds the
-    wave table. Returns (pruned valid table, n_total, n_valid_in,
-    per-host wave counts or None)."""
+    wave table; a ``PreppedParts`` input skips the prep round entirely
+    (the previous wave's sink tasks already ran it). Returns (pruned valid
+    table, n_total, n_valid_in, per-host wave counts or None)."""
     import ray
+
+    if isinstance(frontier_ds, PreppedParts):
+        parts = [
+            t
+            for t in ray.get([r for r in frontier_ds.refs if r is not None])
+            if t is not None and t.num_rows
+        ]
+        if parts:
+            valid = presalt_prune(
+                pa.concat_tables(parts).combine_chunks(), limit, priority
+            )
+        else:
+            valid = FRONTIER_SCHEMA.empty_table().append_column(
+                "host", pa.array([], pa.string())
+            )
+        wc = frontier_ds.wave_counts
+        if priority == "hot_host_first" and "host_wave_rows" not in valid.column_names:
+            wcd = wc or {}
+            valid = valid.append_column(
+                "host_wave_rows",
+                pa.array(
+                    [wcd.get(h, 0) for h in valid["host"].to_pylist()],
+                    pa.int64(),
+                ),
+            )
+        return valid, frontier_ds.n_total, frontier_ds.n_valid, wc
 
     # Hot-host skew bound (the "salting" of the north-star design): a host
     # can never admit more than limit+1 rows total, so rows ranked past

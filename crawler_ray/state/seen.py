@@ -266,8 +266,14 @@ class SeenSet:
         return probe
 
     def end_epoch(self) -> None:
-        """Drop all shards' idempotency memos (wave is committed)."""
-        ray.get([s.clear_applied.remote() for s in self.shards])
+        """Drop all shards' idempotency memos (wave is committed).
+        Fire-and-forget: per-caller actor-task ordering guarantees every
+        clear lands before any later probe from this driver, the memos are
+        epoch-keyed (a missed clear self-expires on the next epoch's first
+        probe), and blocking here put one full shard round-trip on every
+        wave's critical path for no correctness gain."""
+        for s in self.shards:
+            s.clear_applied.remote()
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])

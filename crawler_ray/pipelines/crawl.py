@@ -736,12 +736,12 @@ def _finalize_bucket(
         n_valid = valid.num_rows
         if n_valid:
             if priority == "hot_host_first":
-                import pandas as _pd
-
-                hostc = (
-                    _pd.Series(valid["host"].to_pylist())
-                    .value_counts()
-                    .to_dict()
+                # pc.value_counts materializes only the UNIQUE hosts as
+                # Python objects (the driver-side merge wants a dict),
+                # not one string per frontier row.
+                vc = pc.value_counts(valid["host"])
+                hostc = dict(
+                    zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
                 )
             prepped = politeness.presalt_prune(valid, host_limit, priority)
     return (n_new, nf.num_rows, n_valid, hostc), prepped

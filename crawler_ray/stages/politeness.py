@@ -169,6 +169,17 @@ def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> p
     return pa.Table.from_pandas(df[keep], preserve_index=False)
 
 
+def _counts_column(hosts: "pa.ChunkedArray | pa.Array", wc: dict) -> pa.Array:
+    """Order-preserving per-row count lookup: dictionary-encode the host
+    column so the Python dict probe touches only UNIQUE hosts, then fan the
+    small count vector back out with a vectorized ``take``."""
+    col = hosts.combine_chunks() if isinstance(hosts, pa.ChunkedArray) else hosts
+    de = pc.dictionary_encode(col)
+    uniq = de.dictionary.to_pylist()
+    cnts = pa.array([int(wc.get(h, 0)) for h in uniq], pa.int64())
+    return cnts.take(de.indices)
+
+
 _PREP_BLOCK_TASK = None
 
 
@@ -189,11 +200,17 @@ def _prep_block_task():
             n_tot = t.num_rows
             v = t.filter(pc.is_valid(t["host"]))
             n_val = v.num_rows
-            hostc = (
-                pd.Series(v["host"].to_pylist()).value_counts().to_dict()
-                if need_counts
-                else None
-            )
+            hostc = None
+            if need_counts and n_val:
+                # unique-hosts-only materialization (dict is the merge
+                # contract driver-side); avoids one Python string per row
+                vc = pc.value_counts(v["host"])
+                hostc = dict(
+                    zip(
+                        vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist(),
+                    )
+                )
             return n_tot, n_val, presalt_prune(v, limit, priority), hostc
 
         _PREP_BLOCK_TASK = prep_block
@@ -250,13 +267,8 @@ def _prep_valid(
             )
         wc = frontier_ds.wave_counts
         if priority == "hot_host_first" and "host_wave_rows" not in valid.column_names:
-            wcd = wc or {}
             valid = valid.append_column(
-                "host_wave_rows",
-                pa.array(
-                    [wcd.get(h, 0) for h in valid["host"].to_pylist()],
-                    pa.int64(),
-                ),
+                "host_wave_rows", _counts_column(valid["host"], wc or {})
             )
         return valid, frontier_ds.n_total, frontier_ds.n_valid, wc
 
@@ -272,9 +284,13 @@ def _prep_valid(
         n_total = frontier.num_rows
         valid = frontier.filter(pc.is_valid(frontier["host"]))
         n_valid_in = valid.num_rows
-        if priority == "hot_host_first":
-            wave_counts = (
-                pd.Series(valid["host"].to_pylist()).value_counts().to_dict()
+        if priority == "hot_host_first" and n_valid_in:
+            vc = pc.value_counts(valid["host"])
+            wave_counts = dict(
+                zip(
+                    vc.field("values").to_pylist(),
+                    vc.field("counts").to_pylist(),
+                )
             )
         valid = presalt_prune(valid, limit, priority)
     else:
@@ -320,12 +336,8 @@ def _prep_valid(
         # attach the WAVE-WIDE per-host pending counts (from the partial
         # aggregates above, not the pruned survivors) so cross-host
         # priority order matches admit_local exactly
-        wc = wave_counts or {}
         valid = valid.append_column(
-            "host_wave_rows",
-            pa.array(
-                [wc.get(h, 0) for h in valid["host"].to_pylist()], pa.int64()
-            ),
+            "host_wave_rows", _counts_column(valid["host"], wave_counts or {})
         )
     return valid, n_total, n_valid_in, wave_counts
 

@@ -1627,16 +1627,30 @@ def main() -> None:
         "features computed in the parse task and written as extra rec=t "
         "checkpoint columns",
     )
+    ap.add_argument(
+        "--priority",
+        choices=["canonical", "shallow_first", "hot_host_first"],
+        default="canonical",
+        help="frontier priority order within each wave",
+    )
+    ap.add_argument(
+        "--address",
+        default="local",
+        help='Ray address: "local" (default) starts an in-process session; '
+        '"auto" attaches to a running cluster — the mode `ray job submit` '
+        "entrypoints use (the job server exports RAY_ADDRESS and this "
+        "script attaches instead of starting its own head)",
+    )
     args = ap.parse_args()
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        init_kwargs = dict(ignore_reinit_error=True, logging_level="ERROR")
+        if args.address == "local":
+            # own session: resource + dashboard knobs are ours to set
+            init_kwargs.update(
+                num_cpus=args.num_cpus, include_dashboard=False
+            )
+        ray.init(address=args.address, **init_kwargs)
     try:
         # under `python -m crawler_ray.pipelines.crawl` this file IS
         # __main__; re-import through the package so worker-shipped
@@ -1651,6 +1665,7 @@ def main() -> None:
             use_fetch_service=args.fetch_service,
             distributed_counts=args.distributed_counts,
             curate=args.curate,
+            priority=args.priority,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(

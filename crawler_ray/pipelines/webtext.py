@@ -13,8 +13,9 @@ stage one of this repo's operators:
         ──write partitioned parquet (one dir per lang)──▶ stats
 
 Every stage is a streaming Dataset op; the only shuffle is the dedup
-hash exchange. Stats are computed from partial aggregates, not a second
-scan.
+hash exchange. Stats are partial-aggregated from the WRITTEN corpus with
+column pruning (footers + three scalar columns), so the curated set is
+never pinned whole in the object store between write and stats.
 """
 
 from __future__ import annotations
@@ -124,21 +125,30 @@ def build_training_set(
     # re-scanning the curated set once per language
     out = Path(dest)
     out.mkdir(parents=True, exist_ok=True)
-    final = ds.map_batches(
+    ds.map_batches(
         lambda t: t.append_column("lang", t["pred_lang"]),
         batch_format="pyarrow",
-    ).materialize()  # reused for write + stats
-    final.write_parquet(str(out), partition_cols=["lang"])
+    ).write_parquet(str(out), partition_cols=["lang"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("pred_lang", sort=False)
         return g.agg(
-            docs=("url", "size"),
+            docs=("ws_tokens", "size"),
             tokens=("ws_tokens", "sum"),
             punct_sum=("punct_ratio", "sum"),
         ).reset_index()
 
-    parts = final.map_batches(partial, batch_format="pandas").to_pandas()
+    # stats from the WRITTEN corpus, pruned to three scalar columns — the
+    # curated set is never pinned whole in the object store (a full
+    # materialize() between write and stats was the round-3 form; at the
+    # design point the curated corpus is object-store-sized, while this
+    # read-back touches only footers + three numeric/dict columns)
+    import ray
+
+    back = ray.data.read_parquet(
+        str(out), columns=["pred_lang", "ws_tokens", "punct_ratio"]
+    )
+    parts = back.map_batches(partial, batch_format="pandas").to_pandas()
     stats = (
         parts.groupby("pred_lang", sort=True)
         .agg(docs=("docs", "sum"), tokens=("tokens", "sum"), punct_sum=("punct_sum", "sum"))

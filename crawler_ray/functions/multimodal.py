@@ -5,8 +5,10 @@ alongside (the crawl engine's image path already produces exactly this:
 ``url, filename, data, nbytes``). The decode / feature-extract / resize /
 frame-sample stages are actor-pool ``map_batches`` stages whose Ray-side
 shape — schema, batch sizing for large payloads, per-actor codec setup,
-output layout — is real and tested; the codec call itself is STUBBED
-because no image/audio library ships in this container:
+output layout — is real and tested. AUDIO decode/resample are REAL for
+WAV payloads (stdlib ``wave``/``audioop`` ship here — see ``DecodeAudio``
+/ ``ResampleAudio``); the IMAGE codec call is STUBBED because no image
+library ships in this container:
 
 - ``DecodeImage(strict=True)`` raises NotImplementedError at the codec
   boundary (the honest production stub);
@@ -137,6 +139,153 @@ class DecodeImage:
             .append_column("channels", pa.array(cs, pa.int32()))
             .append_column("features", pa.array(fs, pa.list_(pa.float32())))
         )
+
+
+class DecodeAudio:
+    """Actor-pool audio decode stage — REAL for WAV payloads.
+
+    Unlike ``DecodeImage`` (no image library ships in this container),
+    WAV decode needs only stdlib ``wave``/``audioop``, so this stage does
+    real container parsing and real signal features: sample rate /
+    channels / width / frame count from the header, duration, full-clip
+    RMS, and an ``n_env``-bin RMS-envelope feature vector over the mono
+    mix — all deterministic and cross-checked in tests against an
+    independent numpy implementation. Only NON-WAV containers (mp3/flac/
+    ogg need external codecs) hit the stub boundary: ``strict=True``
+    raises, ``strict=False`` substitutes the same deterministic fake
+    shape as DecodeImage so mixed-corpus pipelines still flow.
+
+    Stdlib note: ``audioop`` is deprecated for removal in Python 3.13;
+    this container runs 3.11. The import is done once per actor in
+    ``__init__`` (actor-pool contract) and would be the swap point for
+    ``numpy``-only kernels on newer interpreters."""
+
+    def __init__(self, strict: bool = False, n_env: int = 16) -> None:
+        import io as _io
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", DeprecationWarning)
+            import audioop as _audioop
+        import wave as _wave
+
+        self.codec = (_wave, _audioop, _io)
+        self.strict = strict
+        self.n_env = n_env
+
+    def _decode(self, data: bytes):
+        _wave, _audioop, _io = self.codec
+        try:
+            with _wave.open(_io.BytesIO(data or b"")) as w:
+                nch = w.getnchannels()
+                sw = w.getsampwidth()
+                rate = w.getframerate()
+                nframes = w.getnframes()
+                pcm = w.readframes(nframes)
+        except (Exception, EOFError):
+            if self.strict:
+                raise NotImplementedError(
+                    "non-WAV audio container: codec not available in this "
+                    "environment (WAV decodes for real via stdlib)"
+                )
+            h = hashlib.blake2b(data or b"", digest_size=16).digest()
+            fake = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
+            env = np.resize(fake, self.n_env)
+            return 8000, 1, 2, 0, 0.0, 0.0, env
+        if sw not in (1, 2, 4):  # 24-bit needs manual repacking; rare
+            if self.strict:
+                raise NotImplementedError(f"unsupported sample width {sw}")
+            return rate, nch, sw, nframes, nframes / rate, 0.0, np.zeros(
+                self.n_env, dtype=np.float32
+            )
+        if nch > 1:
+            # real mono mixdown (equal weights), vectorized in C
+            pcm = _audioop.tomono(pcm, sw, 0.5, 0.5)
+        full = float(2 ** (8 * sw - 1))
+        rms = (_audioop.rms(pcm, sw) / full) if pcm else 0.0
+        env = np.zeros(self.n_env, dtype=np.float32)
+        n_samples = len(pcm) // sw
+        if n_samples:
+            step = max(1, -(-n_samples // self.n_env))  # ceil-div bins
+            for i in range(self.n_env):
+                chunk = pcm[i * step * sw : (i + 1) * step * sw]
+                if chunk:
+                    env[i] = _audioop.rms(chunk, sw) / full
+        dur = nframes / rate if rate else 0.0
+        return rate, nch, sw, nframes, dur, rms, env
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rates, chans, widths, frames, durs, rmss, envs = (
+            [], [], [], [], [], [], [],
+        )
+        for data in batch["data"].to_pylist():
+            rate, nch, sw, nf, dur, rms, env = self._decode(data)
+            rates.append(rate)
+            chans.append(nch)
+            widths.append(sw)
+            frames.append(nf)
+            durs.append(dur)
+            rmss.append(rms)
+            envs.append(env.tolist())
+        return (
+            batch.drop_columns(["data"])
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("channels", pa.array(chans, pa.int32()))
+            .append_column("sample_width", pa.array(widths, pa.int32()))
+            .append_column("n_frames", pa.array(frames, pa.int64()))
+            .append_column("duration_s", pa.array(durs, pa.float64()))
+            .append_column("rms", pa.array(rmss, pa.float64()))
+            .append_column("features", pa.array(envs, pa.list_(pa.float32())))
+        )
+
+
+class ResampleAudio:
+    """Real WAV resample stage (stdlib ``audioop.ratecv`` — C-rate
+    conversion, stateful across chunks but each payload converts whole).
+    Emits the payload re-encoded as a proper WAV at ``target_rate`` so
+    downstream stages (DecodeAudio included) read it like any other WAV.
+    Non-WAV bytes: strict raises, else passthrough unchanged (documented
+    no-op, so mixed corpora keep flowing)."""
+
+    def __init__(self, target_rate: int = 16000, strict: bool = False) -> None:
+        import io as _io
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore", DeprecationWarning)
+            import audioop as _audioop
+        import wave as _wave
+
+        self.codec = (_wave, _audioop, _io)
+        self.target = target_rate
+        self.strict = strict
+
+    def _resample(self, data: bytes) -> bytes:
+        _wave, _audioop, _io = self.codec
+        try:
+            with _wave.open(_io.BytesIO(data or b"")) as w:
+                nch = w.getnchannels()
+                sw = w.getsampwidth()
+                rate = w.getframerate()
+                pcm = w.readframes(w.getnframes())
+        except (Exception, EOFError):
+            if self.strict:
+                raise NotImplementedError("non-WAV audio container")
+            return data
+        if rate != self.target:
+            pcm, _ = _audioop.ratecv(pcm, sw, nch, rate, self.target, None)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(self.target)
+            w.writeframes(pcm)
+        return buf.getvalue()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resample(d) for d in batch["data"].to_pylist()]
+        i = batch.column_names.index("data")
+        return batch.set_column(i, "data", pa.array(out, pa.binary()))
 
 
 class SampleFrames:

@@ -34,6 +34,7 @@ REAL_SQL = [
     "doc_redacted",
     "warc_roundtrip",
     "jsonl_roundtrip",
+    "audio_decode_features",
 ]
 
 

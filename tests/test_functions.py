@@ -847,3 +847,103 @@ def test_snapshot_dedup_random_vs_brute_force(ray_session, seed):
         rd.from_items(new), rd.from_items(snap), capacity=64, fpp=0.4
     )
     assert sorted(out.to_pandas()["doc_id"]) == want
+
+
+def _make_wav(
+    rate=8000, freq=440.0, seconds=0.5, amp=0.5, channels=1, sampwidth=2
+):
+    """Synthesize a sine-wave WAV entirely independently of the decode
+    stage (numpy + wave only), returning (wav_bytes, mono_float_signal)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    sig = amp * np.sin(2 * np.pi * freq * t)
+    full = float(2 ** (8 * sampwidth - 1))
+    pcm = (sig * (full - 1)).astype(
+        {1: np.int8, 2: np.int16, 4: np.int32}[sampwidth]
+    )
+    if channels == 2:
+        pcm = np.repeat(pcm, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue(), sig
+
+
+def test_decode_audio_real_wav():
+    """DecodeAudio does REAL WAV decode: header fields are exact, RMS and
+    the envelope match an independent numpy computation of the same
+    signal (sine at amplitude A has RMS A/sqrt(2))."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.functions.multimodal import DecodeAudio
+
+    wav, sig = _make_wav(rate=8000, seconds=0.5, amp=0.5)
+    out = DecodeAudio(strict=True)(
+        pa.table({"media_id": pa.array([1], pa.int64()), "data": [wav]})
+    )
+    row = out.to_pylist()[0]
+    assert row["sample_rate"] == 8000
+    assert row["channels"] == 1
+    assert row["sample_width"] == 2
+    assert row["n_frames"] == 4000
+    assert abs(row["duration_s"] - 0.5) < 1e-9
+    # numpy truth: rms of the int16-quantized signal
+    np_rms = float(np.sqrt(np.mean((sig) ** 2)))
+    assert abs(row["rms"] - np_rms) < 2e-3  # quantization + int rounding
+    env = np.asarray(row["features"])
+    assert env.shape == (16,)
+    # a constant-amplitude sine's RMS envelope is flat at A/sqrt(2)
+    assert np.allclose(env, 0.5 / np.sqrt(2), atol=5e-3)
+
+
+def test_decode_audio_stereo_mixdown_and_fake_fallback():
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from crawler_ray.functions.multimodal import DecodeAudio
+
+    wav, _ = _make_wav(channels=2)
+    row = DecodeAudio(strict=True)(
+        pa.table({"media_id": pa.array([1], pa.int64()), "data": [wav]})
+    ).to_pylist()[0]
+    assert row["channels"] == 2  # header reported, mixdown internal
+    assert row["rms"] > 0.3  # L==R equal mix keeps amplitude
+
+    # non-WAV bytes: strict raises at the codec boundary; lenient
+    # substitutes the deterministic fake (stable across calls)
+    with _pytest.raises(NotImplementedError):
+        DecodeAudio(strict=True)._decode(b"not a wav at all")
+    f1 = DecodeAudio()._decode(b"not a wav at all")
+    f2 = DecodeAudio()._decode(b"not a wav at all")
+    assert np.array_equal(f1[6], f2[6]) and f1[:6] == f2[:6]
+
+
+def test_resample_audio_real_ratecv():
+    """ResampleAudio re-encodes a real WAV at the target rate; DecodeAudio
+    of the output shows the new rate and ~scaled frame count, and the
+    signal's RMS survives resampling (energy-preserving for a sine well
+    below Nyquist)."""
+    import pyarrow as pa
+
+    from crawler_ray.functions.multimodal import DecodeAudio, ResampleAudio
+
+    wav, _ = _make_wav(rate=8000, seconds=0.5, amp=0.5, freq=440.0)
+    t = pa.table({"media_id": pa.array([1], pa.int64()), "data": [wav]})
+    res = ResampleAudio(target_rate=4000, strict=True)(t)
+    row = DecodeAudio(strict=True)(res).to_pylist()[0]
+    assert row["sample_rate"] == 4000
+    assert abs(row["n_frames"] - 2000) <= 2  # ratecv edge frames
+    assert abs(row["rms"] - 0.5 / 2**0.5) < 5e-3
+    # passthrough contract for undecodable bytes in lenient mode
+    junk = pa.table({"media_id": pa.array([2], pa.int64()), "data": [b"zz"]})
+    assert ResampleAudio()(junk)["data"].to_pylist() == [b"zz"]

@@ -125,6 +125,12 @@ def build_training_set(
     # re-scanning the curated set once per language
     out = Path(dest)
     out.mkdir(parents=True, exist_ok=True)
+    # a previous run's partitions would double into the read-back stats
+    # (write_parquet appends uniquely-named files, it doesn't truncate)
+    import shutil
+
+    for stale in out.glob("lang=*"):
+        shutil.rmtree(stale)
     ds.map_batches(
         lambda t: t.append_column("lang", t["pred_lang"]),
         batch_format="pyarrow",
@@ -145,10 +151,18 @@ def build_training_set(
     # read-back touches only footers + three numeric/dict columns)
     import ray
 
-    back = ray.data.read_parquet(
-        str(out), columns=["pred_lang", "ws_tokens", "punct_ratio"]
+    part_files = sorted(
+        str(f) for d in out.glob("lang=*") for f in d.glob("*.parquet")
     )
-    parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+    if part_files:  # read ONLY the hive partitions (dest also holds stats.json)
+        back = ray.data.read_parquet(
+            part_files, columns=["pred_lang", "ws_tokens", "punct_ratio"]
+        )
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+    else:  # every row filtered out: empty corpus, empty stats
+        parts = pd.DataFrame(
+            columns=["pred_lang", "docs", "tokens", "punct_sum"]
+        )
     stats = (
         parts.groupby("pred_lang", sort=True)
         .agg(docs=("docs", "sum"), tokens=("tokens", "sum"), punct_sum=("punct_sum", "sum"))

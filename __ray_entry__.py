@@ -1088,7 +1088,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": _quality_scores,
         "doc_repetition_scores": _repetition_scores,
         "doc_normalized_redacted": _doc_normalized_redacted,
-        "multimodal_decode": _multimodal_decode,
+        # the multimodal family's in-window representative: REAL stdlib WAV
+        # decode with a true SQL oracle (multimodal_decode — the pinned
+        # fake-codec plumbing demo — moved past the window; both stay
+        # pytest-oracled every session)
+        "audio_decode_features": _audio_decode_features,
         "approx_distinct_users": _approx_distinct_users,
         "webtext_training_set": _webtext_training_set,
         "events_value_quantile_sketch": _events_value_quantile_sketch,
@@ -1151,7 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _ann_ivf,
         "doc_normalized": _doc_normalized,
         "doc_redacted": _doc_redacted,
-        "audio_decode_features": _audio_decode_features,
+        "multimodal_decode": _multimodal_decode,
     }
 
 

@@ -71,7 +71,18 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(address="local", **kwargs)
     try:
-        result = registry[args.query](args.sf_dir)
+        fn = registry[args.query]
+        import inspect
+
+        if args.out and "out_path" in inspect.signature(fn).parameters:
+            # corpus-sized queries expose the streaming-sink contract:
+            # workers write partitioned parquet directly, only a one-row
+            # stats frame reaches the driver — use it rather than
+            # gathering the whole result here
+            stats = fn(args.sf_dir, out_path=args.out)
+            print(stats.to_string())
+            return 0
+        result = fn(args.sf_dir)
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq

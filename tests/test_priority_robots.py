@@ -94,3 +94,30 @@ def test_robots_gate_matches_oracle(t1_corpus, tmp_path):
     # robots-blocked hub pages consumed no budget
     base = oracle.simulate(corpus, seeds)
     assert run.host_counts()["hub.test"] < base.host_counts["hub.test"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_host_first_streaming_path_matches_oracle(t1_corpus, tmp_path):
+    """hot_host_first through the STREAMING wave machinery
+    (ray_state_threshold=0: FrontierRef + fused politeness prep riding the
+    probe's sink tasks, pc.value_counts host aggregation, dictionary-encode
+    host_wave_rows attach) must equal the oracle — and therefore the
+    driver-path run test_priority_modes_match_oracle already pins."""
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(
+        corpus, seeds, host_limit=15, priority="hot_host_first"
+    )
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_hot_stream"),
+        CrawlConfig(
+            num_seen_shards=4,
+            host_limit=15,
+            priority="hot_host_first",
+            ray_state_threshold=0,
+        ),
+    )
+    assert_run_matches_oracle(run, res, tbl)

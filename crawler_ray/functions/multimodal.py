@@ -192,12 +192,21 @@ class DecodeAudio:
             fake = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 255.0
             env = np.resize(fake, self.n_env)
             return 8000, 1, 2, 0, 0.0, 0.0, env
-        if sw not in (1, 2, 4):  # 24-bit needs manual repacking; rare
+        if sw not in (1, 2, 4) or rate <= 0:
+            # 24-bit needs manual repacking (rare); wave happily parses a
+            # framerate-0 header, so guard the division here too
             if self.strict:
-                raise NotImplementedError(f"unsupported sample width {sw}")
-            return rate, nch, sw, nframes, nframes / rate, 0.0, np.zeros(
-                self.n_env, dtype=np.float32
-            )
+                raise NotImplementedError(
+                    f"unsupported sample width {sw} / rate {rate}"
+                )
+            return rate, nch, sw, nframes, (
+                nframes / rate if rate > 0 else 0.0
+            ), 0.0, np.zeros(self.n_env, dtype=np.float32)
+        if sw == 1:
+            # WAV 8-bit PCM is UNSIGNED (silence = 0x80) but audioop's
+            # width-1 kernels assume signed: rebias before any math, or a
+            # silent clip reads as maximum loudness
+            pcm = _audioop.bias(pcm, 1, -128)
         if nch > 1:
             # real mono mixdown (equal weights), vectorized in C
             pcm = _audioop.tomono(pcm, sw, 0.5, 0.5)
@@ -271,6 +280,15 @@ class ResampleAudio:
         except (Exception, EOFError):
             if self.strict:
                 raise NotImplementedError("non-WAV audio container")
+            return data
+        if rate <= 0 or sw not in (1, 2, 4):
+            # wave parses framerate-0 / odd-width headers without error;
+            # ratecv would raise audioop.error OUTSIDE the try above —
+            # treat such payloads as undecodable, same contract as non-WAV
+            if self.strict:
+                raise NotImplementedError(
+                    f"malformed WAV header: rate {rate}, width {sw}"
+                )
             return data
         if rate != self.target:
             pcm, _ = _audioop.ratecv(pcm, sw, nch, rate, self.target, None)

@@ -730,19 +730,17 @@ def _finalize_bucket(
     prepped = None
     n_valid = 0
     hostc = None
+    if host_limit is None:
+        # caller will re-read the frontier anyway (e.g. robots gating runs
+        # on the driver first): don't compute a prep that gets discarded
+        return (n_new, nf.num_rows, 0, None), None
     if nf.num_rows:
         v = politeness.with_host(nf)
         valid = v.filter(pc.is_valid(v["host"]))
         n_valid = valid.num_rows
         if n_valid:
             if priority == "hot_host_first":
-                # pc.value_counts materializes only the UNIQUE hosts as
-                # Python objects (the driver-side merge wants a dict),
-                # not one string per frontier row.
-                vc = pc.value_counts(valid["host"])
-                hostc = dict(
-                    zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
-                )
+                hostc = politeness.vc_to_dict(valid["host"])
             prepped = politeness.presalt_prune(valid, host_limit, priority)
     return (n_new, nf.num_rows, n_valid, hostc), prepped
 
@@ -913,7 +911,12 @@ def _probe_collect(run: tuple, seen: SeenSet) -> "pa.Table | tuple[int, int]":
             pq.write_table(
                 FRONTIER_SCHEMA.empty_table(), frontier_dir / "part-empty.parquet"
             )
-        prep = politeness.PreppedParts(prep_refs, n_next, n_valid, wave_counts)
+        if out_spec[4] is None:  # prep skipped (see _finalize_bucket)
+            prep = None
+        else:
+            prep = politeness.PreppedParts(
+                prep_refs, n_next, n_valid, wave_counts
+            )
         return n_new, n_next, prep
     results = ray.get(futures)
     seen.end_epoch()
@@ -1069,6 +1072,11 @@ def _run_wave(
         phase_sec[name] = round(now - _t, 3)
         _t = now
 
+    # With robots on, the next wave starts at the driver robots gate and
+    # re-reads the frontier from disk — the fused politeness prep would be
+    # computed in the sink tasks and then thrown away, so skip it there.
+    prep_host_limit = None if robots is not None else cfg.host_limit
+
     # ---- robots gate (extension) then politeness gate (ST2) ---------------
     if isinstance(frontier, FrontierRef) and (
         robots is not None or frontier.num_rows <= cfg.ray_state_threshold
@@ -1220,7 +1228,7 @@ def _run_wave(
             probe_run = _probe_submit(
                 rd, parsed_dir, seen, wave, None,
                 sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
-                      cfg.host_limit, cfg.priority),
+                      prep_host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
         _mark("svc_fused_dispatch")
@@ -1276,7 +1284,7 @@ def _run_wave(
             probe_run = _probe_submit(
                 rd, parsed_dir, seen, wave, None,
                 sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
-                      cfg.host_limit, cfg.priority),
+                      prep_host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
         _mark("svc_route_dispatch")
@@ -1527,7 +1535,7 @@ def _run_wave(
             n_new, n_next, next_prep = _probe_new_streaming(
                 rd, parsed_dir, seen, wave, parsed_mat,
                 sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
-                      cfg.host_limit, cfg.priority),
+                      prep_host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
         _mark("seen_probe")

@@ -56,10 +56,15 @@ def sink_parquet(
     if not marker.exists():
         if out.exists():
             # a previous attempt died mid-write: clear its partial files so
-            # the rerun can't double rows
+            # the rerun can't double rows. The path may also be a plain
+            # FILE (e.g. a single-parquet output a non-sink run left at
+            # the same path) — rmtree would raise NotADirectoryError.
             import shutil
 
-            shutil.rmtree(out)
+            if out.is_dir():
+                shutil.rmtree(out)
+            else:
+                out.unlink()
         out.mkdir(parents=True, exist_ok=True)
         if partition_cols:
             ds.write_parquet(str(out), partition_cols=list(partition_cols))

@@ -169,6 +169,19 @@ def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> p
     return pa.Table.from_pandas(df[keep], preserve_index=False)
 
 
+def vc_to_dict(col: "pa.ChunkedArray | pa.Array") -> dict:
+    """pc.value_counts → {value: count}: Python objects only for UNIQUE
+    values, never one per row. The one idiom for per-host wave counts
+    (used here, in the distributed prep task, and in the crawl's fused
+    sink prep — keep them identical)."""
+    vc = pc.value_counts(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
+    return dict(
+        zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+    )
+
+
 def _counts_column(hosts: "pa.ChunkedArray | pa.Array", wc: dict) -> pa.Array:
     """Order-preserving per-row count lookup: dictionary-encode the host
     column so the Python dict probe touches only UNIQUE hosts, then fan the
@@ -200,17 +213,7 @@ def _prep_block_task():
             n_tot = t.num_rows
             v = t.filter(pc.is_valid(t["host"]))
             n_val = v.num_rows
-            hostc = None
-            if need_counts and n_val:
-                # unique-hosts-only materialization (dict is the merge
-                # contract driver-side); avoids one Python string per row
-                vc = pc.value_counts(v["host"])
-                hostc = dict(
-                    zip(
-                        vc.field("values").to_pylist(),
-                        vc.field("counts").to_pylist(),
-                    )
-                )
+            hostc = vc_to_dict(v["host"]) if need_counts and n_val else None
             return n_tot, n_val, presalt_prune(v, limit, priority), hostc
 
         _PREP_BLOCK_TASK = prep_block
@@ -285,13 +288,7 @@ def _prep_valid(
         valid = frontier.filter(pc.is_valid(frontier["host"]))
         n_valid_in = valid.num_rows
         if priority == "hot_host_first" and n_valid_in:
-            vc = pc.value_counts(valid["host"])
-            wave_counts = dict(
-                zip(
-                    vc.field("values").to_pylist(),
-                    vc.field("counts").to_pylist(),
-                )
-            )
+            wave_counts = vc_to_dict(valid["host"])
         valid = presalt_prune(valid, limit, priority)
     else:
         # DISTRIBUTED prep: each frontier block attaches the host key,
@@ -487,6 +484,16 @@ def _gate_carried_task():
             admitted = pa.Table.from_pandas(
                 adm[["url", "kind", "depth", "host"]], preserve_index=False
             ).cast(_ADMITTED_SCHEMA)
+            if "host_wave_rows" in adm.columns:
+                # carry the WAVE-WIDE pending counts through to the
+                # caller's cross-bucket priority_sort: recomputing them
+                # there from the admitted subset would give a different
+                # hot_host_first order than admit_local (which sorts on
+                # the pre-admission wave counts)
+                admitted = admitted.append_column(
+                    "host_wave_rows",
+                    pa.array(adm["host_wave_rows"].to_numpy(), pa.int64()),
+                )
             return admitted, new_counts
 
         _GATE_CARRIED_TASK = gate_carried
@@ -580,9 +587,31 @@ class CarriedCounts:
 
         read = _read_counts_task()
         refs: list = [None] * n_buckets
-        for f in sorted(Path(snapshot_dir).glob("bucket_*.parquet")):
-            b = int(f.stem.split("_")[1])
-            refs[b] = read.remote(str(f))
+        files = sorted(Path(snapshot_dir).glob("bucket_*.parquet"))
+        # hosts are routed by hash % n_buckets: restoring a snapshot
+        # written with a DIFFERENT bucket count would place shards at
+        # stale indices and gate tasks would read the wrong (usually
+        # empty) shard — silently re-admitting past-budget hosts.
+        meta = Path(snapshot_dir) / "_meta.json"
+        if meta.exists():
+            import json
+
+            written_n = json.loads(meta.read_text()).get("n_buckets")
+            if written_n != n_buckets:
+                raise ValueError(
+                    f"counts snapshot {snapshot_dir} was written with "
+                    f"n_buckets={written_n}; resume with that count, not "
+                    f"{n_buckets}"
+                )
+        max_b = max((int(f.stem.split("_")[1]) for f in files), default=-1)
+        if max_b >= n_buckets:  # pre-meta snapshots: catch shrink at least
+            raise ValueError(
+                f"counts snapshot {snapshot_dir} has bucket index {max_b} "
+                f">= counts_buckets={n_buckets}; resume with the run's "
+                "original bucket count"
+            )
+        for f in files:
+            refs[int(f.stem.split("_")[1])] = read.remote(str(f))
         return cls(refs)
 
     def to_counter(self) -> Counter:
@@ -626,9 +655,15 @@ def admit_carried(
     from .shuffle import _bucket_ids
 
     if snapshot_dir is not None:
+        import json
         from pathlib import Path
 
         Path(snapshot_dir).mkdir(parents=True, exist_ok=True)
+        # hosts are routed by hash % n_buckets; a resume must use the same
+        # count (restore() verifies against this record)
+        (Path(snapshot_dir) / "_meta.json").write_text(
+            json.dumps({"n_buckets": carried.n_buckets})
+        )
 
     valid, n_total, n_valid_in, _wc = _prep_valid(frontier_ds, limit, priority)
     n = carried.n_buckets

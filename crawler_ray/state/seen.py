@@ -120,10 +120,21 @@ class SeenShard:
             self.applied[epoch] = {}
         self.applied[epoch][digest] = out
 
-    def clear_applied(self) -> int:
-        """Drop the idempotency memos (end of wave/epoch)."""
-        n = sum(len(m) for m in self.applied.values())
-        self.applied.clear()
+    def clear_applied(self, before_epoch: "int | None" = None) -> int:
+        """Drop the idempotency memos (end of wave/epoch). With
+        ``before_epoch``, only memos of OLDER epochs are dropped — the
+        fire-and-forget clear then can never race ahead of a NEWER
+        epoch's worker-side probes (make_prober submits probes from
+        map_batches tasks, which per-caller actor ordering does not
+        serialize against the driver's clear)."""
+        if before_epoch is None:
+            n = sum(len(m) for m in self.applied.values())
+            self.applied.clear()
+            return n
+        stale = [e for e in self.applied if e < before_epoch]
+        n = sum(len(self.applied[e]) for e in stale)
+        for e in stale:
+            del self.applied[e]
         return n
 
     def insert(self, keys: "list[str] | pa.Array") -> int:
@@ -265,15 +276,19 @@ class SeenSet:
 
         return probe
 
-    def end_epoch(self) -> None:
-        """Drop all shards' idempotency memos (wave is committed).
-        Fire-and-forget: per-caller actor-task ordering guarantees every
-        clear lands before any later probe from this driver, the memos are
-        epoch-keyed (a missed clear self-expires on the next epoch's first
-        probe), and blocking here put one full shard round-trip on every
-        wave's critical path for no correctness gain."""
+    def end_epoch(self, next_epoch: "int | None" = None) -> None:
+        """Drop the shards' idempotency memos (wave is committed).
+        Fire-and-forget: the memos are epoch-keyed (a missed clear
+        self-expires on the next epoch's first probe) and blocking here
+        put one full shard round-trip on every wave's critical path for
+        no correctness gain. Pass ``next_epoch`` when probes may come
+        from WORKER tasks (make_prober): the clear is then scoped to
+        epochs < next_epoch, so even a clear that lands AFTER one of the
+        next epoch's worker probes cannot wipe that probe's retry memo
+        (driver-submitted probes don't need this — per-caller actor
+        ordering already serializes them behind the clear)."""
         for s in self.shards:
-            s.clear_applied.remote()
+            s.clear_applied.remote(next_epoch)
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])

@@ -947,3 +947,78 @@ def test_resample_audio_real_ratecv():
     # passthrough contract for undecodable bytes in lenient mode
     junk = pa.table({"media_id": pa.array([2], pa.int64()), "data": [b"zz"]})
     assert ResampleAudio()(junk)["data"].to_pylist() == [b"zz"]
+
+
+def test_decode_audio_8bit_unsigned_and_malformed_headers():
+    """8-bit WAV PCM is unsigned (silence = 0x80): decode must rebias
+    before RMS, and malformed-but-parseable headers (framerate 0, odd
+    sample widths) must fall back gracefully, not raise through lenient
+    mode."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.functions.multimodal import DecodeAudio, ResampleAudio
+
+    # 8-bit silence: all 0x80 — rms must be ~0, not 1.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 800)
+    row = DecodeAudio(strict=True)(
+        pa.table({"media_id": pa.array([1], pa.int64()), "data": [buf.getvalue()]})
+    ).to_pylist()[0]
+    assert row["sample_width"] == 1
+    assert row["rms"] < 0.01, row["rms"]
+
+    # 8-bit full-scale sine still measures real energy
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * np.arange(800) / 8000)
+    pcm8 = (sig * 127 + 128).astype(np.uint8)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(pcm8.tobytes())
+    row = DecodeAudio(strict=True)(
+        pa.table({"media_id": pa.array([1], pa.int64()), "data": [buf2.getvalue()]})
+    ).to_pylist()[0]
+    assert abs(row["rms"] - 0.5 / 2**0.5) < 0.02
+
+    # hand-built WAV header with framerate=0: wave.open parses it fine;
+    # lenient decode/resample must not raise (the old code divided by rate
+    # or let audioop.error escape), strict must raise NotImplementedError
+    def header(rate, bits, n=8):
+        datasize = n
+        return (
+            b"RIFF" + struct.pack("<I", 36 + datasize) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * bits // 8, bits // 8, bits)
+            + b"data" + struct.pack("<I", datasize) + b"\x00" * datasize
+        )
+
+    bad_rate = header(0, 16)
+    import pytest as _pytest
+    import wave as _w
+
+    try:
+        with _w.open(io.BytesIO(bad_rate)) as probe:
+            probe.getframerate()
+        parseable = True
+    except Exception:
+        parseable = False
+    if parseable:
+        out = DecodeAudio()._decode(bad_rate)
+        assert out[4] == 0.0  # duration guard, no ZeroDivisionError
+        with _pytest.raises(NotImplementedError):
+            DecodeAudio(strict=True)._decode(bad_rate)
+        assert ResampleAudio()( # passthrough, no audioop.error escape
+            pa.table({"media_id": pa.array([1], pa.int64()), "data": [bad_rate]})
+        )["data"].to_pylist() == [bad_rate]
+        with _pytest.raises(NotImplementedError):
+            ResampleAudio(strict=True)._resample(bad_rate)

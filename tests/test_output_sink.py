@@ -76,3 +76,20 @@ def test_sink_is_resumable_and_never_doubles_rows(entry_mod, tmp_path):
     s3 = entry_mod._extract_links(SF, out_path=str(out))
     assert int(s3["rows"][0]) == int(s1["rows"][0])  # rewrite, not append
     assert (out / "_SUCCESS").exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sink_parquet_replaces_plain_file_at_out_path(tmp_path):
+    """A FILE already at out_path (e.g. a single-parquet output an older
+    CLI run wrote) must be replaced, not crash rmtree with
+    NotADirectoryError."""
+    import ray.data as rd
+
+    from crawler_ray.stages.output import sink_parquet
+
+    out = tmp_path / "result.parquet"
+    out.write_bytes(b"old single-file output")
+    ds = rd.from_items([{"a": i} for i in range(10)])
+    stats = sink_parquet(ds, str(out))
+    assert stats["rows"].iloc[0] == 10
+    assert (out / "_SUCCESS").exists()

@@ -238,3 +238,91 @@ def test_probe_idempotent_under_retry():
         assert not replay.any()
     finally:
         seen.shutdown()
+
+
+def test_admit_carried_hot_host_first_order_matches_local(tmp_path):
+    """Cross-host hot_host_first ORDER equivalence through the carried
+    path, on the skew shape that exposed the round-4 regression: host A
+    has many pending rows but a nearly-exhausted prior (admits 1), host B
+    has fewer pending and admits all — the dispatch order must follow the
+    WAVE-WIDE pending counts (A first), not the admitted-subset counts."""
+    from crawler_ray.stages.politeness import (
+        CarriedCounts,
+        admit_carried,
+        admit_local,
+        with_host,
+    )
+
+    rows = [(f"http://a.test/p{i}", "page", 0) for i in range(300)]
+    rows += [(f"http://b.test/p{i}", "page", 0) for i in range(100)]
+    f = with_host(_frontier(rows))
+
+    counts = Counter({"a.test": 256})
+    local, m_local = admit_local(
+        f, counts, limit=256, priority="hot_host_first"
+    )
+    assert local["host"].to_pylist()[0] == "a.test"  # wave-wide 300 > 100
+
+    carried = CarriedCounts.from_counter(Counter({"a.test": 256}), n_buckets=8)
+    dist, m_dist, _ = admit_carried(
+        f, carried, limit=256, priority="hot_host_first"
+    )
+    assert m_local == m_dist
+    assert local.select(["url", "kind", "depth", "host"]).equals(
+        dist.select(["url", "kind", "depth", "host"]).cast(
+            local.select(["url", "kind", "depth", "host"]).schema
+        )
+    )
+
+
+def test_carried_restore_rejects_bucket_count_mismatch(tmp_path):
+    """Restoring a counts snapshot with a different counts_buckets would
+    mis-shard prior counts (hosts route by hash %% n): both directions of
+    the mismatch must be a hard error, same count must round-trip."""
+    import pytest as _pytest
+
+    from crawler_ray.stages.politeness import (
+        CarriedCounts,
+        admit_carried,
+        with_host,
+    )
+
+    rows = [(f"http://h{i % 5}.test/p{i}", "page", 0) for i in range(50)]
+    carried = CarriedCounts.from_counter(Counter(), n_buckets=8)
+    snap = tmp_path / "snap"
+    admit_carried(
+        with_host(_frontier(rows)), carried, limit=256, snapshot_dir=str(snap)
+    )
+    ok = CarriedCounts.restore(str(snap), n_buckets=8)
+    assert ok.n_buckets == 8
+    with _pytest.raises(ValueError):
+        CarriedCounts.restore(str(snap), n_buckets=4)
+    with _pytest.raises(ValueError):
+        CarriedCounts.restore(str(snap), n_buckets=16)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_scoped_clear_spares_newer_worker_memos():
+    """A stale fire-and-forget clear (scoped to epochs < K+1) landing
+    AFTER one of epoch K+1's probes must NOT wipe that probe's retry memo
+    — the race a worker-submitted probe (make_prober) can actually hit."""
+    import ray
+
+    from crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=1)
+    try:
+        shard = seen.shards[0]
+        ray.get(shard.probe_and_insert.remote(["a", "b"], (0, "w0batch")))
+        # epoch-1 worker probe arrives BEFORE the end-of-epoch-0 clear
+        first = ray.get(shard.probe_and_insert.remote(["c", "d"], (1, "w1batch")))
+        assert first.all()
+        seen.end_epoch(next_epoch=1)  # stale clear lands late
+        # retry of the epoch-1 probe still replays its memoized mask
+        retry = ray.get(shard.probe_and_insert.remote(["c", "d"], (1, "w1batch")))
+        assert (retry == first).all() and retry.all()
+        # while the epoch-0 memo IS gone
+        replay = ray.get(shard.probe_and_insert.remote(["a", "b"], (0, "w0batch")))
+        assert not replay.any()
+    finally:
+        seen.shutdown()

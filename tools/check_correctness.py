@@ -45,10 +45,21 @@ def _normalize(df):
     df = df[sorted(df.columns)]
     # The driver's compare is row-order-insensitive (q1 etc. were green in
     # r03 with engine/oracle ORDER BY differing): sort rows by all columns,
-    # stringifying so mixed/nested dtypes stay sortable.
+    # stringifying so mixed/nested dtypes stay sortable. Floats are ROUNDED
+    # before stringifying for the SORT KEY only (values compared unrounded
+    # with tolerance below): engine 0.30000000000000004 vs oracle 0.3 must
+    # land both sides' rows in the same position or assert_frame_equal
+    # compares misaligned rows and reports a spurious mismatch.
+    def _sort_key(s):
+        import pandas.api.types as ptypes
+
+        if ptypes.is_float_dtype(s):
+            return s.round(6).astype(str)
+        return s.astype(str)
+
     if len(df.columns):
         df = df.sort_values(
-            by=list(df.columns), key=lambda s: s.astype(str), kind="mergesort"
+            by=list(df.columns), key=_sort_key, kind="mergesort"
         )
     return df.reset_index(drop=True)
 

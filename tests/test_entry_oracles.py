@@ -114,7 +114,10 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "doc_quality_scores",
         "doc_repetition_scores",
         "doc_normalized_redacted",  # join of doc_normalized + doc_redacted
-        "multimodal_decode",
+        # multimodal family: audio_decode_features (REAL stdlib WAV decode,
+        # true SQL oracle) replaced multimodal_decode (pinned fake-codec
+        # plumbing demo) as the in-window representative in round 4
+        "audio_decode_features",
         "approx_distinct_users",
         "webtext_training_set",
         "events_value_quantile_sketch",

@@ -121,3 +121,24 @@ def test_hot_host_first_streaming_path_matches_oracle(t1_corpus, tmp_path):
         ),
     )
     assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_gate_streaming_path_matches_oracle(t1_corpus, tmp_path):
+    """robots + the streaming wave machinery (ray_state_threshold=0): the
+    sink tasks SKIP the fused politeness prep (the driver re-reads the
+    frontier for the robots gate — computing prep there would be thrown
+    away), and the crawl still matches the oracle exactly."""
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds, respect_robots=True)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_robots_stream"),
+        CrawlConfig(
+            num_seen_shards=4, respect_robots=True, ray_state_threshold=0
+        ),
+    )
+    assert_run_matches_oracle(run, res, tbl)

@@ -153,6 +153,22 @@ def admit_local(
     return admitted, metrics
 
 
+def _gate_frame(
+    df: pd.DataFrame, prior_map: dict, limit: int, priority: str
+) -> pd.DataFrame:
+    """THE per-bucket admission kernel (one sort, one cumcount, one mask —
+    no per-host Python): every distributed admission path (admit_ray's
+    gate tasks, the carried-counts gate tasks) must run exactly this, so
+    the 257-semantics and the priority order can't drift between them."""
+    pairs = [(c, a) for c, a in zip(*PRIORITY_MODES[priority]) if c in df.columns]
+    sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
+    ascending = [True] + [a for c, a in pairs if c != "host"]
+    df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+    rank = df.groupby("host", sort=False).cumcount()
+    prior = df["host"].map(prior_map).fillna(0).astype(int)
+    return df[(prior + rank) <= limit]
+
+
 def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> pa.Table:
     """Per-host top-(limit+1) combiner: rows ranked beyond limit+1 within
     their host (in the wave's priority order) can never be admitted, so
@@ -376,17 +392,7 @@ def admit_ray(
     counts_ref = ray.put(dict(counts))
 
     def gate_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized admission for every host hashed into this bucket:
-        one sort, one cumcount, one mask — no per-host Python."""
-        pairs = [
-            (c, a) for c, a in zip(*PRIORITY_MODES[priority]) if c in df.columns
-        ]
-        sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
-        ascending = [True] + [a for c, a in pairs if c != "host"]
-        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-        rank = df.groupby("host", sort=False).cumcount()
-        prior = df["host"].map(ray.get(counts_ref)).fillna(0).astype(int)
-        return df[(prior + rank) <= limit]
+        return _gate_frame(df, ray.get(counts_ref), limit, priority)
 
     admitted = bucketed_exchange_tasks(valid, "host", gate_bucket)
     admitted = priority_sort(admitted, priority)
@@ -455,17 +461,7 @@ def _gate_carried_task():
                 if counts_tbl is not None and counts_tbl.num_rows
                 else {}
             )
-            pairs = [
-                (c, a)
-                for c, a in zip(*PRIORITY_MODES[priority])
-                if c in df.columns
-            ]
-            sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
-            ascending = [True] + [a for c, a in pairs if c != "host"]
-            df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-            rank = df.groupby("host", sort=False).cumcount()
-            prior = df["host"].map(prior_map).fillna(0).astype(int)
-            adm = df[(prior + rank) <= limit]
+            adm = _gate_frame(df, prior_map, limit, priority)
             for h, c in adm["host"].value_counts().items():
                 prior_map[h] = int(prior_map.get(h, 0)) + int(c)
             hosts = sorted(prior_map)

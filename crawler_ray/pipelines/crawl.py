@@ -292,6 +292,12 @@ class CrawlConfig:
     # parsed the page and written as extra rec=t checkpoint columns — the
     # production crawl/curation fusion (a separate pass would re-read every
     # text byte). Off by default for reference-faithful output.
+    chaos_kill_shard: "tuple | None" = None  # fault-injection hook for the
+    # in-run shard-recovery path: (wave, shard_idx) kills that seen shard
+    # actor at the START of that wave (ray.kill, no restart). The wave's
+    # probes then hit a dead actor, _probe_collect/SeenSet.probe_and_insert
+    # rebuild the shard from the committed archive checkpoints and replay —
+    # chaos-tested to produce bit-identical output (test_crawl_engine).
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -542,13 +548,33 @@ class CrawlRun:
         return len(self.wave_dirs())
 
 
+def _archive_part_paths(run: CrawlRun) -> list:
+    """Committed archive-delta parquet part paths — the durable restore /
+    recovery source for the seen shards. Only ``_COMPLETE``-marked waves
+    contribute (an in-flight wave's partial sink parts are excluded; its
+    probes are replayed instead)."""
+    out = []
+    for d in run.wave_dirs():
+        p = d / "archive_delta.parquet"
+        if p.is_dir():
+            out.extend(sorted(p.glob("*.parquet")))
+        elif p.exists():
+            out.append(p)
+    return out
+
+
 def _probe_new(
-    findings: pa.Table, seen: SeenSet, faithful_depth: bool
+    findings: pa.Table,
+    seen: SeenSet,
+    faithful_depth: bool,
+    epoch: "int | None" = None,
 ) -> pa.Table:
     """Wave-level dedup + archive probe. In non-faithful mode, reduce to one
     row per Finding key first (canonical winner = min (src_url, src_depth)),
     because the depth gate reads the discovering response's depth and the
-    canonical response order is (src_url, src_depth) — see oracle.py."""
+    canonical response order is (src_url, src_depth) — see oracle.py.
+    ``epoch`` (the wave number) makes the probe replayable after a shard
+    death (see SeenSet.probe_and_insert)."""
     if findings.num_rows == 0:
         return findings
     if not faithful_depth:
@@ -587,7 +613,7 @@ def _probe_new(
             m = pa.array(first)
             findings = findings.filter(m)
             k = k.filter(m)
-    mask = seen.probe_and_insert(k)
+    mask = seen.probe_and_insert(k, epoch=epoch)
     return _canonical_findings_sort(findings.filter(pa.array(mask)))
 
 
@@ -810,8 +836,9 @@ def _probe_submit(
     finding_refs=None,
 ) -> tuple:
     """Submit the whole probe dataflow (split → dedup → shard probe →
-    finalize) WITHOUT waiting: returns ``(futures, out_spec, dirs)`` for
-    ``_probe_collect``. Split out so fat waves can submit the chain right
+    finalize) WITHOUT waiting: returns ``(futures, out_spec, dirs,
+    resubmit)`` for ``_probe_collect`` (``resubmit`` replays the chain
+    after shard recovery). Split out so fat waves can submit the chain right
     after dispatching their parse tasks — the probe's inputs are the parse
     tasks' findings refs, so Ray starts each probe stage as its inputs
     land and the probe rides the parse tail instead of serializing after
@@ -854,40 +881,74 @@ def _probe_submit(
             priority,
         )
     split, dedup, finalize = _probe_remotes()
-    slices = [
-        split.options(num_returns=n_buckets).remote(r, n_buckets) for r in refs
-    ]
-    futures = []
-    for b in range(n_buckets):
-        t_ref, keys_ref = dedup.remote(*[s[b] for s in slices])
-        s = b % seen.num_shards
-        mask_ref = seen.shards[s].probe_and_insert.remote(
-            keys_ref, (wave, "wavebucket", b, s)
-        )
-        if out_spec is not None:
-            # sink mode returns (scalars, prepped-frontier slice) as two
-            # objects so the driver can keep the prep ref undereferenced
-            futures.append(
-                finalize.options(num_returns=2).remote(
-                    t_ref, mask_ref, b, out_spec
-                )
+
+    def submit():
+        # Replayable (shard-failure recovery): probe ids are stable across
+        # replays — a surviving shard answers from its epoch memo without
+        # re-inserting, a rebuilt shard answers fresh from committed state,
+        # and (buckets key-disjoint, within-bucket keys unique) the masks
+        # come out bit-identical to a failure-free run. Finalize parts
+        # rewrite the same deterministic filenames.
+        slices = [
+            split.options(num_returns=n_buckets).remote(r, n_buckets)
+            for r in refs
+        ]
+        futures = []
+        for b in range(n_buckets):
+            t_ref, keys_ref = dedup.remote(*[s[b] for s in slices])
+            s = b % seen.num_shards
+            mask_ref = seen.shards[s].probe_and_insert.remote(
+                keys_ref, (wave, "wavebucket", b, s)
             )
-        else:
-            futures.append(finalize.remote(t_ref, mask_ref, b, out_spec))
+            if out_spec is not None:
+                # sink mode returns (scalars, prepped-frontier slice) as
+                # two objects so the driver can keep the prep ref
+                # undereferenced
+                futures.append(
+                    finalize.options(num_returns=2).remote(
+                        t_ref, mask_ref, b, out_spec
+                    )
+                )
+            else:
+                futures.append(finalize.remote(t_ref, mask_ref, b, out_spec))
+        return futures
+
     dirs = (archive_dir, frontier_dir) if out_spec is not None else None
-    return futures, out_spec, dirs
+    return submit(), out_spec, dirs, submit
 
 
 def _probe_collect(run: tuple, seen: SeenSet) -> "pa.Table | tuple[int, int]":
     """Wait for a submitted probe dataflow and fold its results (see
-    ``_probe_new_streaming`` for the two return forms)."""
+    ``_probe_new_streaming`` for the two return forms). A seen-shard actor
+    death surfaces here as a RayError on the gather: the dead shards are
+    rebuilt from the committed archive checkpoints and the whole wave's
+    probe chain is resubmitted — stable probe ids make the replay exact
+    (see ``_probe_submit``/``SeenSet.recover``)."""
     import ray
 
-    futures, out_spec, dirs = run
+    futures, out_spec, dirs, resubmit = run
+
+    def _gather(refs):
+        for attempt in range(3):
+            try:
+                return ray.get(refs)
+            except ray.exceptions.RayError:
+                dead = seen.find_dead()
+                if not dead or attempt == 2:
+                    raise
+                seen.recover(dead)
+                fresh = resubmit()
+                refs = (
+                    [f[0] for f in fresh] if out_spec is not None else fresh
+                )
+                # the caller's prep refs must follow the replacement run
+                futures[:] = fresh
+        raise RuntimeError("unreachable")
+
     if out_spec is not None:
         # sink futures are (scalars_ref, prep_ref) pairs: get the scalars,
         # keep the prepped-frontier slices as refs for the next admission
-        scalars = ray.get([f[0] for f in futures])
+        scalars = _gather([f[0] for f in futures])
         prep_refs = [f[1] for f in futures]
         seen.end_epoch()
         archive_dir, frontier_dir = dirs
@@ -918,7 +979,7 @@ def _probe_collect(run: tuple, seen: SeenSet) -> "pa.Table | tuple[int, int]":
                 prep_refs, n_next, n_valid, wave_counts
             )
         return n_new, n_next, prep
-    results = ray.get(futures)
+    results = _gather(futures)
     seen.end_epoch()
     parts = [t for t in results if t is not None and t.num_rows]
     if not parts:
@@ -954,6 +1015,10 @@ def run_crawl(
         cfg.approx_seen,
         filter_kind=cfg.seen_filter,
     )
+    # In-run shard-failure recovery: a dead shard rebuilds from the
+    # COMMITTED waves' archive deltas (state as of the last _COMPLETE
+    # wave); the in-flight wave's probes replay on top (see _probe_collect)
+    seen.set_recovery_source(lambda: _archive_part_paths(run))
     counts: "Counter | politeness.CarriedCounts" = (
         politeness.CarriedCounts.empty(cfg.counts_buckets)
         if cfg.distributed_counts
@@ -977,11 +1042,10 @@ def run_crawl(
             )
         else:
             counts = run.host_counts()
-        archive = run.archive()
-        if archive.num_rows:
-            seen.restore(
-                finding_keys(archive["url"], archive["kind"], archive["depth"])
-            )
+        # distributed restore: route tasks read the delta parts and ship
+        # per-shard key slices straight to the shard actors — the archive
+        # never materializes on the driver (shared with in-run recovery)
+        seen.restore_from_parts(_archive_part_paths(run))
         fpath = last / "next_frontier.parquet"
         n_rows = sum(
             pq.ParquetFile(f).metadata.num_rows
@@ -1031,6 +1095,10 @@ def run_crawl(
             # seen state is the crawl's only unbounded carry) — written
             # before the actor pool dies so post-run tooling can read it
             (out / "seen_stats.json").write_text(json.dumps(seen.stats()))
+            if seen.recoveries:
+                (out / "recovery.json").write_text(
+                    json.dumps({"seen_shard_recoveries": seen.recoveries})
+                )
         except Exception:
             pass  # stats are diagnostics; never fail a finished crawl
         seen.shutdown()
@@ -1060,6 +1128,15 @@ def _run_wave(
     if wave_dir.exists():
         shutil.rmtree(wave_dir)  # incomplete leftover from a crashed run
     wave_dir.mkdir(parents=True)
+    if cfg.chaos_kill_shard is not None and cfg.chaos_kill_shard[0] == wave:
+        # fault injection (tests): this wave's probes hit a dead shard and
+        # must recover in-run with bit-identical output
+        import ray as _ray_chaos
+
+        _ray_chaos.kill(
+            seen.shards[cfg.chaos_kill_shard[1] % seen.num_shards],
+            no_restart=True,
+        )
     wave_metrics: Counter = Counter()
     import time as _time
 
@@ -1510,7 +1587,7 @@ def _run_wave(
     wave_metrics["fetch_miss_image"] += n_images_dispatched - img_attempts
 
     if findings is not None:
-        new = _probe_new(findings, seen, cfg.faithful_depth)
+        new = _probe_new(findings, seen, cfg.faithful_depth, epoch=wave)
         _mark("seen_probe")
         pq.write_table(
             new.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA),

@@ -24,8 +24,40 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from ..keys import hash64, hash_pair
+from ..keys import finding_keys, hash64, hash_pair
 from .filters import BloomFilter, CuckooFilter
+
+
+_ROUTE_PART_TASK = None
+
+
+def _route_part_task():
+    """Singleton Ray task: read ONE archive-delta parquet part, derive its
+    Finding keys, and return the key slice for each target shard (restore /
+    recovery exchange — parts flow worker→shard as plasma refs, nothing
+    archive-sized touches the driver)."""
+    global _ROUTE_PART_TASK
+    if _ROUTE_PART_TASK is None:
+
+        @ray.remote
+        def route_part(path: str, targets: tuple, n_shards: int):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["url", "kind", "depth"])
+            keys = finding_keys(t["url"], t["kind"], t["depth"])
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            if len(keys) == 0:
+                outs = [keys for _ in targets]
+            else:
+                h = (hash64(keys) % np.uint64(n_shards)).astype(np.int64)
+                outs = [
+                    keys.take(pa.array(np.nonzero(h == s)[0])) for s in targets
+                ]
+            return tuple(outs) if len(targets) > 1 else outs[0]
+
+        _ROUTE_PART_TASK = route_part
+    return _ROUTE_PART_TASK
 
 
 def _first_occurrence(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -139,6 +171,8 @@ class SeenShard:
 
     def insert(self, keys: "list[str] | pa.Array") -> int:
         """Insert without probing (checkpoint restore path)."""
+        if keys is None or len(keys) == 0:
+            return 0
         h1, h2 = hash_pair(keys)
         if self.exact is not None:
             if isinstance(keys, (pa.Array, pa.ChunkedArray)):
@@ -167,39 +201,138 @@ class SeenSet:
         filter_kind: str = "bloom",  # | "cuckoo" (north_rule names both)
     ) -> None:
         self.num_shards = num_shards
+        self._ctor = (capacity_per_shard, fpp, approx_only, filter_kind)
         self.shards = [
             SeenShard.remote(capacity_per_shard, fpp, approx_only, filter_kind)
             for _ in range(num_shards)
         ]
+        # run_crawl points this at the committed archive checkpoints so a
+        # crashed shard can be rebuilt in-run (see recover()); None = no
+        # durable source, recovery restores an empty shard (correct only
+        # before the first commit).
+        self._recovery_source = None
+        self.recoveries = 0  # diagnostic: in-run shard rebuilds performed
+
+    def set_recovery_source(self, fn) -> None:
+        """``fn() -> list[str]`` of the COMMITTED archive-delta parquet
+        part paths (state as of the last completed wave). Used by
+        ``recover`` to rebuild dead shards; the current wave's partial
+        sink parts must NOT be included — replayed probes re-derive them."""
+        self._recovery_source = fn
+
+    def find_dead(self) -> list[int]:
+        """Indices of shard actors that no longer answer (RayActorError)."""
+        dead = []
+        for i, s in enumerate(self.shards):
+            try:
+                ray.get(s.stats.remote())
+            except ray.exceptions.RayActorError:
+                dead.append(i)
+        return dead
+
+    def recover(self, dead: list[int]) -> None:
+        """Respawn the dead shards and restore each one's key-partition
+        from the committed checkpoints. Restored state = end of the last
+        COMMITTED wave; the in-flight wave's probes must then be replayed
+        in full — surviving shards answer the replay from their epoch
+        memos without re-inserting, the rebuilt shards answer fresh, and
+        because buckets are key-disjoint and within-bucket keys unique,
+        the replayed masks are bit-identical to a failure-free run."""
+        if not dead:
+            return
+        for i in dead:
+            self.shards[i] = SeenShard.remote(*self._ctor)
+        if self._recovery_source is not None:
+            self.restore_from_parts(
+                list(self._recovery_source()), only_shards=dead
+            )
+        self.recoveries += len(dead)
+
+    def restore_from_parts(
+        self, paths: list, only_shards: "list[int] | None" = None
+    ) -> None:
+        """Distributed bulk-restore: one route task per checkpoint part
+        reads it and emits per-shard key slices (plasma refs) that chain
+        straight into the shards' ``insert`` — the driver handles only
+        refs, never archive bytes (the resume and recovery paths share
+        this). ``only_shards`` restores just those shard indices (in-run
+        recovery of dead shards)."""
+        targets = (
+            tuple(range(self.num_shards))
+            if only_shards is None
+            else tuple(only_shards)
+        )
+        if not targets or not paths:
+            return
+        task = _route_part_task()
+        barriers = []
+        for p in paths:
+            refs = task.options(num_returns=len(targets)).remote(
+                str(p), targets, self.num_shards
+            )
+            if len(targets) == 1:
+                refs = [refs]
+            for s, r in zip(targets, refs):
+                barriers.append(self.shards[s].insert.remote(r))
+        ray.get(barriers)
 
     def _route(self, keys: pa.Array | list[str]) -> np.ndarray:
         return (hash64(keys) % np.uint64(self.num_shards)).astype(np.int64)
 
-    def probe_and_insert(self, keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    def probe_and_insert(
+        self, keys: pa.Array | pa.ChunkedArray, epoch: "int | None" = None
+    ) -> np.ndarray:
         """Probe+insert a key column across all shards in parallel; returns
-        the new-mask aligned with the input order."""
+        the new-mask aligned with the input order.
+
+        With ``epoch`` (the wave number), every shard call carries a
+        content-derived probe id, which makes the whole call replayable:
+        if a shard actor died, the call is retried after ``recover()`` —
+        surviving shards answer the replay from their memos (no double
+        insert), rebuilt shards answer fresh from committed state, and the
+        merged mask is bit-identical to a failure-free run. Without
+        ``epoch`` an actor death propagates (wave-level resume)."""
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         n = len(keys)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        shard_of = self._route(keys)
+        import hashlib
+
+        h = hash64(keys)
+        shard_of = (h % np.uint64(self.num_shards)).astype(np.int64)
         out = np.zeros(n, dtype=bool)
-        futures, positions = [], []
-        for s in range(self.num_shards):
-            pos = np.nonzero(shard_of == s)[0]
-            if len(pos):
-                # vectorized gather; the Arrow slice ships without a
-                # driver-side Python-string materialization
-                futures.append(
-                    self.shards[s].probe_and_insert.remote(
-                        keys.take(pa.array(pos))
+        for attempt in range(3):
+            futures, positions = [], []
+            for s in range(self.num_shards):
+                pos = np.nonzero(shard_of == s)[0]
+                if len(pos):
+                    pid = None
+                    if epoch is not None:
+                        digest = hashlib.blake2b(
+                            h[pos].tobytes(), digest_size=16
+                        ).hexdigest()
+                        pid = (epoch, digest)
+                    # vectorized gather; the Arrow slice ships without a
+                    # driver-side Python-string materialization
+                    futures.append(
+                        self.shards[s].probe_and_insert.remote(
+                            keys.take(pa.array(pos)), pid
+                        )
                     )
-                )
-                positions.append(pos)
-        for pos, mask in zip(positions, ray.get(futures)):
-            out[pos] = mask
-        return out
+                    positions.append(pos)
+            try:
+                masks = ray.get(futures)
+            except ray.exceptions.RayError:
+                dead = self.find_dead()
+                if epoch is None or not dead or attempt == 2:
+                    raise
+                self.recover(dead)
+                continue
+            for pos, mask in zip(positions, masks):
+                out[pos] = mask
+            return out
+        raise RuntimeError("unreachable")
 
     def restore(self, keys: pa.Array | pa.ChunkedArray) -> None:
         """Bulk-load archive keys (resume-from-checkpoint path)."""

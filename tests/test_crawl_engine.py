@@ -743,3 +743,63 @@ def test_attach_frontier_join_matches_dict_probe():
     )
     assert got.num_rows == want.num_rows == 3
     assert key(got) == key(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_death_recovery_driver_path(t1_corpus, tmp_path):
+    """Chaos: kill one seen-shard actor at the start of wave 2. The driver
+    probe path must detect the dead shard, rebuild it from the committed
+    archive checkpoints, replay the wave's probes (survivors answer from
+    their epoch memos, the rebuilt shard answers fresh) and finish with
+    output bit-identical to the oracle — an in-run recovery, no restart."""
+    import json as _json
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    res = oracle.simulate(corpus, seeds)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "chaosD"),
+        CrawlConfig(num_seen_shards=4, chaos_kill_shard=(2, 1)),
+    )
+    assert run.n_waves() == res.n_waves
+    assert_run_matches_oracle(run, res, tbl)
+    rec = _json.loads((tmp_path / "chaosD" / "recovery.json").read_text())
+    assert rec["seen_shard_recoveries"] >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_death_recovery_streaming_path(t1_corpus, tmp_path):
+    """Chaos through the streaming sink probe (ray_state_threshold=0):
+    the failed wave's whole probe dataflow is resubmitted after the shard
+    rebuild; finalize parts rewrite the same deterministic filenames, so
+    the run stays bit-identical to an undisturbed streaming run."""
+    import json as _json
+
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    a = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "plainS"),
+        CrawlConfig(num_seen_shards=4, ray_state_threshold=0),
+    )
+    b = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "chaosS"),
+        CrawlConfig(
+            num_seen_shards=4, ray_state_threshold=0, chaos_kill_shard=(2, 1)
+        ),
+    )
+    assert b.n_waves() == a.n_waves()
+    assert b.order().equals(a.order())
+    assert b.archive().equals(a.archive())
+    assert b.host_counts() == a.host_counts()
+    assert b.texts() == a.texts()
+    assert b.image_files() == a.image_files()
+    assert b.metrics() == a.metrics()
+    rec = _json.loads((tmp_path / "chaosS" / "recovery.json").read_text())
+    assert rec["seen_shard_recoveries"] >= 1

@@ -326,3 +326,57 @@ def test_epoch_scoped_clear_spares_newer_worker_memos():
         assert not replay.any()
     finally:
         seen.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_set_shard_recovery_replays_exact():
+    """Kill a shard after an epoch's probes, rebuild it from checkpoint
+    parts, and replay the SAME epoch call: survivors must answer from
+    their memos (no double insert), the rebuilt shard from the restored
+    committed state — the merged mask equals the failure-free one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from crawler_ray.state.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=10_000)
+    try:
+        committed = pa.table(
+            {
+                "url": pa.array([f"http://h.test/{i}" for i in range(50)]),
+                "kind": pa.array(["page"] * 50),
+                "depth": pa.array(np.zeros(50, dtype=np.int32)),
+            }
+        )
+        import tempfile
+        from pathlib import Path
+
+        with tempfile.TemporaryDirectory() as d:
+            part = Path(d) / "delta.parquet"
+            pq.write_table(committed, part)
+            seen.set_recovery_source(lambda: [part])
+            from crawler_ray.keys import finding_keys
+
+            ck = finding_keys(
+                committed["url"], committed["kind"], committed["depth"]
+            )
+            seen.restore_from_parts([part])
+            # epoch 1: a mix of committed (False) and fresh (True) keys
+            wave = pa.array(
+                [f"http://h.test/{i}\x1fpage\x1f0" for i in range(40, 60)]
+            )
+            want = np.array([i >= 50 for i in range(40, 60)])
+            got = seen.probe_and_insert(wave, epoch=1)
+            assert (got == want).all()
+            # chaos: kill shard 0, then replay the SAME epoch-1 call — the
+            # internal retry path rebuilds and the mask must come out equal
+            ray.kill(seen.shards[0], no_restart=True)
+            replay = seen.probe_and_insert(wave, epoch=1)
+            assert (replay == want).all()
+            assert seen.recoveries == 1
+            # the rebuilt pool has full state: nothing re-admits
+            assert not seen.probe_and_insert(wave, epoch=2).any()
+            assert not seen.probe_and_insert(ck, epoch=3).any()
+    finally:
+        seen.shutdown()

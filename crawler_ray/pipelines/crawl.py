@@ -280,6 +280,9 @@ class CrawlConfig:
     # pages' bytes — the cost model of a real fetch fleet, where bytes/wave
     # ∝ dispatches and fetch capacity scales with nodes.
     fetch_service_shards: int | None = None  # default: num_seen_shards
+    fetch_service_sync_build: bool = False  # block on the service seal
+    # BEFORE wave 0 instead of overlapping the build with the warmup waves
+    # — deterministic routed-path coverage (tests) or pre-warmed restarts
     distributed_counts: bool = False  # carry host-visit counts as
     # per-bucket object-store shards (politeness.CarriedCounts) instead of
     # a driver Counter + per-wave ray.put broadcast — the 10^8-host form:
@@ -298,6 +301,10 @@ class CrawlConfig:
     # probes then hit a dead actor, _probe_collect/SeenSet.probe_and_insert
     # rebuild the shard from the committed archive checkpoints and replay —
     # chaos-tested to produce bit-identical output (test_crawl_engine).
+    chaos_kill_fetch_shard: "tuple | None" = None  # same, for a corpus
+    # fetch-service shard: (wave, shard_idx). The routed fetch barrier
+    # rebuilds the dead shard's partition from the corpus files and
+    # re-issues only the affected fetch+parse slices.
 
     def fingerprint(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -1082,6 +1089,10 @@ def run_crawl(
             n_shards=cfg.fetch_service_shards or cfg.num_seen_shards,
             defer=frontier.num_rows > cfg.scan_task_path_limit,
         )
+        if cfg.fetch_service_sync_build and not fetch_service.started:
+            pass  # deferred (fused) build: wave 0 fuses build+fetch anyway
+        elif cfg.fetch_service_sync_build:
+            fetch_service.ready()
     try:
         while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
             frontier = _run_wave(
@@ -1095,9 +1106,17 @@ def run_crawl(
             # seen state is the crawl's only unbounded carry) — written
             # before the actor pool dies so post-run tooling can read it
             (out / "seen_stats.json").write_text(json.dumps(seen.stats()))
-            if seen.recoveries:
+            n_fetch_rec = (
+                fetch_service.recoveries if fetch_service is not None else 0
+            )
+            if seen.recoveries or n_fetch_rec:
                 (out / "recovery.json").write_text(
-                    json.dumps({"seen_shard_recoveries": seen.recoveries})
+                    json.dumps(
+                        {
+                            "seen_shard_recoveries": seen.recoveries,
+                            "fetch_shard_recoveries": n_fetch_rec,
+                        }
+                    )
                 )
         except Exception:
             pass  # stats are diagnostics; never fail a finished crawl
@@ -1135,6 +1154,19 @@ def _run_wave(
 
         _ray_chaos.kill(
             seen.shards[cfg.chaos_kill_shard[1] % seen.num_shards],
+            no_restart=True,
+        )
+    if (
+        cfg.chaos_kill_fetch_shard is not None
+        and cfg.chaos_kill_fetch_shard[0] == wave
+        and fetch_service is not None
+    ):
+        import ray as _ray_chaos2
+
+        _ray_chaos2.kill(
+            fetch_service.shards[
+                cfg.chaos_kill_fetch_shard[1] % fetch_service.n_shards
+            ],
             no_restart=True,
         )
     wave_metrics: Counter = Counter()
@@ -1334,6 +1366,8 @@ def _run_wave(
         # chunk, not by the biggest shard
         chunk = max(1, cfg.batch_size * 8)
         part_id = 0
+        dispatch_log = []  # (count_idx, shard, part, off0, part_id) — the
+        # replay script for fetch-shard recovery below
         for b, part in enumerate(fetch_service.route(lookup_tbl)):
             if part is None or part.num_rows == 0:
                 continue
@@ -1353,19 +1387,63 @@ def _run_wave(
                     chunk,
                     cfg.curate,
                 )
+                dispatch_log.append((len(count_refs), b, part, off0, part_id))
                 count_refs.append(cref)
                 svc_finding_refs.append(fref)
                 part_id += 1
-        if admitted.num_rows > cfg.scan_task_path_limit:
-            # overlap the probe with the parse tail (see the fused branch)
-            probe_run = _probe_submit(
+
+        def _submit_probe():
+            return _probe_submit(
                 rd, parsed_dir, seen, wave, None,
                 sink=(wave_dir, cfg.depth_limit, cfg.checkpoint_compression,
                       prep_host_limit, cfg.priority),
                 finding_refs=svc_finding_refs,
             )
+
+        if admitted.num_rows > cfg.scan_task_path_limit:
+            # overlap the probe with the parse tail (see the fused branch)
+            probe_run = _submit_probe()
         _mark("svc_route_dispatch")
-        ray.get(count_refs)  # checkpoint-written barrier (counts read next)
+        for attempt in range(3):
+            try:
+                # checkpoint-written barrier (counts read next)
+                ray.get(count_refs)
+                break
+            except ray.exceptions.RayError:
+                # fetch-shard death: rebuild the dead shards' partitions
+                # from the corpus files (deterministic), re-issue only the
+                # affected fetch+parse slices (identical checkpoint parts,
+                # same filenames), and resubmit the probe chain over the
+                # repaired finding refs — stable probe ids mean surviving
+                # seen shards answer the replay from their epoch memos
+                dead = fetch_service.find_dead()
+                if not dead or attempt == 2:
+                    raise
+                fetch_service.recover(dead)
+                refetched: dict = {}
+                for idx, b, part, off0, pid in dispatch_log:
+                    if b not in set(dead):
+                        continue
+                    if b not in refetched or refetched[b][0] is not part:
+                        refetched[b] = (
+                            part,
+                            fetch_service.shards[b].fetch.remote(part),
+                        )
+                    cref, fref = task.remote(
+                        refetched[b][1],
+                        str(parsed_dir),
+                        pid,
+                        cfg.faithful_depth,
+                        cfg.checkpoint_compression,
+                        cfg.batch_size,
+                        off0,
+                        chunk,
+                        cfg.curate,
+                    )
+                    count_refs[idx] = cref
+                    svc_finding_refs[idx] = fref
+                if probe_run is not None:
+                    probe_run = _submit_probe()
     elif lookup_tbl.num_rows and fetcher_cls is not None:
         # pluggable fetch path (stages/fetch.py): actor-pool fetch over the
         # admitted dispatches; downstream parse identical to the scan path

@@ -153,6 +153,13 @@ def _corpus_shard_actor():
                 self._index = pd.Index(self._urls.to_pandas())
                 return t.num_rows
 
+            def stats(self) -> dict:
+                """Liveness ping + occupancy (never mutates state)."""
+                return {
+                    "sealed": self._index is not None,
+                    "rows": len(self._urls) if self._urls is not None else 0,
+                }
+
             def fetch(self, batch: pa.Table) -> pa.Table:
                 """FETCH_IN_SCHEMA rows routed to this shard → fetched
                 (url, kind, depth, html) rows; misses emit no row. One
@@ -251,6 +258,38 @@ def _load_split_task():
     return _LOAD_SPLIT
 
 
+_LOAD_ONE = None
+
+
+def _load_one_task():
+    """Singleton Ray task: read ONE corpus file and return only the rows of
+    ONE shard partition (shard-rebuild path — a dead shard's state is a
+    deterministic function of the corpus files, so recovery re-derives just
+    its slice instead of re-running the full build exchange)."""
+    global _LOAD_ONE
+    if _LOAD_ONE is None:
+        import ray
+
+        @ray.remote
+        def load_one(path: str, b: int, n: int) -> "pa.Table | None":
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            from ..keys import hash64
+
+            t = pq.read_table(path, columns=["url", "html"])
+            if t.num_rows == 0:
+                return None
+            h = (hash64(t["url"].combine_chunks()) % np.uint64(n)).astype(
+                np.int64
+            )
+            pos = np.nonzero(h == b)[0]
+            return t.take(pa.array(pos)) if len(pos) else None
+
+        _LOAD_ONE = load_one
+    return _LOAD_ONE
+
+
 class CorpusFetchService:
     """Sharded in-memory corpus fetch service — the offline analog of a
     crawl's fetch fleet.
@@ -285,8 +324,48 @@ class CorpusFetchService:
         self.shards = [shard_cls.remote() for _ in range(self.n_shards)]
         self._seal: "list | None" = None
         self.rows: "int | None" = None
+        self.recoveries = 0  # diagnostic: in-run shard rebuilds performed
         if not defer:
             self.start()
+
+    def find_dead(self) -> "list[int]":
+        """Indices of shard actors that no longer answer (RayActorError)."""
+        import ray
+
+        dead = []
+        for i, s in enumerate(self.shards):
+            try:
+                ray.get(s.stats.remote())
+            except ray.exceptions.RayActorError:
+                dead.append(i)
+        return dead
+
+    def recover(self, dead: "list[int]") -> None:
+        """Respawn dead shards and rebuild each one's partition — shard
+        state is a pure function of the corpus files (hash64(url) %
+        n_shards), so recovery re-reads only the dead shards' slices
+        (one load_one task per corpus file) and re-seals. Within-shard row
+        order comes out identical to the original build (per-file order,
+        stable within a file), so re-issued fetches are bit-identical."""
+        import ray
+
+        if not dead:
+            return
+        shard_cls = _corpus_shard_actor()
+        load_one = _load_one_task()
+        barriers = []
+        for b in dead:
+            self.shards[b] = shard_cls.remote()
+            for f in self.files:
+                self.shards[b].add.remote(
+                    load_one.remote(f, b, self.n_shards)
+                )
+            seal_ref = self.shards[b].seal.remote()
+            if self._seal is not None:
+                self._seal[b] = seal_ref
+            barriers.append(seal_ref)
+        ray.get(barriers)  # re-fetch must see the rebuilt, sealed state
+        self.recoveries += len(dead)
 
     @property
     def started(self) -> bool:
@@ -339,7 +418,14 @@ class CorpusFetchService:
 
         if self.rows is None:
             self.start()
-            self.rows = int(sum(ray.get(self._seal)))
+            try:
+                self.rows = int(sum(ray.get(self._seal)))
+            except ray.exceptions.RayError:
+                dead = self.find_dead()
+                if not dead:
+                    raise
+                self.recover(dead)  # recover() re-seals; refs now healthy
+                self.rows = int(sum(ray.get(self._seal)))
         return self.rows
 
     def route(self, lookups: pa.Table) -> "list[pa.Table | None]":

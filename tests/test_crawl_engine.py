@@ -803,3 +803,48 @@ def test_shard_death_recovery_streaming_path(t1_corpus, tmp_path):
     assert b.metrics() == a.metrics()
     rec = _json.loads((tmp_path / "chaosS" / "recovery.json").read_text())
     assert rec["seen_shard_recoveries"] >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fetch_shard_death_recovery(t1_corpus, tmp_path):
+    """Chaos: kill one corpus fetch-service shard mid-crawl. The routed
+    fetch barrier must rebuild the dead shard's partition from the corpus
+    files (its state is a pure function of them), re-issue the affected
+    fetch+parse slices, and finish bit-identical to an undisturbed
+    service-path run."""
+    import json as _json
+
+    path, _ = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    plain = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "svcP"),
+        CrawlConfig(
+            num_seen_shards=2, use_fetch_service=True, fetch_service_shards=3
+        ),
+    )
+    # sync build: every wave takes the routed service path (a warm pytest
+    # session otherwise finishes the whole crawl before the async seal, so
+    # the dead shard would never be touched)
+    chaos = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "svcC"),
+        CrawlConfig(
+            num_seen_shards=2,
+            use_fetch_service=True,
+            fetch_service_shards=3,
+            fetch_service_sync_build=True,
+            chaos_kill_fetch_shard=(2, 1),
+        ),
+    )
+    assert chaos.n_waves() == plain.n_waves()
+    assert chaos.order().equals(plain.order())
+    assert chaos.archive().equals(plain.archive())
+    assert chaos.host_counts() == plain.host_counts()
+    assert chaos.texts() == plain.texts()
+    assert chaos.image_files() == plain.image_files()
+    assert chaos.metrics() == plain.metrics()
+    rec = _json.loads((tmp_path / "svcC" / "recovery.json").read_text())
+    assert rec["fetch_shard_recoveries"] >= 1

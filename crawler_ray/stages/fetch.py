@@ -61,6 +61,7 @@ class HttpFetcher:
         connect_timeout_s: float = 5.0,
         user_agent: str = "crawler-ray/0.1",
         max_concurrency: int = 16,
+        respect_robots: bool = False,
     ) -> None:
         import urllib.request
         from concurrent.futures import ThreadPoolExecutor
@@ -75,6 +76,16 @@ class HttpFetcher:
         # bounds the node's open sockets. Threads are built once per
         # actor (stateful setup), reused for every batch.
         self._pool = ThreadPoolExecutor(max_workers=max(1, int(max_concurrency)))
+        # Per-actor robots.txt cache (north-star: robots caches live in
+        # the stateful fetcher actors): host → Disallow prefixes, fetched
+        # once per host per actor and reused for every later batch. This
+        # is fetch-time enforcement — the LAST line of defense; the
+        # engine's dispatch-side gate (stages/robots.py, gating BEFORE
+        # the budget counter) is authoritative for budget semantics, and
+        # a production deployment runs both. A robots-blocked URL emits
+        # no row (indistinguishable from a miss at this seam).
+        self.respect_robots = respect_robots
+        self._robots: "dict[str, list[str]]" = {}
 
     def fetch_one(self, url: str) -> "bytes | None":
         try:
@@ -83,13 +94,59 @@ class HttpFetcher:
         except Exception:
             return None  # miss: reference warns and drops (main.rs:151-155)
 
+    def _robots_allowed_idx(self, urls: "list[str]") -> "list[int]":
+        """Indices of batch rows whose path is allowed by their host's
+        robots rules. New hosts' robots.txt bodies are fetched through the
+        same thread pool (concurrently, once per host per actor)."""
+        from .. import urlnorm as un
+        from .robots import parse_robots
+
+        parsed = []
+        for u in urls:
+            try:
+                parsed.append(un.parse(u))
+            except Exception:
+                parsed.append(None)  # unfetchable anyway; let fetch miss
+        fetch_list = []
+        for p in parsed:
+            if (
+                p is not None
+                and p.host is not None
+                and p.host not in self._robots
+                and all(h != p.host for h, _ in fetch_list)
+            ):
+                fetch_list.append(
+                    (p.host, f"{p.scheme}://{p.host}/robots.txt")
+                )
+        if fetch_list:
+            bodies = self._pool.map(self.fetch_one, [u for _, u in fetch_list])
+            for (h, _), body in zip(fetch_list, bodies):
+                self._robots[h] = parse_robots(body) if body else []
+        keep = []
+        for i, p in enumerate(parsed):
+            if p is None or p.host is None:
+                keep.append(i)
+                continue
+            prefixes = self._robots.get(p.host) or ()
+            path = p.path + (f"?{p.query}" if p.query is not None else "")
+            if not any(path.startswith(x) for x in prefixes):
+                keep.append(i)
+        return keep
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["fetch_url"].to_pylist()
+        idxs = (
+            self._robots_allowed_idx(urls)
+            if self.respect_robots
+            else range(len(urls))
+        )
         # executor.map yields results in submission order: output rows keep
         # the batch's (canonical) row order regardless of completion order,
         # so the deterministic-checkpoint contract survives concurrency.
         keep, htmls = [], []
-        for i, body in enumerate(self._pool.map(self.fetch_one, urls)):
+        for i, body in zip(
+            idxs, self._pool.map(self.fetch_one, [urls[i] for i in idxs])
+        ):
             if body is not None:
                 keep.append(i)
                 htmls.append(body)

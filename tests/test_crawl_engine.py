@@ -848,3 +848,62 @@ def test_fetch_shard_death_recovery(t1_corpus, tmp_path):
     assert chaos.metrics() == plain.metrics()
     rec = _json.loads((tmp_path / "svcC" / "recovery.json").read_text())
     assert rec["fetch_shard_recoveries"] >= 1
+
+
+def test_http_fetcher_robots_cache():
+    """With respect_robots=True the fetcher holds a per-actor robots cache
+    (north-star: robots caches in the stateful fetcher actors): robots.txt
+    fetched ONCE per host across batches, disallowed paths emit no row,
+    allowed paths fetch normally."""
+    from collections import Counter as C
+
+    import pyarrow as pa
+
+    from crawler_ray.stages.fetch import HttpFetcher
+
+    calls = C()
+
+    class Fake(HttpFetcher):
+        def fetch_one(self, url):  # noqa: D102 — test double
+            calls[url] += 1
+            if url == "http://a.example/robots.txt":
+                return b"User-agent: *\nDisallow: /private\n"
+            if url == "http://b.example/robots.txt":
+                return None  # no robots file: everything allowed
+            if url.endswith("/robots.txt"):
+                return None
+            return f"body:{url}".encode()
+
+    def batch(urls):
+        return pa.table(
+            {
+                "fetch_url": pa.array(urls),
+                "url": pa.array(urls),
+                "kind": pa.array(["page"] * len(urls)),
+                "depth": pa.array([0] * len(urls), pa.int32()),
+            }
+        )
+
+    f = Fake(respect_robots=True, max_concurrency=4)
+    out = f(
+        batch(
+            [
+                "http://a.example/ok",
+                "http://a.example/private/x",
+                "http://b.example/anything",
+            ]
+        )
+    )
+    assert out["url"].to_pylist() == [
+        "http://a.example/ok",
+        "http://b.example/anything",
+    ]
+    # second batch, same hosts: robots NOT re-fetched (per-actor cache)
+    out2 = f(batch(["http://a.example/private/y", "http://a.example/ok2"]))
+    assert out2["url"].to_pylist() == ["http://a.example/ok2"]
+    assert calls["http://a.example/robots.txt"] == 1
+    assert calls["http://b.example/robots.txt"] == 1
+    # default mode is untouched: no robots fetch, disallowed paths fetch
+    g = Fake(max_concurrency=2)
+    out3 = g(batch(["http://a.example/private/x"]))
+    assert out3["url"].to_pylist() == ["http://a.example/private/x"]

@@ -577,10 +577,83 @@ def run_approx_demo() -> dict:
     }
 
 
+def run_chaos_demo() -> dict:
+    """In-run shard-failure recovery overhead at the 90k-page scaling
+    corpus: an undisturbed crawl vs one where a seen shard AND a fetch-
+    service shard are ray.kill'ed mid-crawl. Reports both wall times, the
+    recovery counts, and asserts the outputs identical — the evidence row
+    for 'actor death costs ~one wave replay, not a restart'."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from crawler_ray import fixtures
+    from crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus, _, n_pages = ensure_corpus("scaling")
+    seeds = [
+        fixtures.page_url(i, j)
+        for i in range(SCALING_SIZE[0])
+        for j in range(0, SCALING_SIZE[1], 6)
+    ]
+    shards = max(2, NUM_CPUS // 4)
+    results = {}
+    runs = {}
+    # untimed warmup: worker spawn + page-cache warm, so plain-vs-chaos
+    # compares steady-state walls rather than charging warmup to 'plain'
+    run_crawl(
+        corpus,
+        seeds,
+        f"/tmp/crawler_ray/chaos_demo_warm_{NUM_CPUS}",
+        CrawlConfig(num_seen_shards=shards, use_fetch_service=True),
+    )
+    for mode, chaos in [("plain", None), ("chaos", (1, 1))]:
+        cfg = CrawlConfig(
+            num_seen_shards=shards,
+            use_fetch_service=True,
+            chaos_kill_shard=chaos,
+            chaos_kill_fetch_shard=chaos,
+        )
+        out = f"/tmp/crawler_ray/chaos_demo_{mode}_{NUM_CPUS}"
+        t0 = time.perf_counter()
+        run = run_crawl(corpus, seeds, out, cfg)
+        sec = time.perf_counter() - t0
+        runs[mode] = run
+        rec_p = Path(out) / "recovery.json"
+        results[mode] = {
+            "sec": round(sec, 2),
+            "archive_rows": run.archive().num_rows,
+            "dispatched": run.order().num_rows,
+            **(json.loads(rec_p.read_text()) if rec_p.exists() else {}),
+        }
+    identical = bool(
+        runs["chaos"].archive().equals(runs["plain"].archive())
+        and runs["chaos"].order().equals(runs["plain"].order())
+    )
+    ray.shutdown()
+    return {
+        "metric": "in-run shard-kill recovery overhead, scaling corpus",
+        "corpus_pages": n_pages,
+        **{f"{m}_{k}": v for m, r in results.items() for k, v in r.items()},
+        "output_identical": identical,
+        "recovery_overhead_sec": round(
+            results["chaos"]["sec"] - results["plain"]["sec"], 2
+        ),
+        "num_cpus": NUM_CPUS,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--approx-demo" in sys.argv:
         print(json.dumps(run_approx_demo()))
+    elif "--chaos-demo" in sys.argv:
+        print(json.dumps(run_chaos_demo()))
     else:
         print(json.dumps(run_bench()))

@@ -788,6 +788,17 @@ def _docs_window_dups(sf_dir: str) -> pd.DataFrame:
     return window_dup_pairs(_docs_ds(sf_dir, ["doc_id", "text"]), w=8)
 
 
+def _docs_dedup_spans(sf_dir: str) -> pd.DataFrame:
+    """Duplicated-span EXCISION (functions/dedup.dedup_spans): every exact
+    8-word window shared across docs keeps one canonical copy in the
+    minimum doc_id and is cut from every later doc — the span-removal form
+    of exact-substring dedup (window_dup_pairs only reports the pairs).
+    Brute-force-oracled in tests/test_functions.py."""
+    from crawler_ray.functions.dedup import dedup_spans
+
+    return dedup_spans(_docs_ds(sf_dir, ["doc_id", "text"]), w=8)
+
+
 def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     """Corpus-wide duplicate-LINE removal (functions/dedup.line_dedup —
     the CCNet/RefinedWeb boilerplate-line curation step). The sf* document
@@ -1156,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized": _doc_normalized,
         "doc_redacted": _doc_redacted,
         "multimodal_decode": _multimodal_decode,
+        "docs_dedup_spans": _docs_dedup_spans,
     }
 
 
@@ -1429,6 +1441,43 @@ FROM win a JOIN win b USING (win)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 ORDER BY a, b
+"""
+
+#: Duplicated-span excision oracle: windows restated relationally, the
+#: keep-doc per multi-doc window is min(doc_id), a token drops iff some
+#: marked window occurrence covers its position, docs reassemble by
+#: position (verified bit-exact vs the Ray path at sf0.001 AND sf0.01;
+#: tokens = space-split non-empty, same convention as the query).
+DOCS_DEDUP_SPANS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos
+  FROM t
+), wins AS (
+  SELECT doc_id, pos, array_to_string(ws[pos + 1 : pos + 8], ' ') AS win
+  FROM t, UNNEST(range(greatest(len(ws) - 7, 0))) AS r(pos)
+), g AS (
+  SELECT win, min(doc_id) AS md, count(DISTINCT doc_id) AS c
+  FROM wins GROUP BY win
+), marked AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN g ON w.win = g.win
+  WHERE g.c > 1 AND w.doc_id > g.md
+), kept AS (
+  SELECT wo.doc_id, wo.pos, wo.word FROM words wo
+  WHERE NOT EXISTS (
+    SELECT 1 FROM marked m
+    WHERE m.doc_id = wo.doc_id AND wo.pos BETWEEN m.pos AND m.pos + 7
+  )
+)
+SELECT t2.doc_id,
+       coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text,
+       len(t2.ws) - count(k.word) AS n_removed
+FROM t t2 LEFT JOIN kept k ON k.doc_id = t2.doc_id
+GROUP BY t2.doc_id, len(t2.ws)
+ORDER BY t2.doc_id
 """
 
 #: Line-level dedup oracle: the same deterministic 5-word-line reshaping
@@ -1868,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
         "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
         "docs_window_dup_pairs": DOCS_WINDOW_DUPS_SQL,
+        "docs_dedup_spans": DOCS_DEDUP_SPANS_SQL,
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,

@@ -1368,6 +1368,127 @@ def window_dup_pairs(
     )
 
 
+# ------------------------------------------------- duplicated-span excision
+
+
+def dedup_spans(
+    ds,
+    w: int = 8,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """EXACT duplicated-span excision — the span-REMOVAL form of the
+    exact-substring dedup criterion from published training-data dedup
+    work (suffix-array substring dedup; restated over word windows like
+    ``window_dup_pairs``, which only REPORTS the pairs).
+
+    Semantics (deterministic, order-free): tokens = space-split, empties
+    dropped. For every exact ``w``-word window occurring in ≥2 DISTINCT
+    docs, the minimum doc_id containing it keeps all its occurrences;
+    every occurrence in a higher doc_id is marked, and a token is removed
+    iff covered by ≥1 marked occurrence ([pos, pos+w)) — so duplicated
+    runs longer than ``w`` excise in full, and the earliest document
+    retains one canonical copy of every span. Docs shorter than ``w``
+    words pass through. Returns ``(doc_id, clean_text, n_removed)``
+    sorted by doc_id.
+
+    Shape: one linear pass emits (win, doc_id, pos) occurrence rows; one
+    bucketed exchange on the window string finds multi-doc windows and
+    emits the marked (doc_id, pos) occurrences (a window's rows all land
+    in one bucket, so min-doc is exact); the marked set — duplicated
+    occurrences only, ≪ corpus — gathers into a broadcast dict and one
+    ``map_batches`` over the docs excises. At the design point the final
+    join runs as a bucketed doc_id exchange instead of a broadcast (same
+    two-exchange shape as ``window_dup_pairs``); window keys stay strings
+    here for oracle parity, 64-bit rolling hashes at scale."""
+    import ray as _ray
+
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        wins: list[str] = []
+        pos: list[int] = []
+        for doc_id, text in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            words = [t for t in (text or "").split(" ") if t]
+            for i in range(len(words) - w + 1):
+                ids.append(doc_id)
+                wins.append(" ".join(words[i : i + w]))
+                pos.append(i)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "win": pa.array(wins, pa.string()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def marked_occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("win", sort=False)["doc_id"]
+        multi = (g.transform("nunique") > 1).to_numpy()
+        keep_doc = g.transform("min").to_numpy()
+        m = df[multi & (df["doc_id"].to_numpy() != keep_doc)]
+        return m[["doc_id", "pos"]]
+
+    refs = bucketed_group_map_refs(
+        ds.map_batches(occ_rows, batch_format="pyarrow"),
+        bucket_on="win",
+        fn=marked_occurrences,
+        n_buckets=n_buckets,
+    )
+    marked = (
+        gather_refs_pd(refs)
+        if refs is not None
+        else pd.DataFrame({"doc_id": [], "pos": []})
+    )
+    starts: dict[int, np.ndarray] = {
+        int(d): np.unique(g["pos"].to_numpy().astype(np.int64))
+        for d, g in marked.groupby("doc_id", sort=False)
+    }
+    starts_ref = _ray.put(starts)
+
+    def excise(batch: pa.Table) -> pa.Table:
+        from ..pipelines.crawl import _cached_get
+
+        st = _cached_get(starts_ref)
+        ids = batch[id_col].to_pylist()
+        out_text: list[str] = []
+        out_removed: list[int] = []
+        for doc_id, text in zip(ids, batch[text_col].to_pylist()):
+            words = [t for t in (text or "").split(" ") if t]
+            s = st.get(int(doc_id))
+            if s is None or len(words) < w:
+                out_text.append(" ".join(words))
+                out_removed.append(0)
+                continue
+            drop = np.zeros(len(words), dtype=bool)
+            for p in s:
+                drop[p : p + w] = True
+            kept = [x for x, dd in zip(words, drop) if not dd]
+            out_text.append(" ".join(kept))
+            out_removed.append(int(drop.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(i) for i in ids], pa.int64()
+                ),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_removed": pa.array(out_removed, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(excise, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 # --------------------------------------------------------- snapshot dedup
 
 

@@ -1022,3 +1022,61 @@ def test_decode_audio_8bit_unsigned_and_malformed_headers():
         )["data"].to_pylist() == [bad_rate]
         with _pytest.raises(NotImplementedError):
             ResampleAudio(strict=True)._resample(bad_rate)
+
+
+def test_dedup_spans_matches_brute_force(ray_session):
+    """Duplicated-span excision vs an independent brute-force oracle on a
+    random corpus with planted duplicated runs: the min-doc keeps every
+    span, later docs lose exactly the covered tokens."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import dedup_spans
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(16)]
+    # planted: a 12-word run copied from doc 2 into docs 5 and 9 (longer
+    # than w=8 → the whole run excises in the later docs)
+    run = texts[2].split()[10:22]
+    t5 = texts[5].split()
+    texts[5] = " ".join(t5[:7] + run + t5[7:])
+    t9 = texts[9].split()
+    texts[9] = " ".join(run + t9)
+    texts[12] = texts[4]  # whole-doc dup: doc 12 empties
+    texts[14] = "too short"
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    W = 8
+    got = dedup_spans(rd.from_items(rows), w=W)
+
+    # independent oracle
+    from collections import defaultdict
+
+    occ = defaultdict(list)  # window -> [(doc, pos)]
+    words_of = {i: [x for x in t.split(" ") if x] for i, t in enumerate(texts)}
+    for i, ws in words_of.items():
+        for p in range(len(ws) - W + 1):
+            occ[" ".join(ws[p : p + W])].append((i, p))
+    drop = {i: np.zeros(len(ws), dtype=bool) for i, ws in words_of.items()}
+    for win, occs in occ.items():
+        docs = {d for d, _ in occs}
+        if len(docs) < 2:
+            continue
+        keep = min(docs)
+        for d, p in occs:
+            if d != keep:
+                drop[d][p : p + W] = True
+    want_text = {
+        i: " ".join(x for x, dd in zip(ws, drop[i]) if not dd)
+        for i, ws in words_of.items()
+    }
+    want_removed = {i: int(drop[i].sum()) for i in words_of}
+
+    assert got["doc_id"].tolist() == list(range(16))
+    assert dict(zip(got["doc_id"], got["clean_text"])) == want_text
+    assert dict(zip(got["doc_id"], got["n_removed"])) == want_removed
+    # sanity on the plant: docs 5 and 9 lost ≥ the 12-word run, doc 2 intact
+    assert want_removed[2] == 0
+    assert want_removed[5] >= 12 and want_removed[9] >= 12
+    assert want_removed[12] == len(words_of[12])  # whole-doc dup empties
+    assert want_removed[14] == 0  # shorter than w passes through

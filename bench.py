@@ -300,6 +300,7 @@ def run_bench() -> dict:
         timings[name] = min(reps)
 
     from crawler_ray.functions.dedup import (
+        dedup_spans,
         jaccard_ngram_pairs,
         minhash_lsh_dedup,
         window_dup_pairs,
@@ -330,6 +331,12 @@ def run_bench() -> dict:
         (
             "dedup_window",
             lambda: window_dup_pairs(
+                rd.read_parquet(docs, columns=["doc_id", "text"]), w=8
+            ),
+        ),
+        (
+            "dedup_spans",
+            lambda: dedup_spans(
                 rd.read_parquet(docs, columns=["doc_id", "text"]), w=8
             ),
         ),

@@ -1115,7 +1115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_asof_click": R.purchases_asof_click,
         "events_error_click_window": R.events_error_click_window,
         "events_hopping_window": R.events_hopping_window,
-        "events_props_stats": R.events_props_stats,
+        # newest operator (duplicated-span excision) takes the window slot
+        # of events_props_stats, whose family (grouped event rollups) keeps
+        # several in-window representatives (sessions, hopping window,
+        # running total) and a green CORRECTNESS_r03 row of its own.
+        "docs_dedup_spans": _docs_dedup_spans,
         "events_user_running_total": R.events_user_running_total,
         "doc_tfidf_topk": R.doc_tfidf_topk,
         "docs_split_assign": R.docs_split_assign,
@@ -1167,7 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalized": _doc_normalized,
         "doc_redacted": _doc_redacted,
         "multimodal_decode": _multimodal_decode,
-        "docs_dedup_spans": _docs_dedup_spans,
+        "events_props_stats": R.events_props_stats,
     }
 
 

@@ -122,6 +122,11 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "approx_distinct_users",
         "webtext_training_set",
         "events_value_quantile_sketch",
+        # round-4 addition: duplicated-span excision (took the slot of
+        # events_props_stats, a grouped-event-rollup variant whose family
+        # keeps sessions/hopping-window/running-total in the window and a
+        # green CORRECTNESS_r03 row of its own)
+        "docs_dedup_spans",
     }
     assert round3 <= set(window), round3 - set(window)
 

@@ -1037,6 +1037,65 @@ def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _sitemap_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Sitemap sink → source round trip (sources/sitemap.py): documents
+    become <urlset> XML shards (alternating plain / gzip) whose
+    url/lastmod/changefreq/priority are pure doc_id arithmetic — the URL
+    carries a raw ``&`` so XML entity escaping is exercised on every row,
+    priority is NULL on doc_id ≡ 0 (mod 11) so field omission is too —
+    read back through the parallel sitemap reader; everything must match
+    the SQL oracle built from the same arithmetic. The in-corpus seed
+    DISCOVERY path (robots.txt ``Sitemap:`` directives → index → urlset,
+    pushdown isin scans) is pytest-oracled in
+    tests/test_sources.py::test_sitemap_discover_seeds_from_corpus."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.sources.sitemap import read_sitemaps, write_sitemap_file
+
+    ids = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    freq = ["daily", "weekly", "monthly"]
+    tbl = pa.table(
+        {
+            "url": pa.array(
+                [f"http://docs.example/page?id={d}&ref=sm" for d in ids]
+            ),
+            "lastmod": pa.array(
+                [1_600_000_000_000_000 + d * 86_400_000_000 for d in ids],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "changefreq": pa.array([freq[d % 3] for d in ids]),
+            "priority": pa.array(
+                [None if d % 11 == 0 else (d % 10) / 10.0 for d in ids],
+                pa.float64(),
+            ),
+        }
+    )
+    out_dir = Path(f"/tmp/crawler_ray/sitemap_{Path(sf_dir).name}")
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
+    out_dir.mkdir(parents=True)
+    shard = max(1, tbl.num_rows // 4)
+    for i in range(0, tbl.num_rows, shard):
+        ext = "xml" if (i // shard) % 2 == 0 else "xml.gz"
+        write_sitemap_file(
+            tbl.slice(i, shard), str(out_dir / f"sm-{i // shard:03d}.{ext}")
+        )
+    back = read_sitemaps(str(out_dir)).to_pandas()
+    back["doc_id"] = (
+        back["url"].str.extract(r"id=(\d+)&", expand=False).astype("int64")
+    )
+    back["lastmod_us"] = back["lastmod"].astype("int64")
+    return (
+        back[["doc_id", "url", "lastmod_us", "changefreq", "priority"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HLL-sketch grouped distinct (mergeable combiner shape; rows-only —
     approximate by design, accuracy is pytest-checked against exact)."""
@@ -1127,7 +1186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": R.docs_stratified_sample,
         "docs_global_shuffle": R.docs_global_shuffle,
         "customers_without_orders": R.customers_without_orders,
-        "order_status_with_lineitems": R.order_status_with_lineitems,
+        # round-4 sitemap source takes the window slot of
+        # order_status_with_lineitems, whose semi/anti-join family keeps
+        # customers_without_orders in-window and a green r03 row of its own
+        "sitemap_roundtrip": _sitemap_roundtrip,
         "docs_exact_dedup_ids": R.docs_exact_dedup_ids,
         "ann_cosine_topk": R.ann_cosine_topk_sql_compat,
         "crawl_host_pagerank": _crawl_host_pagerank,
@@ -1172,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redacted": _doc_redacted,
         "multimodal_decode": _multimodal_decode,
         "events_props_stats": R.events_props_stats,
+        "order_status_with_lineitems": R.order_status_with_lineitems,
     }
 
 
@@ -1855,6 +1918,21 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: Sitemap round-trip: the synthesized urlset fields are pure doc_id
+#: arithmetic, so the oracle reconstructs them directly. n/10.0 division
+#: rounds to the same nearest double in DuckDB and in Python's float(str)
+#: parse of the written "%.1f" text, so priority compares bit-exact.
+SITEMAP_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       'http://docs.example/page?id=' || doc_id || '&ref=sm' AS url,
+       CAST(1600000000000000 + doc_id * 86400000000 AS BIGINT) AS lastmod_us,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE (doc_id % 10) / 10.0 END AS priority
+FROM documents ORDER BY doc_id
+"""
+
 #: Histogram-sketch quantiles: pinned deterministic truth at sf0.01 (the
 #: sketch is additive-merge deterministic; accuracy vs exact quantiles is
 #: pytest-checked in test_sessions_sketches.py).
@@ -1955,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": QUANTILE_SKETCH_SQL,
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:
         # header fields and whole-cycle sine RMS are pure doc_id arithmetic
         "audio_decode_features": (

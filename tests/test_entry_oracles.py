@@ -122,11 +122,13 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "approx_distinct_users",
         "webtext_training_set",
         "events_value_quantile_sketch",
-        # round-4 addition: duplicated-span excision (took the slot of
-        # events_props_stats, a grouped-event-rollup variant whose family
-        # keeps sessions/hopping-window/running-total in the window and a
-        # green CORRECTNESS_r03 row of its own)
+        # round-4 additions: duplicated-span excision and the sitemap
+        # source (they took the slots of events_props_stats and
+        # order_status_with_lineitems, grouped-rollup / semi-join variants
+        # whose families keep in-window representatives and green
+        # CORRECTNESS_r03 rows of their own)
         "docs_dedup_spans",
+        "sitemap_roundtrip",
     }
     assert round3 <= set(window), round3 - set(window)
 

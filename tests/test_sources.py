@@ -136,3 +136,161 @@ def test_jsonl_gzip_bytes_deterministic(tmp_path):
     assert (tmp_path / "x1.jsonl.gz").read_bytes() == (
         tmp_path / "x2.jsonl.gz"
     ).read_bytes()
+
+
+def test_sitemap_roundtrip_and_parse_shapes(ray_session, tmp_path):
+    """Sitemap sink → source round trip preserves url/lastmod/changefreq/
+    priority through plain and gzip shards; plain-text and index shapes
+    parse; loc-less entries are dropped and counted; XML entities in locs
+    round-trip; date-only and offset lastmod forms parse."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawler_ray.sources.sitemap import (
+        SEED_SCHEMA,
+        parse_sitemap_bytes,
+        parse_sitemap_index_bytes,
+        read_sitemaps,
+        write_sitemap_file,
+        write_sitemap_index_file,
+    )
+
+    tbl = pa.table(
+        {
+            "url": [
+                "http://a.example/p?x=1&y=2",  # & must escape/unescape
+                "http://b.example/q",
+                "http://c.example/r",
+            ],
+            "lastmod": pa.array(
+                [1_600_000_000_000_000, None, 1_700_000_000_000_000],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "changefreq": ["daily", None, "weekly"],
+            "priority": pa.array([0.8, None, 0.1], pa.float64()),
+        }
+    )
+    write_sitemap_file(tbl, str(tmp_path / "a.xml"))
+    write_sitemap_file(tbl, str(tmp_path / "b.xml.gz"))
+    back = (
+        read_sitemaps(str(tmp_path))
+        .to_pandas()
+        .sort_values("url", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 6
+    a = back.iloc[::2].reset_index(drop=True)
+    b = back.iloc[1::2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["url"].tolist() == [
+        "http://a.example/p?x=1&y=2",
+        "http://b.example/q",
+        "http://c.example/r",
+    ]
+    assert str(a["lastmod"][0]) == "2020-09-13 12:26:40"
+    assert pd.isna(a["lastmod"][1])
+    assert a["changefreq"].tolist() == ["daily", None, "weekly"]
+    assert a["priority"][0] == 0.8 and a["priority"][2] == 0.1
+    assert pd.isna(a["priority"][1])
+
+    # plain-text shape
+    t = parse_sitemap_bytes(b"http://x/1\n\nhttp://x/2\n")
+    assert t.schema.equals(SEED_SCHEMA, check_metadata=False)
+    assert t["url"].to_pylist() == ["http://x/1", "http://x/2"]
+    assert t["lastmod"].null_count == 2
+
+    # malformed entry (no loc) dropped + counted; bad lastmod/priority → null
+    xml = (
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><lastmod>2020-01-01</lastmod></url>"
+        b"<url><loc>http://y/1</loc><lastmod>not-a-date</lastmod>"
+        b"<priority>high</priority></url>"
+        b"<url><loc>http://y/2</loc><lastmod>2020-01-02</lastmod></url>"
+        b"<url><loc>http://y/3</loc>"
+        b"<lastmod>2020-01-02T03:04:05+01:00</lastmod></url>"
+        b"</urlset>"
+    )
+    t = parse_sitemap_bytes(xml)
+    assert t["url"].to_pylist() == ["http://y/1", "http://y/2", "http://y/3"]
+    assert t.schema.metadata[b"sitemap_dropped"] == b"1"
+    assert t["lastmod"][0].as_py() is None and t["priority"][0].as_py() is None
+    assert str(t["lastmod"][1]) == "2020-01-02 00:00:00"
+    assert str(t["lastmod"][2]) == "2020-01-02 02:04:05"  # offset applied
+
+    # index shape: no seed rows; children listed
+    idx = tmp_path / "idx.xml"
+    write_sitemap_index_file(
+        ["http://a.example/sm-1.xml", "http://a.example/sm-2.xml"], str(idx)
+    )
+    assert parse_sitemap_bytes(idx.read_bytes()).num_rows == 0
+    assert parse_sitemap_index_bytes(idx.read_bytes()) == [
+        "http://a.example/sm-1.xml",
+        "http://a.example/sm-2.xml",
+    ]
+
+
+def test_sitemap_discover_seeds_from_corpus(tmp_path):
+    """In-corpus seed discovery: robots Sitemap: directives win, the
+    /sitemap.xml convention is the fallback, index files are followed one
+    level, hosts with no sitemap contribute nothing, and the result is
+    (host, url)-sorted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray.sources.sitemap import (
+        discover_seeds,
+        robots_sitemap_urls,
+        write_sitemap_file,
+        write_sitemap_index_file,
+    )
+
+    def sm_bytes(urls):
+        import io
+        import os
+
+        p = tmp_path / "tmp_sm.xml"
+        write_sitemap_file(
+            pa.table({"url": pa.array(urls, pa.string())}), str(p)
+        )
+        data = p.read_bytes()
+        os.remove(p)
+        return data
+
+    idx_p = tmp_path / "tmp_idx.xml"
+    write_sitemap_index_file(
+        ["http://a.ex/sm-1.xml", "http://a.ex/sm-2.xml"], str(idx_p)
+    )
+    robots_a = b"User-agent: *\nDisallow: /private\nSitemap: http://a.ex/smidx.xml\n"
+    assert robots_sitemap_urls(robots_a) == ["http://a.ex/smidx.xml"]
+    rows = [
+        # host a: robots directive -> index -> two child sitemaps
+        ("http://a.ex/robots.txt", robots_a),
+        ("http://a.ex/smidx.xml", idx_p.read_bytes()),
+        ("http://a.ex/sm-1.xml", sm_bytes(["http://a.ex/p1", "http://a.ex/p2"])),
+        ("http://a.ex/sm-2.xml", sm_bytes(["http://a.ex/p3"])),
+        # host b: no robots -> convention fallback
+        ("http://b.ex/sitemap.xml", sm_bytes(["http://b.ex/q1"])),
+        # host c: nothing
+        ("http://c.ex/index.html", b"<html></html>"),
+    ]
+    corpus = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000] * len(rows), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "html": pa.array([r[1] for r in rows], pa.binary()),
+            "text": pa.array([""] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    cp = tmp_path / "corpus.parquet"
+    pq.write_table(corpus, str(cp))
+    got = discover_seeds(str(cp), ["a.ex", "b.ex", "c.ex"])
+    assert got["url"].to_pylist() == [
+        "http://a.ex/p1",
+        "http://a.ex/p2",
+        "http://a.ex/p3",
+        "http://b.ex/q1",
+    ]
+    assert got["host"].to_pylist() == ["a.ex", "a.ex", "a.ex", "b.ex"]

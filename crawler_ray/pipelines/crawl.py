@@ -259,6 +259,17 @@ class CrawlConfig:
     # Dataset path's parallel write beats the task path's driver write
     max_waves: int | None = None
     priority: str = "canonical"  # | shallow_first | hot_host_first
+    max_per_host_wave: int | None = None  # per-host per-WAVE dispatch cap
+    # (token politeness; politeness.split_wave_cap): rows beyond the cap
+    # are deferred to the next wave's frontier, never dropped — while the
+    # 257-budget doesn't bind, the fetched URL set is IDENTICAL to the
+    # uncapped crawl's (equivalence-tested), spread over more waves; a
+    # binding budget changes which URLs compete for it (see the operator's
+    # docstring). A host's robots crawl-delay d with
+    # wave period T maps to cap = T/d. Off = faithful reference semantics
+    # (the reference dispatches a whole wave's worth per host at once,
+    # main.rs:110-117). The capped mode routes admission through the
+    # driver-table path (the split is a frontier-table op, like robots).
     respect_robots: bool = False  # robots.txt gate (extension; off = faithful)
     checkpoint_compression: str = "snappy"  # parsed-checkpoint parquet
     # codec. Measured on this rig (interleaved A/B, 16 CPUs, fat-wave
@@ -1181,20 +1192,25 @@ def _run_wave(
         phase_sec[name] = round(now - _t, 3)
         _t = now
 
-    # With robots on, the next wave starts at the driver robots gate and
-    # re-reads the frontier from disk — the fused politeness prep would be
-    # computed in the sink tasks and then thrown away, so skip it there.
-    prep_host_limit = None if robots is not None else cfg.host_limit
+    # With robots or the rate cap on, the next wave starts at a driver
+    # frontier-table gate and re-reads the frontier from disk — the fused
+    # politeness prep would be computed in the sink tasks and then thrown
+    # away, so skip it there.
+    frontier_table_gates = robots is not None or cfg.max_per_host_wave is not None
+    prep_host_limit = None if frontier_table_gates else cfg.host_limit
 
     # ---- robots gate (extension) then politeness gate (ST2) ---------------
     if isinstance(frontier, FrontierRef) and (
-        robots is not None or frontier.num_rows <= cfg.ray_state_threshold
+        frontier_table_gates or frontier.num_rows <= cfg.ray_state_threshold
     ):
         # robots filtering is a driver-table extension; small frontiers
         # are cheaper on the driver fast-path anyway
         frontier = pq.read_table(frontier.path)
+    deferred = None  # rate-cap overflow, re-enters the next wave's frontier
     if isinstance(frontier, FrontierRef):
-        # big frontier: it never enters driver memory. Preferred input is
+        # big frontier: it never enters driver memory (cap mode never
+        # reaches here — frontier_table_gates forces the table read above).
+        # Preferred input is
         # the PREVIOUS wave's fused prep (politeness.PreppedParts riding on
         # the FrontierRef — host attach + top-(limit+1) prune already ran
         # inside the probe's sink tasks during wave K's tail); otherwise
@@ -1230,6 +1246,12 @@ def _run_wave(
             frontier, n_robots = robots.filter_frontier(frontier)
             if n_robots:
                 wave_metrics["dropped_robots"] = n_robots
+        if cfg.max_per_host_wave is not None:
+            frontier, deferred = politeness.split_wave_cap(
+                frontier, cfg.max_per_host_wave, cfg.priority
+            )
+            if deferred.num_rows:
+                wave_metrics["deferred_rate"] = deferred.num_rows
         if isinstance(counts, politeness.CarriedCounts):
             # distributed carry admits via the bucket exchange at EVERY
             # size (the counts shards live in the object store; there is
@@ -1676,6 +1698,17 @@ def _run_wave(
         next_frontier = (
             gated.select(["url", "kind", "depth"]).cast(FRONTIER_SCHEMA)
         )
+        if deferred is not None and deferred.num_rows:
+            # rate-cap overflow: already probed (seen) in an earlier wave,
+            # so it re-enters the frontier directly, bypassing the probe
+            next_frontier = pa.concat_tables(
+                [
+                    next_frontier,
+                    deferred.select(["url", "kind", "depth"]).cast(
+                        FRONTIER_SCHEMA
+                    ),
+                ]
+            )
         pq.write_table(next_frontier, wave_dir / "next_frontier.parquet")
         n_new, n_next = new.num_rows, next_frontier.num_rows
     else:
@@ -1694,6 +1727,20 @@ def _run_wave(
                 finding_refs=svc_finding_refs,
             )
         _mark("seen_probe")
+        if deferred is not None and deferred.num_rows:
+            # rate-cap overflow joins the sink-written frontier parts as
+            # one extra part (already probed; bypasses the next probe).
+            # next_prep is None in cap mode (frontier_table_gates), so the
+            # next admission re-reads all parts from disk and sees it.
+            fdir = wave_dir / "next_frontier.parquet"
+            fdir.mkdir(parents=True, exist_ok=True)
+            pq.write_table(
+                deferred.select(["url", "kind", "depth"]).cast(
+                    FRONTIER_SCHEMA
+                ),
+                fdir / "part-deferred.parquet",
+            )
+            n_next += deferred.num_rows
         next_frontier = FrontierRef(
             str(wave_dir / "next_frontier.parquet"), n_next, prep=next_prep
         )
@@ -1797,6 +1844,14 @@ def main() -> None:
         help="frontier priority order within each wave",
     )
     ap.add_argument(
+        "--max-per-host-wave",
+        type=int,
+        default=None,
+        help="per-host per-wave dispatch cap (token politeness): overflow "
+        "defers to the next wave's frontier instead of dropping; a host "
+        "crawl-delay d with wave period T maps to cap = T/d",
+    )
+    ap.add_argument(
         "--address",
         default="local",
         help='Ray address: "local" (default) starts an in-process session; '
@@ -1829,6 +1884,7 @@ def main() -> None:
             distributed_counts=args.distributed_counts,
             curate=args.curate,
             priority=args.priority,
+            max_per_host_wave=args.max_per_host_wave,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(

@@ -185,6 +185,46 @@ def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> p
     return pa.Table.from_pandas(df[keep], preserve_index=False)
 
 
+def split_wave_cap(
+    frontier: pa.Table, cap: int, priority: str = "canonical"
+) -> tuple[pa.Table, pa.Table]:
+    """Per-host per-wave dispatch cap — the token form of politeness: each
+    wave spends at most ``cap`` tokens per host and everything beyond is
+    DEFERRED to the next wave's frontier, not dropped (a host's crawl-delay
+    d with wave period T is cap = T/d). The first ``cap`` rows of each
+    host group in wave priority order stay in the wave; the cumulative
+    257-budget still applies at admission. While the budget does not
+    bind, a capped crawl fetches exactly the same URL set as an uncapped
+    one — the BFS closure — just spread over more waves (asserted by
+    test_priority_robots.test_rate_cap_same_final_state); once a host's
+    budget binds, deferral legitimately changes WHICH URLs compete for
+    the remaining budget (later waves mix deferred rows with newly
+    discovered ones in priority order), so outcomes differ there by
+    design, with the 257 cap still enforced. Host-less rows
+    are NOT deferred (admission drops them with ``dropped_hostless``;
+    deferring would carry them forever). Returns (this_wave, deferred)."""
+    if cap < 1:
+        raise ValueError(f"max_per_host_wave must be >= 1, got {cap}")
+    if frontier.num_rows == 0:
+        return frontier, frontier.slice(0, 0)
+    df = frontier.to_pandas()
+    pairs = [(c, a) for c, a in zip(*PRIORITY_MODES[priority]) if c in df.columns]
+    sort_cols = ["host"] + [c for c, _ in pairs if c != "host"]
+    ascending = [True] + [a for c, a in pairs if c != "host"]
+    df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+    cum = df.groupby("host", sort=False, dropna=True).cumcount()
+    keep = ((cum < cap) | df["host"].isna()).to_numpy()
+    now = pa.Table.from_pandas(df[keep], preserve_index=False).cast(
+        frontier.schema
+    )
+    if keep.all():
+        return now, frontier.slice(0, 0)
+    deferred = pa.Table.from_pandas(df[~keep], preserve_index=False).cast(
+        frontier.schema
+    )
+    return now, deferred
+
+
 def vc_to_dict(col: "pa.ChunkedArray | pa.Array") -> dict:
     """pc.value_counts → {value: count}: Python objects only for UNIQUE
     values, never one per row. The one idiom for per-host wave counts

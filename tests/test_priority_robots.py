@@ -142,3 +142,122 @@ def test_robots_gate_streaming_path_matches_oracle(t1_corpus, tmp_path):
         ),
     )
     assert_run_matches_oracle(run, res, tbl)
+
+
+def test_split_wave_cap_unit():
+    """First ``cap`` rows per host in wave priority order stay; the rest
+    defer; hostless rows are never deferred (admission drops them)."""
+    import pyarrow as pa
+
+    from crawler_ray.stages import politeness
+
+    frontier = politeness.with_host(
+        pa.table(
+            {
+                "url": [
+                    "http://a.test/3",
+                    "http://a.test/1",
+                    "http://a.test/2",
+                    "http://b.test/1",
+                    "mailto:nohost@example",
+                ],
+                "kind": ["page"] * 5,
+                "depth": pa.array([0] * 5, pa.int32()),
+            }
+        )
+    )
+    now, deferred = politeness.split_wave_cap(frontier, 2)
+    # canonical order within host: a/1, a/2 stay, a/3 defers; b under cap;
+    # the hostless row stays
+    assert sorted(now["url"].to_pylist()) == [
+        "http://a.test/1",
+        "http://a.test/2",
+        "http://b.test/1",
+        "mailto:nohost@example",
+    ]
+    assert deferred["url"].to_pylist() == ["http://a.test/3"]
+    assert now.schema.equals(frontier.schema)
+    with pytest.raises(ValueError):
+        politeness.split_wave_cap(frontier, 0)
+
+
+def _max_per_host_per_wave(run) -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from crawler_ray.stages import politeness
+
+    worst = 0
+    for wd in sorted(run.out.glob("wave=*")):
+        adm = pq.read_table(wd / "admitted.parquet")
+        if adm.num_rows == 0:
+            continue
+        hosts = politeness.with_host(adm.select(["url", "kind", "depth"]))[
+            "host"
+        ]
+        vc = pc.value_counts(hosts.combine_chunks())
+        worst = max(
+            worst,
+            *(s["counts"] for s in vc.to_pylist() if s["values"] is not None),
+        )
+    return worst
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("streaming", [False, True])
+def test_rate_cap_same_final_state(t1_corpus, tmp_path, streaming):
+    """With a NON-binding budget the per-host per-wave rate cap defers but
+    never drops: the capped crawl's final archive / texts / host counts
+    are IDENTICAL to the uncapped run's (the BFS closure), spread over
+    more waves, and no wave dispatches more than ``cap`` URLs to any
+    host. ``streaming=True`` drives the sink-mode probe
+    (ray_state_threshold=0) so the deferred-part frontier write is
+    exercised too."""
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    base = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_uncapped"),
+        CrawlConfig(num_seen_shards=4),
+    )
+    assert base.metrics().get("dropped_budget", 0) == 0  # must not bind
+    cap = 3
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / f"run_capped_{streaming}"),
+        CrawlConfig(
+            num_seen_shards=4,
+            max_per_host_wave=cap,
+            ray_state_threshold=0 if streaming else 50_000,
+        ),
+    )
+    assert run.texts() == base.texts()
+    assert run.archive().sort_by("url").equals(base.archive().sort_by("url"))
+    assert run.host_counts() == base.host_counts()
+    assert len(sorted(run.out.glob("wave=*"))) > len(
+        sorted(base.out.glob("wave=*"))
+    )
+    assert run.metrics().get("deferred_rate", 0) > 0
+    assert _max_per_host_per_wave(run) <= cap
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rate_cap_with_binding_budget_keeps_257_semantics(t1_corpus, tmp_path):
+    """With a BINDING budget the capped crawl still enforces both limits -
+    <= cap dispatches per host per wave and <= limit+1 per host over the
+    whole crawl - and terminates (deferred rows beyond the budget are
+    dropped at admission, not re-deferred forever)."""
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    limit, cap = 15, 3
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_capped_binding"),
+        CrawlConfig(num_seen_shards=4, host_limit=limit, max_per_host_wave=cap),
+    )
+    assert run.metrics().get("dropped_budget", 0) > 0  # budget must bind
+    assert _max_per_host_per_wave(run) <= cap
+    assert max(run.host_counts().values()) <= limit + 1

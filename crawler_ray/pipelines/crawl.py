@@ -270,6 +270,13 @@ class CrawlConfig:
     # (the reference dispatches a whole wave's worth per host at once,
     # main.rs:110-117). The capped mode routes admission through the
     # driver-table path (the split is a frontier-table op, like robots).
+    crawl_delay_wave_period: float | None = None  # honor per-host robots
+    # Crawl-delay directives as PER-HOST wave caps: a host with delay d
+    # gets floor(period/d) dispatches per wave, min 1
+    # (robots.RobotsCache.wave_caps); hosts without a delay fall back to
+    # max_per_host_wave (or no cap). Requires respect_robots=True — the
+    # delays come from the same cached robots.txt bodies as the Disallow
+    # gate.
     respect_robots: bool = False  # robots.txt gate (extension; off = faithful)
     checkpoint_compression: str = "snappy"  # parsed-checkpoint parquet
     # codec. Measured on this rig (interleaved A/B, 16 CPUs, fat-wave
@@ -1023,6 +1030,11 @@ def run_crawl(
     import ray.data as rd
 
     cfg = cfg or CrawlConfig()
+    if cfg.crawl_delay_wave_period is not None and not cfg.respect_robots:
+        raise ValueError(
+            "crawl_delay_wave_period needs respect_robots=True (the delays "
+            "come from the cached robots.txt bodies)"
+        )
     out = Path(out_dir)
     run = CrawlRun(out_dir)
 
@@ -1246,9 +1258,18 @@ def _run_wave(
             frontier, n_robots = robots.filter_frontier(frontier)
             if n_robots:
                 wave_metrics["dropped_robots"] = n_robots
-        if cfg.max_per_host_wave is not None:
+        host_caps = None
+        if cfg.crawl_delay_wave_period is not None and robots is not None:
+            # hosts are already cached by the robots gate above
+            host_caps = robots.wave_caps(
+                cfg.crawl_delay_wave_period, cfg.max_per_host_wave
+            )
+        if cfg.max_per_host_wave is not None or host_caps:
             frontier, deferred = politeness.split_wave_cap(
-                frontier, cfg.max_per_host_wave, cfg.priority
+                frontier,
+                cfg.max_per_host_wave,
+                cfg.priority,
+                host_caps=host_caps,
             )
             if deferred.num_rows:
                 wave_metrics["deferred_rate"] = deferred.num_rows
@@ -1852,6 +1873,19 @@ def main() -> None:
         "crawl-delay d with wave period T maps to cap = T/d",
     )
     ap.add_argument(
+        "--respect-robots",
+        action="store_true",
+        help="honor robots.txt Disallow rules (User-agent: * subset), "
+        "cached per host from the corpus' own robots.txt pages",
+    )
+    ap.add_argument(
+        "--crawl-delay-wave-period",
+        type=float,
+        default=None,
+        help="honor robots Crawl-delay directives as per-host wave caps "
+        "(floor(period/delay), min 1); requires --respect-robots",
+    )
+    ap.add_argument(
         "--address",
         default="local",
         help='Ray address: "local" (default) starts an in-process session; '
@@ -1885,6 +1919,8 @@ def main() -> None:
             curate=args.curate,
             priority=args.priority,
             max_per_host_wave=args.max_per_host_wave,
+            respect_robots=args.respect_robots,
+            crawl_delay_wave_period=args.crawl_delay_wave_period,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(

@@ -186,7 +186,10 @@ def presalt_prune(valid: pa.Table, limit: int, priority: str = "canonical") -> p
 
 
 def split_wave_cap(
-    frontier: pa.Table, cap: int, priority: str = "canonical"
+    frontier: pa.Table,
+    cap: int | None,
+    priority: str = "canonical",
+    host_caps: "dict[str, int] | None" = None,
 ) -> tuple[pa.Table, pa.Table]:
     """Per-host per-wave dispatch cap — the token form of politeness: each
     wave spends at most ``cap`` tokens per host and everything beyond is
@@ -202,9 +205,15 @@ def split_wave_cap(
     discovered ones in priority order), so outcomes differ there by
     design, with the 257 cap still enforced. Host-less rows
     are NOT deferred (admission drops them with ``dropped_hostless``;
-    deferring would carry them forever). Returns (this_wave, deferred)."""
-    if cap < 1:
+    deferring would carry them forever).
+
+    ``host_caps`` overrides the default ``cap`` per host (the robots
+    Crawl-delay form, see RobotsCache.wave_caps); hosts in neither get no
+    cap. Returns (this_wave, deferred)."""
+    if cap is not None and cap < 1:
         raise ValueError(f"max_per_host_wave must be >= 1, got {cap}")
+    if host_caps is not None and any(c < 1 for c in host_caps.values()):
+        raise ValueError("per-host caps must be >= 1")
     if frontier.num_rows == 0:
         return frontier, frontier.slice(0, 0)
     df = frontier.to_pandas()
@@ -213,7 +222,14 @@ def split_wave_cap(
     ascending = [True] + [a for c, a in pairs if c != "host"]
     df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
     cum = df.groupby("host", sort=False, dropna=True).cumcount()
-    keep = ((cum < cap) | df["host"].isna()).to_numpy()
+    default_cap = float("inf") if cap is None else float(cap)
+    if host_caps:
+        row_cap = (
+            df["host"].map(host_caps).fillna(default_cap).to_numpy(dtype=float)
+        )
+    else:
+        row_cap = np.full(len(df), default_cap)
+    keep = (cum.to_numpy(dtype=float) < row_cap) | df["host"].isna().to_numpy()
     now = pa.Table.from_pandas(df[keep], preserve_index=False).cast(
         frontier.schema
     )

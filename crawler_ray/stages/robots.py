@@ -30,9 +30,20 @@ from .. import urlnorm as un
 
 def parse_robots(body: bytes | str) -> list[str]:
     """Disallow prefixes for User-agent: * (conservative subset)."""
+    return _parse_robots_full(body)[0]
+
+
+def parse_crawl_delay(body: bytes | str) -> float | None:
+    """``Crawl-delay`` seconds for User-agent: * (same group rule as
+    Disallow; non-numeric / non-positive values ignored)."""
+    return _parse_robots_full(body)[1]
+
+
+def _parse_robots_full(body: bytes | str) -> tuple[list[str], float | None]:
     if isinstance(body, bytes):
         body = body.decode("utf-8", errors="replace")
     prefixes: list[str] = []
+    delay: float | None = None
     applies = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -44,13 +55,21 @@ def parse_robots(body: bytes | str) -> list[str]:
             applies = value == "*"
         elif field == "disallow" and applies and value:
             prefixes.append(value)
-    return prefixes
+        elif field == "crawl-delay" and applies and delay is None:
+            try:
+                d = float(value)
+            except ValueError:
+                continue
+            if d > 0:
+                delay = d
+    return prefixes, delay
 
 
 class RobotsCache:
     def __init__(self, corpus_path: str | list[str]) -> None:
         self.corpus_path = corpus_path
         self.rules: dict[str, list[str]] = {}
+        self.delays: dict[str, float | None] = {}  # Crawl-delay seconds
 
     def ensure_hosts(self, hosts: set[str]) -> None:
         missing = sorted(h for h in hosts if h not in self.rules)
@@ -64,11 +83,34 @@ class RobotsCache:
             columns=["url", "html"], filter=pc.field("url").isin(lookups)
         )
         found: dict[str, list[str]] = {}
+        delays: dict[str, float] = {}
         for u, body in zip(t["url"].to_pylist(), t["html"].to_pylist()):
             host = un.parse(u).host
-            found.setdefault(host, []).extend(parse_robots(body))
+            prefixes, delay = _parse_robots_full(body)
+            found.setdefault(host, []).extend(prefixes)
+            if delay is not None:
+                # both schemes present: the stricter (longer) delay wins
+                delays[host] = max(delay, delays.get(host, 0.0))
         for h in missing:
             self.rules[h] = found.get(h, [])
+            self.delays[h] = delays.get(h)
+
+    def wave_caps(
+        self, wave_period: float, global_cap: int | None = None
+    ) -> dict[str, int]:
+        """Per-host per-wave dispatch caps from the cached Crawl-delays: a
+        host with delay d gets floor(wave_period / d), at least 1 (never
+        starve a host out entirely — it just spreads over more waves).
+        ``global_cap`` (CrawlConfig.max_per_host_wave) lowers any entry it
+        beats; hosts without a delay are not in the dict (the split
+        applies ``global_cap`` to them as the default)."""
+        caps: dict[str, int] = {}
+        for h, d in self.delays.items():
+            if d is None:
+                continue
+            cap = max(1, int(wave_period / d))
+            caps[h] = cap if global_cap is None else min(cap, global_cap)
+        return caps
 
     def disallowed(self, url_s: str) -> bool:
         u = un.parse(url_s)

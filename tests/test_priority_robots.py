@@ -261,3 +261,130 @@ def test_rate_cap_with_binding_budget_keeps_257_semantics(t1_corpus, tmp_path):
     assert run.metrics().get("dropped_budget", 0) > 0  # budget must bind
     assert _max_per_host_per_wave(run) <= cap
     assert max(run.host_counts().values()) <= limit + 1
+
+
+def test_parse_crawl_delay_group_rules():
+    from crawler_ray.stages.robots import parse_crawl_delay, parse_robots
+
+    body = b"""
+User-agent: googlebot
+Crawl-delay: 9
+User-agent: *
+Disallow: /private/
+Crawl-delay: 2.5
+Crawl-delay: 7
+User-agent: other
+Crawl-delay: 1
+"""
+    assert parse_crawl_delay(body) == 2.5  # first * value wins; others ignored
+    assert parse_robots(body) == ["/private/"]
+    assert parse_crawl_delay(b"User-agent: *\nCrawl-delay: nope\n") is None
+    assert parse_crawl_delay(b"User-agent: *\nCrawl-delay: -3\n") is None
+    assert parse_crawl_delay(b"User-agent: *\nDisallow: /x\n") is None
+
+
+def test_split_wave_cap_host_caps():
+    """Per-host caps override the default; hosts in neither are uncapped."""
+    import pyarrow as pa
+
+    from crawler_ray.stages import politeness
+
+    frontier = politeness.with_host(
+        pa.table(
+            {
+                "url": [f"http://a.test/{i}" for i in range(5)]
+                + [f"http://b.test/{i}" for i in range(5)]
+                + [f"http://c.test/{i}" for i in range(5)],
+                "kind": ["page"] * 15,
+                "depth": pa.array([0] * 15, pa.int32()),
+            }
+        )
+    )
+    now, deferred = politeness.split_wave_cap(
+        frontier, 4, host_caps={"a.test": 2}
+    )
+    from collections import Counter
+
+    got = Counter(u.split("/")[2] for u in now["url"].to_pylist())
+    assert got == {"a.test": 2, "b.test": 4, "c.test": 4}
+    # no default: only listed hosts capped
+    now2, def2 = politeness.split_wave_cap(
+        frontier, None, host_caps={"a.test": 1}
+    )
+    got2 = Counter(u.split("/")[2] for u in now2["url"].to_pylist())
+    assert got2 == {"a.test": 1, "b.test": 5, "c.test": 5}
+    with pytest.raises(ValueError):
+        politeness.split_wave_cap(frontier, None, host_caps={"a.test": 0})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_delay_caps_per_host(tmp_path):
+    """robots Crawl-delay → per-host wave caps end to end: the delayed
+    host never exceeds floor(period/delay) dispatches in any wave, the
+    undelayed host runs uncapped, and the final state equals the
+    cap-free robots run (non-binding budget → BFS closure)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from crawler_ray.stages import politeness
+
+    corpus = fixtures.gen_corpus(2, 12)
+    robots_row = pa.table(
+        {
+            "url": ["http://host0.test/robots.txt"],
+            "warc_ts": corpus["warc_ts"][:1],
+            "html": [b"User-agent: *\nCrawl-delay: 1\n"],
+            "text": ["User-agent: *\nCrawl-delay: 1\n"],
+            "lang": [""],
+        }
+    )
+    tbl = pa.concat_tables([corpus, robots_row.cast(corpus.schema)])
+    cp = tmp_path / "corpus.parquet"
+    pq.write_table(tbl, str(cp))
+    seeds = fixtures.default_seeds(2)
+    base = run_crawl(
+        str(cp),
+        seeds,
+        str(tmp_path / "run_nodelay"),
+        CrawlConfig(num_seen_shards=2, respect_robots=True),
+    )
+    assert base.metrics().get("dropped_budget", 0) == 0
+    run = run_crawl(
+        str(cp),
+        seeds,
+        str(tmp_path / "run_delay"),
+        CrawlConfig(
+            num_seen_shards=2,
+            respect_robots=True,
+            crawl_delay_wave_period=3.0,  # delay 1s -> cap 3 for host0 only
+        ),
+    )
+    assert run.texts() == base.texts()
+    assert run.host_counts() == base.host_counts()
+    per_wave_host0 = []
+    per_wave_host1 = []
+    for wd in sorted(run.out.glob("wave=*")):
+        adm = pq.read_table(wd / "admitted.parquet")
+        if adm.num_rows == 0:
+            continue
+        hosts = politeness.with_host(adm.select(["url", "kind", "depth"]))[
+            "host"
+        ]
+        d = {
+            s["values"]: s["counts"]
+            for s in pc.value_counts(hosts.combine_chunks()).to_pylist()
+        }
+        per_wave_host0.append(d.get("host0.test", 0))
+        per_wave_host1.append(d.get("host1.test", 0))
+    assert max(per_wave_host0) <= 3  # the delayed host is rate-capped
+    assert max(per_wave_host1) > 3  # the undelayed host is not
+    assert run.metrics().get("deferred_rate", 0) > 0
+    # config contract: the delays need the robots cache
+    with pytest.raises(ValueError):
+        run_crawl(
+            str(cp),
+            seeds,
+            str(tmp_path / "run_bad"),
+            CrawlConfig(crawl_delay_wave_period=2.0),
+        )

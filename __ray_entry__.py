@@ -1096,6 +1096,71 @@ def _sitemap_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _sitemap_recrawl_due(sf_dir: str) -> pd.DataFrame:
+    """Recrawl scheduling (sources/sitemap.recrawl_due) over a synthesized
+    SEED_SCHEMA table whose fields are pure doc_id arithmetic: lastmod =
+    epoch + doc_id days (NULL when doc_id ≡ 0 mod 13 — never-observed
+    URLs), changefreq cycling daily/weekly/monthly/never/NULL (NULL →
+    weekly default). Evaluated at now = epoch + 250 days so each
+    changefreq class splits due/not-due mid-corpus. Real SQL oracle: the
+    interval CASE + timestamp arithmetic reproduce exactly."""
+    import ray.data as rd
+
+    from crawler_ray.sources.sitemap import recrawl_due
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = t["doc_id"].cast(pa.int64())
+        day = 86_400_000_000
+        lm = _pc.add(
+            pa.scalar(1_600_000_000_000_000, pa.int64()),
+            _pc.multiply(ids, pa.scalar(day, pa.int64())),
+        )
+        lm = _pc.if_else(
+            _pc.equal(_pc.subtract(ids, _pc.multiply(_pc.divide(ids, 13), 13)), 0),
+            pa.scalar(None, pa.int64()),
+            lm,
+        )
+        freq = ["daily", "weekly", "monthly", "never", None]
+        mod5 = _pc.subtract(ids, _pc.multiply(_pc.divide(ids, 5), 5))
+        cf = pa.array(
+            [freq[m] for m in mod5.to_pylist()], pa.string()
+        )
+        return pa.table(
+            {
+                "url": _pc.binary_join_element_wise(
+                    pa.array(["http://docs.example/page/"] * t.num_rows),
+                    ids.cast(pa.string()),
+                    "",
+                ),
+                "lastmod": lm.cast(pa.timestamp("us")),
+                "changefreq": cf,
+                "priority": pa.nulls(t.num_rows, pa.float64()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        seed_rows, batch_format="pyarrow"
+    )
+    now = 1_600_000_000_000_000 + 250 * 86_400_000_000
+    out = recrawl_due(ds, now_us=now).to_pandas()
+    out["doc_id"] = out["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+    # -1 sentinel for never-observed rows: keeps the column exact int64 on
+    # both sides (a nullable BIGINT comes back float64 from DuckDB's .df(),
+    # and beyond 2^53 micros that would lose exactness)
+    out["next_due_us"] = (
+        out["next_due"]
+        .map(lambda v: -1 if pd.isna(v) else v.value // 1000)
+        .astype("int64")
+    )
+    return (
+        out[["doc_id", "changefreq", "next_due_us", "due"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HLL-sketch grouped distinct (mergeable combiner shape; rows-only —
     approximate by design, accuracy is pytest-checked against exact)."""
@@ -1191,6 +1256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # customers_without_orders in-window and a green r03 row of its own
         "sitemap_roundtrip": _sitemap_roundtrip,
         "docs_exact_dedup_ids": R.docs_exact_dedup_ids,
+        # round-4 recrawl scheduler takes the window slot of
+        # customer_nation, whose plain-hash-join family keeps q3/q5/
+        # top_suppliers in-window and a green r03 row of its own
+        "sitemap_recrawl_due": _sitemap_recrawl_due,
         "ann_cosine_topk": R.ann_cosine_topk_sql_compat,
         "crawl_host_pagerank": _crawl_host_pagerank,
         "crawl_anchor_texts": _crawl_anchor_texts,
@@ -1220,7 +1289,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_value_topk": R.events_user_value_topk,
         "events_value_quantiles": R.events_value_quantiles,
         "docs_temperature_sample": R.docs_temperature_sample,
-        "customer_nation": R.customer_nation,
         "top_suppliers": R.top_suppliers,
         "orders_priority_counts": R.orders_priority_counts,
         "lang_stats": R.lang_stats,
@@ -1235,6 +1303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _multimodal_decode,
         "events_props_stats": R.events_props_stats,
         "order_status_with_lineitems": R.order_status_with_lineitems,
+        "customer_nation": R.customer_nation,
     }
 
 
@@ -1918,6 +1987,35 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: Recrawl scheduling: same doc_id-arithmetic seed table as the Ray side;
+#: interval CASE mirrors sitemap.CHANGEFREQ_INTERVAL_S (never = the int64-
+#: 200-year effectively-never sentinel), NULL changefreq → weekly default,
+#: NULL lastmod → due with NULL next_due. now = epoch + 250 days.
+SITEMAP_RECRAWL_DUE_SQL = """
+WITH seed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE 1600000000000000 + doc_id * 86400000000 END AS lastmod_us,
+         CASE doc_id % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+              WHEN 2 THEN 'monthly' WHEN 3 THEN 'never'
+              ELSE NULL END AS changefreq
+  FROM documents
+), sched AS (
+  SELECT doc_id, changefreq,
+         lastmod_us + CASE coalesce(changefreq, 'weekly')
+              WHEN 'daily' THEN 86400000000
+              WHEN 'weekly' THEN 604800000000
+              WHEN 'monthly' THEN 2592000000000
+              WHEN 'never' THEN 6307200000000000
+              ELSE 604800000000 END AS next_due_us
+  FROM seed
+)
+SELECT doc_id, changefreq,
+       CAST(coalesce(next_due_us, -1) AS BIGINT) AS next_due_us,
+       coalesce(next_due_us <= 1621600000000000, TRUE) AS due
+FROM sched ORDER BY doc_id
+"""
+
 #: Sitemap round-trip: the synthesized urlset fields are pure doc_id
 #: arithmetic, so the oracle reconstructs them directly. n/10.0 division
 #: rounds to the same nearest double in DuckDB and in Python's float(str)
@@ -2034,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
+        "sitemap_recrawl_due": SITEMAP_RECRAWL_DUE_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:
         # header fields and whole-cycle sine RMS are pure doc_id arithmetic
         "audio_decode_features": (

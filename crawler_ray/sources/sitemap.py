@@ -292,6 +292,72 @@ def write_sitemap_index_file(locs: list[str], path: str) -> int:
     return len(locs)
 
 
+#: sitemaps.org changefreq → recrawl interval, seconds. ``always`` means
+#: recrawl every visit (interval 0); ``never`` means lastmod alone decides
+#: (practically: only null-lastmod entries come due).
+CHANGEFREQ_INTERVAL_S: dict[str, int] = {
+    "always": 0,
+    "hourly": 3_600,
+    "daily": 86_400,
+    "weekly": 604_800,
+    "monthly": 2_592_000,  # 30 days
+    "yearly": 31_536_000,  # 365 days
+    "never": 6_307_200_000,  # 200 years: effectively-never, yet the
+    # resulting next_due still fits pandas' ns-epoch Timestamp range
+}
+
+
+def recrawl_due(ds, now_us: int, default_interval_s: int = 604_800):
+    """Recrawl scheduling over a SEED_SCHEMA table: a URL is DUE at
+    ``now_us`` iff it has no ``lastmod`` (never observed → fetch) or
+    ``lastmod + interval(changefreq) <= now``, with missing/unknown
+    changefreq falling back to ``default_interval_s`` (weekly). Emits
+    ``(url, lastmod, changefreq, next_due, due)`` — the due set plus when
+    each not-yet-due URL comes up, i.e. the input to the next crawl
+    epoch's seed selection.
+
+    One vectorized ``map_batches`` pass: the changefreq→interval map is
+    applied via dictionary-encode + take (unique values only, no per-row
+    Python), timestamps stay int64 micros. At the 10^10-URL design point
+    this runs over the frontier partition-parallel with nothing on the
+    driver; downstream either filters ``due`` for this epoch's frontier
+    or min-aggregates ``next_due`` per host for wakeup scheduling."""
+    import numpy as np
+
+    def assign(t: pa.Table) -> pa.Table:
+        cf = t["changefreq"].combine_chunks()
+        de = pc.dictionary_encode(cf)
+        uniq = [
+            CHANGEFREQ_INTERVAL_S.get(u, default_interval_s) * 1_000_000
+            if u is not None
+            else default_interval_s * 1_000_000
+            for u in de.dictionary.to_pylist()
+        ]
+        if len(uniq):
+            iv = pa.array(uniq, pa.int64()).take(de.indices)
+            iv = pc.fill_null(iv, default_interval_s * 1_000_000)
+        else:
+            iv = pa.array(
+                np.full(t.num_rows, default_interval_s * 1_000_000), pa.int64()
+            )
+        lm = t["lastmod"].cast(pa.int64())
+        next_due = pc.add_checked(lm, iv)  # null lastmod → null next_due
+        due = pc.fill_null(  # never observed → due now
+            pc.less_equal(next_due, pa.scalar(now_us, pa.int64())), True
+        )
+        return pa.table(
+            {
+                "url": t["url"],
+                "lastmod": t["lastmod"],
+                "changefreq": cf,
+                "next_due": next_due.cast(pa.timestamp("us")),
+                "due": due,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def robots_sitemap_urls(body: bytes | str) -> list[str]:
     """``Sitemap:`` directive URLs from a robots.txt body. Per the
     protocol the directive is group-independent (applies regardless of

@@ -35,6 +35,8 @@ REAL_SQL = [
     "doc_redacted",
     "warc_roundtrip",
     "jsonl_roundtrip",
+    "sitemap_roundtrip",
+    "sitemap_recrawl_due",
     "audio_decode_features",
 ]
 
@@ -129,6 +131,7 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # CORRECTNESS_r03 rows of their own)
         "docs_dedup_spans",
         "sitemap_roundtrip",
+        "sitemap_recrawl_due",
     }
     assert round3 <= set(window), round3 - set(window)
 

@@ -294,3 +294,44 @@ def test_sitemap_discover_seeds_from_corpus(tmp_path):
         "http://b.ex/q1",
     ]
     assert got["host"].to_pylist() == ["a.ex", "a.ex", "a.ex", "b.ex"]
+
+
+def test_recrawl_due_schedule(ray_session):
+    """Recrawl scheduling: null lastmod is always due (never observed),
+    changefreq maps to its protocol interval, unknown/missing changefreq
+    falls back to the default, 'never' pushes next_due out of range."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.sources.sitemap import recrawl_due
+
+    base = 1_600_000_000_000_000
+    day = 86_400_000_000
+    tbl = pa.table(
+        {
+            "url": [f"http://x/{i}" for i in range(6)],
+            "lastmod": pa.array(
+                [base, base, base, None, base, base], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "changefreq": ["daily", "weekly", "never", "monthly", None, "bogus"],
+            "priority": pa.array([None] * 6, pa.float64()),
+        }
+    )
+    now = base + 3 * day  # 3 days after everything's lastmod
+    out = (
+        recrawl_due(rd.from_arrow(tbl), now_us=now)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # daily: due (3d >= 1d); weekly: not due; never: not due;
+    # null lastmod: due, null next_due; default-weekly fallbacks: not due
+    assert out["due"].tolist() == [True, False, False, True, False, False]
+    assert out["next_due"].isna().tolist() == [
+        False, False, False, True, False, False,
+    ]
+    assert out["next_due"][0].value // 1000 == base + day
+    assert out["next_due"][1].value // 1000 == base + 7 * day
+    # unknown + missing changefreq both got the weekly default
+    assert out["next_due"][4].value // 1000 == base + 7 * day
+    assert out["next_due"][5].value // 1000 == base + 7 * day

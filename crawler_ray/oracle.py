@@ -93,6 +93,7 @@ def simulate(
     faithful_depth: bool = True,
     priority: str = "canonical",
     respect_robots: bool = False,
+    host_rank: "dict[str, float] | None" = None,
 ) -> CrawlResult:
     res = CrawlResult()
     robots: dict[str, list[str]] = {}
@@ -139,6 +140,17 @@ def simulate(
             valid.sort(
                 key=lambda it: (
                     -wave_hosts[un.parse(it[0]).host],
+                    un.parse(it[0]).host,
+                    it[1],
+                    it[0],
+                    it[2],
+                )
+            )
+        elif priority == "ranked":
+            rk = host_rank or {}
+            valid.sort(
+                key=lambda it: (
+                    -rk.get(un.parse(it[0]).host, 0.0),
                     un.parse(it[0]).host,
                     it[1],
                     it[0],

@@ -270,6 +270,11 @@ class CrawlConfig:
     # (the reference dispatches a whole wave's worth per host at once,
     # main.rs:110-117). The capped mode routes admission through the
     # driver-table path (the split is a frontier-table op, like robots).
+    host_rank_path: str | None = None  # parquet (host, rank) table for the
+    # "ranked" priority mode — external host importance (e.g. the PageRank
+    # of a previous crawl epoch via functions/graph.pagerank): high-rank
+    # hosts drain their budget first. Loaded once per crawl, attached to
+    # each wave's frontier as a dictionary-encoded lookup column.
     crawl_delay_wave_period: float | None = None  # honor per-host robots
     # Crawl-delay directives as PER-HOST wave caps: a host with delay d
     # gets floor(period/d) dispatches per wave, min 1
@@ -1035,6 +1040,14 @@ def run_crawl(
             "crawl_delay_wave_period needs respect_robots=True (the delays "
             "come from the cached robots.txt bodies)"
         )
+    if cfg.priority == "ranked" and cfg.host_rank_path is None:
+        raise ValueError("priority='ranked' needs host_rank_path")
+    host_rank: "dict[str, float] | None" = None
+    if cfg.host_rank_path is not None:
+        rt = pq.read_table(cfg.host_rank_path, columns=["host", "rank"])
+        host_rank = dict(
+            zip(rt["host"].to_pylist(), rt["rank"].to_pylist())
+        )
     out = Path(out_dir)
     run = CrawlRun(out_dir)
 
@@ -1120,7 +1133,7 @@ def run_crawl(
         while frontier.num_rows and (cfg.max_waves is None or wave < cfg.max_waves):
             frontier = _run_wave(
                 rd, index, frontier, counts, seen, out, wave, cfg, robots,
-                fetcher_cls, fetcher_kwargs, fetch_service,
+                fetcher_cls, fetcher_kwargs, fetch_service, host_rank,
             )
             wave += 1
     finally:
@@ -1162,6 +1175,7 @@ def _run_wave(
     fetcher_cls: "type | None" = None,
     fetcher_kwargs: "dict | None" = None,
     fetch_service=None,
+    host_rank: "dict | None" = None,
 ) -> pa.Table:
     # _COMPLETE is the atomic wave-commit marker (resume only trusts marked
     # dirs); writing in place avoids a rename that would invalidate lazily
@@ -1208,7 +1222,11 @@ def _run_wave(
     # frontier-table gate and re-reads the frontier from disk — the fused
     # politeness prep would be computed in the sink tasks and then thrown
     # away, so skip it there.
-    frontier_table_gates = robots is not None or cfg.max_per_host_wave is not None
+    frontier_table_gates = (
+        robots is not None
+        or cfg.max_per_host_wave is not None
+        or cfg.priority == "ranked"
+    )
     prep_host_limit = None if frontier_table_gates else cfg.host_limit
 
     # ---- robots gate (extension) then politeness gate (ST2) ---------------
@@ -1258,6 +1276,11 @@ def _run_wave(
             frontier, n_robots = robots.filter_frontier(frontier)
             if n_robots:
                 wave_metrics["dropped_robots"] = n_robots
+        if cfg.priority == "ranked":
+            # broadcast-rank lookup column for the priority sort (the rank
+            # table is host-cardinality; at 10^8 hosts it ships via the
+            # same bucketed exchange as the carried counts)
+            frontier = politeness.attach_rank_column(frontier, host_rank or {})
         host_caps = None
         if cfg.crawl_delay_wave_period is not None and robots is not None:
             # hosts are already cached by the robots gate above
@@ -1860,9 +1883,16 @@ def main() -> None:
     )
     ap.add_argument(
         "--priority",
-        choices=["canonical", "shallow_first", "hot_host_first"],
+        choices=["canonical", "shallow_first", "hot_host_first", "ranked"],
         default="canonical",
         help="frontier priority order within each wave",
+    )
+    ap.add_argument(
+        "--host-rank-path",
+        default=None,
+        help="parquet (host, rank) table for --priority ranked: external "
+        "host importance (e.g. a previous epoch's PageRank); high-rank "
+        "hosts drain their budget first",
     )
     ap.add_argument(
         "--max-per-host-wave",
@@ -1921,6 +1951,7 @@ def main() -> None:
             max_per_host_wave=args.max_per_host_wave,
             respect_robots=args.respect_robots,
             crawl_delay_wave_period=args.crawl_delay_wave_period,
+            host_rank_path=args.host_rank_path,
         )
         run = _run_crawl(args.corpus, args.seeds, args.out, cfg, resume=args.resume)
         print(

@@ -68,12 +68,45 @@ PRIORITY_MODES = {
         ["host_wave_rows", "host", "kind", "url", "depth"],
         [False, True, True, True, True],
     ),
+    # external host importance (e.g. PageRank of a previous crawl epoch):
+    # high-rank hosts drain their budget first. The rank column is attached
+    # from a broadcast host->rank table before admission
+    # (attach_rank_column); unknown hosts rank 0.0.
+    "ranked": (
+        ["host_rank", "host", "kind", "url", "depth"],
+        [False, True, True, True, True],
+    ),
 }
+
+
+def attach_rank_column(tbl: pa.Table, rank_map: dict) -> pa.Table:
+    """host → external-importance lookup for the "ranked" priority mode
+    (dictionary-encode + take: Python touches only UNIQUE hosts). Hosts
+    absent from the map — and hostless rows — rank 0.0, sorting after any
+    positively-ranked host."""
+    if "host_rank" in tbl.column_names:
+        return tbl
+    col = tbl["host"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    de = pc.dictionary_encode(col)
+    vals = pa.array(
+        [float(rank_map.get(h, 0.0)) for h in de.dictionary.to_pylist()],
+        pa.float64(),
+    )
+    ranks = pc.fill_null(vals.take(de.indices), 0.0)
+    return tbl.append_column("host_rank", ranks)
 
 
 def attach_priority_columns(tbl: pa.Table, priority: str) -> pa.Table:
     """Attach any computed columns a priority mode sorts on (per-wave
-    aggregates). For hot_host_first this is the wave's per-host row count."""
+    aggregates). For hot_host_first this is the wave's per-host row count;
+    for "ranked" the rank column must have been attached by the caller
+    (it needs the broadcast rank table, see attach_rank_column)."""
+    if priority == "ranked" and "host_rank" not in tbl.column_names:
+        raise ValueError(
+            "ranked priority needs host_rank attached (attach_rank_column)"
+        )
     if priority == "hot_host_first" and "host_wave_rows" not in tbl.column_names:
         # vectorized: dictionary-encode the host column once, count codes
         # with one bincount, gather counts back by code — no Python loop
@@ -148,8 +181,9 @@ def admit_local(
         counts[h] += int(c)
     metrics["dropped_budget"] = int((~keep).sum())
     admitted = frontier.filter(pa.array(keep))
-    if "host_wave_rows" in admitted.column_names:
-        admitted = admitted.drop_columns(["host_wave_rows"])
+    for helper in ("host_wave_rows", "host_rank"):
+        if helper in admitted.column_names:
+            admitted = admitted.drop_columns([helper])
     return admitted, metrics
 
 
@@ -546,6 +580,14 @@ def _gate_carried_task():
                     "host_wave_rows",
                     pa.array(adm["host_wave_rows"].to_numpy(), pa.int64()),
                 )
+            if "host_rank" in adm.columns:
+                # same carry for the "ranked" mode's external host rank
+                admitted = admitted.append_column(
+                    "host_rank",
+                    pa.array(
+                        adm["host_rank"].to_numpy(dtype=float), pa.float64()
+                    ),
+                )
             return admitted, new_counts
 
         _GATE_CARRIED_TASK = gate_carried
@@ -769,8 +811,9 @@ def admit_carried(
         if parts
         else _ADMITTED_SCHEMA.empty_table()
     )
-    if "host_wave_rows" in admitted.column_names:
-        admitted = admitted.drop_columns(["host_wave_rows"])
+    for helper in ("host_wave_rows", "host_rank"):
+        if helper in admitted.column_names:
+            admitted = admitted.drop_columns([helper])
     admitted = admitted.select(["url", "kind", "depth", "host"]).cast(
         _ADMITTED_SCHEMA
     )

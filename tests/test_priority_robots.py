@@ -388,3 +388,56 @@ def test_crawl_delay_caps_per_host(tmp_path):
             str(tmp_path / "run_bad"),
             CrawlConfig(crawl_delay_wave_period=2.0),
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("distributed_counts", [False, True])
+def test_ranked_priority_matches_oracle(t1_corpus, tmp_path, distributed_counts):
+    """'ranked' priority (external host importance, e.g. a previous
+    epoch's PageRank): high-rank hosts drain their budget first; engine
+    order must equal the oracle simulator given the same rank table —
+    through the driver admission path and the carried-counts bucket
+    exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_ray import oracle
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    ranks = {"host3.test": 5.0, "host1.test": 2.0, "hub.test": 1.5}
+    rank_path = tmp_path / "ranks.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(sorted(ranks), pa.string()),
+                "rank": pa.array([ranks[h] for h in sorted(ranks)], pa.float64()),
+            }
+        ),
+        str(rank_path),
+    )
+    res = oracle.simulate(
+        corpus, seeds, host_limit=15, priority="ranked", host_rank=ranks
+    )
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / f"run_ranked_{distributed_counts}"),
+        CrawlConfig(
+            num_seen_shards=4,
+            host_limit=15,
+            priority="ranked",
+            host_rank_path=str(rank_path),
+            distributed_counts=distributed_counts,
+        ),
+    )
+    assert_run_matches_oracle(run, res, tbl)
+    # the config contract: ranked without a rank table is an error
+    with pytest.raises(ValueError):
+        run_crawl(
+            path,
+            seeds,
+            str(tmp_path / "run_bad_ranked"),
+            CrawlConfig(priority="ranked"),
+        )

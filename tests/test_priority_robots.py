@@ -441,3 +441,88 @@ def test_ranked_priority_matches_oracle(t1_corpus, tmp_path, distributed_counts)
             str(tmp_path / "run_bad_ranked"),
             CrawlConfig(priority="ranked"),
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_epoch_pagerank_ranked_recrawl(t1_corpus, tmp_path):
+    """The two-epoch composition loop: epoch-1 crawl extracts the link
+    graph → functions/graph.pagerank scores hosts → epoch-2 recrawls with
+    priority='ranked' over that score table, and the engine's ranked
+    order equals the oracle simulator fed the identical rank dict."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray import oracle
+    from crawler_ray.functions.graph import pagerank
+    from crawler_ray.stages.parse import process_wave_batch
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+
+    # epoch 1: whole-corpus link extraction -> host->host page-link edges
+    def to_wave(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "url": t["url"],
+                "kind": pa.array(["page"] * t.num_rows),
+                "depth": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "html": t["html"],
+            }
+        )
+
+    def host_edges(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.equal(t["rec"], "f"), pc.equal(t["kind"], "page"))
+        )
+        pat = r"^[^:]*://(?P<host>\[[^\]]*\]|[^/:?#]*)"
+
+        def host_of(col):
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            h = pc.struct_field(pc.extract_regex(col, pattern=pat), "host")
+            return pc.if_else(
+                pc.equal(h, ""), pa.scalar(None, pa.string()), h
+            ).cast(pa.string())
+
+        return pa.table({"src": host_of(t["src_url"]), "dst": host_of(t["url"])})
+
+    edges = (
+        rd.read_parquet(path, columns=["url", "html"])
+        .map_batches(to_wave, batch_format="pyarrow")
+        .map_batches(process_wave_batch, batch_format="pyarrow")
+        .map_batches(host_edges, batch_format="pyarrow")
+    )
+    pr = pagerank(edges, damping=0.85, iters=5)
+    assert len(pr) > 1 and pr["pr"].nunique() > 1  # real signal, not flat
+    rank_path = tmp_path / "epoch1_rank.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "host": pa.array(pr["node"].tolist(), pa.string()),
+                "rank": pa.array(pr["pr"].tolist(), pa.float64()),
+            }
+        ),
+        str(rank_path),
+    )
+
+    # epoch 2: rank-prioritized recrawl == oracle under the same ranks
+    ranks = dict(zip(pr["node"], pr["pr"]))
+    res = oracle.simulate(
+        corpus, seeds, host_limit=15, priority="ranked", host_rank=ranks
+    )
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_epoch2"),
+        CrawlConfig(
+            num_seen_shards=4,
+            host_limit=15,
+            priority="ranked",
+            host_rank_path=str(rank_path),
+        ),
+    )
+    assert_run_matches_oracle(run, res, tbl)

@@ -1304,6 +1304,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.events_props_stats,
         "order_status_with_lineitems": R.order_status_with_lineitems,
         "customer_nation": R.customer_nation,
+        # token-budget mixture allocation (data-mixing step); family
+        # (deterministic-hash samplers) is in-window via
+        # docs_stratified_sample; mirror + pytest oracle-check this one
+        "docs_mixture_budget_sample": R.docs_mixture_budget_sample,
     }
 
 
@@ -2072,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_chunks": R.PACK_CHUNKS_SQL,
         "docs_stratified_sample": R.STRATIFIED_SAMPLE_SQL,
         "docs_temperature_sample": R.TEMPERATURE_SAMPLE_SQL,
+        "docs_mixture_budget_sample": R.MIXTURE_BUDGET_SQL,
         "docs_global_shuffle": R.GLOBAL_SHUFFLE_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "order_status_with_lineitems": R.SEMI_JOIN_SQL,

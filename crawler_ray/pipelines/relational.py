@@ -649,6 +649,65 @@ def docs_temperature_sample(sf_dir: str, alpha: float = 0.7) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_mixture_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """Token-budget mixture allocation — the data-mixing step of training
+    prep (fixed-weight recipes a la The Pile / DoReMi baselines): target
+    token shares web 0.5 / books 0.3 / code 0.2 over a budget of 40% of
+    the corpus' whitespace tokens. Source ``s`` keeps rate_s =
+    min(1, budget*w_s / tokens_s): an oversubscribed target (code here —
+    its natural share is below its target share) clamps to keeping
+    everything, the rest downsample deterministically with the same
+    mod-2^32 multiplicative hash as the split/stratified/temperature
+    samplers (reproducible, shuffle-free). Two passes: a per-batch
+    source-token combiner folds to the source-cardinality table on the
+    driver, thresholds quantize to the 1e-6 grid, one stateless filter
+    pass. The DuckDB oracle restates both passes with the SAME operation
+    order (budget*w then /tokens) so the doubles round identically."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def tier_tok(df: pd.DataFrame) -> pd.DataFrame:
+        suffix = df["source"].str.slice(3).astype("int64")
+        src = np.where(
+            suffix < 14, "web", np.where(suffix < 19, "books", "code")
+        )
+        toks = df["text"].fillna("").str.split().str.len().astype("int64")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "source": src, "ws_tokens": toks}
+        )
+
+    ds = ds.map_batches(tier_tok, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", sort=False)["ws_tokens"].sum().reset_index()
+
+    tok = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("source", sort=True)["ws_tokens"]
+        .sum()
+    )
+    budget = float(tok.sum()) * 0.4
+    weights = {"web": 0.5, "books": 0.3, "code": 0.2}
+    thr = {
+        s: int(np.floor(1e6 * min(1.0, (budget * weights[s]) / float(t)) + 0.5))
+        for s, t in tok.items()
+    }
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        h = (
+            (ids.astype(np.uint64) % np.uint64(2**32))
+            * np.uint64(2654435761)
+            % np.uint64(2**32)
+            % np.uint64(1_000_000)
+        ).astype(np.int64)
+        lim = df["source"].map(thr).to_numpy(dtype=np.int64)
+        return df[h < lim]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_global_shuffle(sf_dir: str) -> pd.DataFrame:
     """Deterministic GLOBAL training-order shuffle: every doc gets a
     reproducible position = its rank under the mod-2^64 multiplicative
@@ -726,6 +785,35 @@ SELECT d.doc_id, d.source
 FROM tiered d JOIN thr USING (source)
 WHERE CAST((CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761)
            % 4294967296 % 1000000 AS BIGINT) < thr.t
+ORDER BY d.doc_id
+"""
+
+
+MIXTURE_BUDGET_SQL = r"""
+WITH tiered AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) < 14 THEN 'web'
+              WHEN CAST(substr(source, 4) AS BIGINT) < 19 THEN 'books'
+              ELSE 'code' END AS source,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS ws_tokens
+  FROM documents
+),
+tok AS (SELECT source, CAST(sum(ws_tokens) AS DOUBLE) AS t
+        FROM tiered GROUP BY source),
+b AS (SELECT CAST(sum(ws_tokens) AS DOUBLE) * 0.4 AS budget FROM tiered),
+thr AS (
+  SELECT source,
+         CAST(floor(1e6 * least(1.0,
+              ((SELECT budget FROM b) * CASE source WHEN 'web' THEN 0.5
+                   WHEN 'books' THEN 0.3 ELSE 0.2 END) / t) + 0.5)
+              AS BIGINT) AS lim
+  FROM tok
+)
+SELECT d.doc_id, d.source, d.ws_tokens
+FROM tiered d JOIN thr USING (source)
+WHERE CAST((CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761)
+           % 4294967296 % 1000000 AS BIGINT) < thr.lim
 ORDER BY d.doc_id
 """
 

@@ -21,6 +21,7 @@ REAL_SQL = [
     "docs_dsir_sample",
     "docs_perplexity_buckets",
     "docs_temperature_sample",
+    "docs_mixture_budget_sample",
     "docs_window_dup_pairs",
     "docs_dedup_spans",
     "docs_global_shuffle",

@@ -1161,6 +1161,54 @@ def _sitemap_recrawl_due(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_url_dedup(sf_dir: str) -> pd.DataFrame:
+    """Ingest-side canonical-URL snapshot dedup
+    (functions/dedup.canonical_url_dedup): every 4 consecutive doc_ids
+    synthesize 4 VARIANTS of one logical URL — mixed-case host + default
+    port + utm param, fragment, double-tracker + upper host, and the bare
+    form — which the RE2 canonicalization kernel must collapse to one
+    key; the earliest snapshot (min warc_ts = min doc_id here) survives.
+    Real SQL oracle: the canonical key and the survivor are pure doc_id
+    arithmetic (min per doc_id//4 group)."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import canonical_url_dedup
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].cast(pa.int64()).to_pylist()
+        urls = []
+        for d in ids:
+            k = d // 4
+            v = d % 4
+            if v == 0:
+                urls.append(f"http://Host{k}.example:80/p/{k}?utm_source=x")
+            elif v == 1:
+                urls.append(f"http://host{k}.example/p/{k}#frag{d}")
+            elif v == 2:
+                urls.append(f"http://HOST{k}.example/p/{k}?utm_a=1&utm_b=2")
+            else:
+                urls.append(f"http://host{k}.example/p/{k}")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(
+                    [1_600_000_000_000_000 + d * 1_000_000 for d in ids],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(rows, batch_format="pyarrow")
+    out = canonical_url_dedup(ds, url_col="url", ts_col="warc_ts").to_pandas()
+    return (
+        out[["doc_id", "canon_url", "warc_ts"]]
+        .rename(columns={"warc_ts": "warc_ts_us"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """HLL-sketch grouped distinct (mergeable combiner shape; rows-only —
     approximate by design, accuracy is pytest-checked against exact)."""
@@ -1308,6 +1356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (deterministic-hash samplers) is in-window via
         # docs_stratified_sample; mirror + pytest oracle-check this one
         "docs_mixture_budget_sample": R.docs_mixture_budget_sample,
+        # ingest-side canonical-URL snapshot dedup; family (exact dedup /
+        # keep-min-per-key exchange) is in-window via docs_exact_dedup_ids
+        "corpus_url_dedup": _corpus_url_dedup,
     }
 
 
@@ -1991,6 +2042,17 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: Canonical-URL dedup: every doc_id//4 group is one logical URL; the
+#: canonical key and the min-ts survivor are doc_id arithmetic.
+CORPUS_URL_DEDUP_SQL = """
+WITH g AS (SELECT doc_id // 4 AS k, min(doc_id) AS doc_id
+           FROM documents GROUP BY doc_id // 4)
+SELECT doc_id,
+       'http://host' || k || '.example/p/' || k AS canon_url,
+       CAST(1600000000000000 + doc_id * 1000000 AS BIGINT) AS warc_ts_us
+FROM g ORDER BY doc_id
+"""
+
 #: Recrawl scheduling: same doc_id-arithmetic seed table as the Ray side;
 #: interval CASE mirrors sitemap.CHANGEFREQ_INTERVAL_S (never = the int64-
 #: 200-year effectively-never sentinel), NULL changefreq → weekly default,
@@ -2138,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
         "sitemap_recrawl_due": SITEMAP_RECRAWL_DUE_SQL,
+        "corpus_url_dedup": CORPUS_URL_DEDUP_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:
         # header fields and whole-cycle sine RMS are pure doc_id arithmetic
         "audio_decode_features": (

@@ -1612,3 +1612,89 @@ def snapshot_dedup(
 
     settled = bucketed_group_map(both, "_h", settle, n_buckets=n_buckets)
     return kept_direct.union(settled)
+
+
+# ------------------------------------------------------- canonical-URL dedup
+
+
+#: query parameters that never change page content (analytics trackers) —
+#: the standard Common-Crawl-style preprocessing strip set
+_TRACKING_PARAM = r"(?:utm_[^=&]*|fbclid|gclid|msclkid)"
+_URL_SPLIT = r"(?s)^(?P<scheme>[^:/?#]+)://(?P<auth>[^/?#]*)(?P<rest>.*)$"
+
+
+def canonicalize_url_batch(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Vectorized crawl-corpus URL canonicalization (RE2 kernels only, no
+    per-row Python): drop the fragment, strip analytics query params
+    (utm_*/fbclid/gclid/msclkid — removed to a fixed point, so any run
+    length collapses), drop a then-empty ``?``, lowercase the scheme and
+    authority, and strip the scheme's default port (:80 http / :443
+    https). Path and meaningful query params are preserved verbatim, in
+    order. Rows that don't parse as ``scheme://authority...`` pass
+    through with only the fragment/param normalization. This is the
+    ingest-side equivalence key — coarser than the reference-parity
+    urlnorm algebra, which must NOT fold case or ports (the reference
+    treats those URLs as distinct; main.rs fetches them separately)."""
+    import pyarrow.compute as pc
+
+    u = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    u = u.cast(pa.string())
+    u = pc.replace_substring_regex(u, pattern=r"(?s)#.*$", replacement="")
+    # tracking params to a fixed point: each pass removes a [?&]param pair
+    # together with the FOLLOWING separator (RE2 has no lookarounds), so a
+    # run of k trackers needs up to k passes; corpora cap runs in practice
+    # and the loop exits as soon as a pass changes nothing
+    pat = rf"([?&]){_TRACKING_PARAM}(?:=[^&]*)?(?:&|$)"
+    for _ in range(16):
+        nxt = pc.replace_substring_regex(u, pattern=pat, replacement=r"\1")
+        if not pc.any(pc.not_equal(nxt, u)).as_py():
+            break
+        u = nxt
+    u = pc.replace_substring_regex(u, pattern=r"[?&]$", replacement="")
+    m = pc.extract_regex(u, pattern=_URL_SPLIT)
+    ok = pc.is_valid(m)
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    auth = pc.utf8_lower(pc.struct_field(m, "auth"))
+    auth = pc.if_else(
+        pc.and_(pc.equal(scheme, "http"),
+                pc.match_substring_regex(auth, r":80$")),
+        pc.utf8_replace_slice(auth, start=-3, stop=99_999, replacement=""),
+        auth,
+    )
+    auth = pc.if_else(
+        pc.and_(pc.equal(scheme, "https"),
+                pc.match_substring_regex(auth, r":443$")),
+        pc.utf8_replace_slice(auth, start=-4, stop=99_999, replacement=""),
+        auth,
+    )
+    rebuilt = pc.binary_join_element_wise(
+        scheme, pc.binary_join_element_wise(auth, pc.struct_field(m, "rest"), ""),
+        "://",
+    )
+    return pc.if_else(ok, rebuilt, u)
+
+
+def canonical_url_dedup(ds, url_col: str = "url", ts_col: str = "warc_ts"):
+    """Ingest-side snapshot dedup by canonical URL: attach the canonical
+    key (``canonicalize_url_batch``), then keep ONE row per key — the
+    earliest ``ts_col``, ties broken by the smaller original URL string
+    (deterministic under any partitioning). Shuffle shape = one bucketed
+    hash exchange on the canonical key, per-bucket survivor pick is a
+    vectorized sort + drop_duplicates — same scale contract as
+    ``exact_dedup``. Returns a Dataset of surviving rows with the
+    ``canon_url`` column attached."""
+    from ..stages.shuffle import bucketed_group_map
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column("canon_url", canonicalize_url_batch(t[url_col]))
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([ts_col, url_col]).drop_duplicates(
+            "canon_url", keep="first"
+        )
+
+    return bucketed_group_map(
+        ds.map_batches(attach, batch_format="pyarrow"),
+        bucket_on="canon_url",
+        fn=keep_first,
+    )

@@ -22,6 +22,7 @@ REAL_SQL = [
     "docs_perplexity_buckets",
     "docs_temperature_sample",
     "docs_mixture_budget_sample",
+    "corpus_url_dedup",
     "docs_window_dup_pairs",
     "docs_dedup_spans",
     "docs_global_shuffle",

@@ -1080,3 +1080,62 @@ def test_dedup_spans_matches_brute_force(ray_session):
     assert want_removed[5] >= 12 and want_removed[9] >= 12
     assert want_removed[12] == len(words_of[12])  # whole-doc dup empties
     assert want_removed[14] == 0  # shorter than w passes through
+
+
+def test_canonical_url_dedup_kernel_and_survivors(ray_session):
+    """Canonicalization kernel edge cases (fixed-point tracker runs,
+    default ports per scheme, case folding, non-URL passthrough) and the
+    earliest-snapshot-wins survivor pick with a string tie-break."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import (
+        canonical_url_dedup,
+        canonicalize_url_batch,
+    )
+
+    got = canonicalize_url_batch(
+        pa.array(
+            [
+                "HTTP://Ex.COM:80/P?utm_a=1&utm_b=2&utm_c=3&utm_d=4&q=1#f",
+                "https://Ex.com:443/P",
+                "http://ex.com:443/P",  # non-default port for http: kept
+                "https://ex.com:80/P",  # non-default port for https: kept
+                "http://ex.com/P?gclid=1&x=2&msclkid=3",
+                "not a url ? #x",
+                "http://ex.com/P?utm_only=1",
+            ]
+        )
+    )
+    assert got.to_pylist() == [
+        "http://ex.com/P?q=1",
+        "https://ex.com/P",
+        "http://ex.com:443/P",
+        "https://ex.com:80/P",
+        "http://ex.com/P?x=2",
+        "not a url ? ",  # only the fragment strips; '?' isn't trailing
+        "http://ex.com/P",
+    ]
+
+    tbl = pa.table(
+        {
+            "url": [
+                "http://A.test/x#1",   # canon http://a.test/x, ts 5
+                "http://a.test/x?utm_s=1",  # same canon, ts 3 -> survivor
+                "http://a.test/x",     # same canon, ts 3, LARGER url? no:
+                # 'http://a.test/x' < 'http://a.test/x?utm_s=1' lexically,
+                # so at equal ts the bare form wins the tie-break
+                "http://b.test/y",     # singleton
+            ],
+            "warc_ts": pa.array([5, 3, 3, 9], pa.int64()),
+        }
+    )
+    out = (
+        canonical_url_dedup(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    assert out["canon_url"].tolist() == ["http://a.test/x", "http://b.test/y"]
+    assert out["url"].tolist() == ["http://a.test/x", "http://b.test/y"]
+    assert out["warc_ts"].tolist() == [3, 9]

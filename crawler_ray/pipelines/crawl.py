@@ -455,15 +455,44 @@ class CrawlRun:
     def order(self) -> pa.Table:
         return self._concat("admitted.parquet")
 
+    def compact_marker(self) -> "dict | None":
+        """The archive-compaction marker (see ``compact_archive``), or None
+        when the run has never been compacted."""
+        m = self.out / "_COMPACT"
+        if not m.exists():
+            return None
+        return json.loads(m.read_text())
+
     def archive(self) -> pa.Table:
         """Per-wave deltas in canonical (kind, url, depth) order, waves
         concatenated in order. The driver probe path writes each delta
         pre-sorted (sort is a no-op); the streaming sink path writes one
         part per exchange bucket, so the read applies the canonical sort —
         new-finding sets are order-insensitive, the sort just pins the
-        cross-path bit layout."""
+        cross-path bit layout. After ``compact_archive`` the folded waves
+        read from the compact parts instead (the stored ``wave`` column
+        reproduces the same global (wave, kind, url, depth) order
+        bit-for-bit — equality-tested across the compaction boundary)."""
         parts = []
+        marker = self.compact_marker()
+        upto = -1
+        if marker is not None:
+            upto = int(marker["upto_wave"])
+            cdir = self.out / marker["dir"]
+            compact = pq.read_table(cdir)
+            parts.append(
+                compact.sort_by(
+                    [
+                        ("wave", "ascending"),
+                        ("kind", "ascending"),
+                        ("url", "ascending"),
+                        ("depth", "ascending"),
+                    ]
+                ).drop_columns(["wave"])
+            )
         for d in self.wave_dirs():
+            if int(d.name.split("=")[1]) <= upto:
+                continue
             p = d / "archive_delta.parquet"
             if p.exists():
                 parts.append(
@@ -475,9 +504,10 @@ class CrawlRun:
                         ]
                     )
                 )
+        parts = [p for p in parts if p.num_rows]
         if not parts:
             return FRONTIER_SCHEMA.empty_table()
-        return pa.concat_tables(parts)
+        return pa.concat_tables(parts).cast(FRONTIER_SCHEMA)
 
     def host_counts(self) -> Counter:
         dirs = self.wave_dirs()
@@ -582,15 +612,127 @@ def _archive_part_paths(run: CrawlRun) -> list:
     """Committed archive-delta parquet part paths — the durable restore /
     recovery source for the seen shards. Only ``_COMPLETE``-marked waves
     contribute (an in-flight wave's partial sink parts are excluded; its
-    probes are replayed instead)."""
+    probes are replayed instead). After ``compact_archive`` the folded
+    waves' rows come from the compact parts (waves ≤ the marker are
+    skipped even if their delta files still exist — the post-marker
+    delete is not atomic with the marker write, and double-inserting a
+    key is idempotent for the filter but would double-count nothing;
+    skipping keeps the replay fan-in bounded either way)."""
     out = []
+    marker = run.compact_marker()
+    upto = -1
+    if marker is not None:
+        upto = int(marker["upto_wave"])
+        out.extend(sorted((run.out / marker["dir"]).glob("*.parquet")))
     for d in run.wave_dirs():
+        if int(d.name.split("=")[1]) <= upto:
+            continue
         p = d / "archive_delta.parquet"
         if p.is_dir():
             out.extend(sorted(p.glob("*.parquet")))
         elif p.exists():
             out.append(p)
     return out
+
+
+def compact_archive(out_dir: str, group_size: int = 64) -> dict:
+    """Bound a long crawl's restore/recovery replay fan-in: fold the
+    committed waves' archive-delta parts (plus any previous compaction)
+    into ⌈parts/group_size⌉ compact parquet parts, each carrying a
+    ``wave`` column so ``CrawlRun.archive()`` reproduces the exact
+    pre-compaction byte layout. A 10^3-wave production crawl otherwise
+    replays 10^3×buckets small files into every rebuilt seen shard; after
+    compaction it replays a bounded set plus only the post-marker deltas.
+
+    Distributed shape: one Ray task per output part reads its input
+    group and writes directly (nothing archive-sized on the driver).
+    Crash-safe ordering: new revision dir → atomic marker replace
+    (tmp + os.replace) → delete the consumed delta files and stale
+    revisions; a crash between steps leaves either the old marker with
+    all inputs intact or the new marker with harmless leftovers that
+    readers skip. Returns {"upto_wave", "parts_in", "parts_out", "rows"}.
+    """
+    import ray
+
+    run = CrawlRun(out_dir)
+    dirs = run.wave_dirs()
+    if not dirs:
+        return {"upto_wave": -1, "parts_in": 0, "parts_out": 0, "rows": 0}
+    upto = int(dirs[-1].name.split("=")[1])
+    marker = run.compact_marker()
+    prev_upto = -1 if marker is None else int(marker["upto_wave"])
+    # inputs: (path, wave_const_or_None); previous compact parts already
+    # carry their wave column
+    inputs: list[tuple[str, "int | None"]] = []
+    if marker is not None:
+        inputs.extend(
+            (str(p), None)
+            for p in sorted((run.out / marker["dir"]).glob("*.parquet"))
+        )
+    for d in dirs:
+        w = int(d.name.split("=")[1])
+        if w <= prev_upto:
+            continue
+        p = d / "archive_delta.parquet"
+        if p.is_dir():
+            inputs.extend((str(f), w) for f in sorted(p.glob("*.parquet")))
+        elif p.exists():
+            inputs.append((str(p), w))
+    rev = run.out / f"archive_compact-r{upto:05d}.parquet"
+    rev.mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def fold(group: list, out_path: str) -> int:
+        import pyarrow.parquet as _pq
+
+        tables = []
+        for path, wave in group:
+            t = _pq.read_table(path)
+            if wave is not None:
+                t = t.append_column(
+                    "wave", pa.array(np.full(t.num_rows, wave, np.int32))
+                )
+            tables.append(t)
+        merged = pa.concat_tables(tables).sort_by(
+            [
+                ("wave", "ascending"),
+                ("kind", "ascending"),
+                ("url", "ascending"),
+                ("depth", "ascending"),
+            ]
+        )
+        _pq.write_table(merged, out_path)
+        return merged.num_rows
+
+    futs = []
+    for i in range(0, len(inputs), group_size):
+        futs.append(
+            fold.remote(
+                inputs[i : i + group_size],
+                str(rev / f"part-{i // group_size:05d}.parquet"),
+            )
+        )
+    rows = sum(ray.get(futs))
+    tmp = run.out / "_COMPACT.tmp"
+    tmp.write_text(json.dumps({"upto_wave": upto, "dir": rev.name}))
+    import os
+
+    os.replace(tmp, run.out / "_COMPACT")
+    # cleanup: consumed delta files + stale revisions (best-effort)
+    for path, wave in inputs:
+        try:
+            Path(path).unlink()
+        except OSError:
+            pass
+    for stale in run.out.glob("archive_compact-r*.parquet"):
+        if stale.name != rev.name:
+            shutil.rmtree(stale, ignore_errors=True)
+    return {
+        "upto_wave": upto,
+        "parts_in": len(inputs),
+        "parts_out": len(futs),
+        "rows": rows,
+    }
 
 
 def _probe_new(
@@ -1853,9 +1995,16 @@ def main() -> None:
     import ray
 
     ap = argparse.ArgumentParser(description="Ray-Data crawl over a parquet corpus")
-    ap.add_argument("--corpus", required=True)
-    ap.add_argument("--seeds", nargs="+", required=True)
+    ap.add_argument("--corpus", required=False, default=None)
+    ap.add_argument("--seeds", nargs="+", required=False, default=None)
     ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--compact-archive",
+        action="store_true",
+        help="maintenance mode: fold the run's committed archive-delta "
+        "parts into a bounded compact set (restore/recovery replay "
+        "fan-in; outputs stay bit-identical) and exit — no crawl runs",
+    )
     ap.add_argument("-r", "--recursion-depth-limit", type=int, default=4)
     ap.add_argument("--host-limit", type=int, default=256)
     ap.add_argument("--increment-depth", action="store_true")
@@ -1924,6 +2073,8 @@ def main() -> None:
         "script attaches instead of starting its own head)",
     )
     args = ap.parse_args()
+    if not args.compact_archive and (args.corpus is None or args.seeds is None):
+        ap.error("--corpus and --seeds are required unless --compact-archive")
 
     if not ray.is_initialized():
         init_kwargs = dict(ignore_reinit_error=True, logging_level="ERROR")
@@ -1938,7 +2089,12 @@ def main() -> None:
         # __main__; re-import through the package so worker-shipped
         # closures reference importable module globals, not __main__
         from crawler_ray.pipelines.crawl import CrawlConfig as _Cfg
+        from crawler_ray.pipelines.crawl import compact_archive as _compact
         from crawler_ray.pipelines.crawl import run_crawl as _run_crawl
+
+        if args.compact_archive:
+            print(json.dumps(_compact(args.out)))
+            return
 
         cfg = _Cfg(
             depth_limit=args.recursion_depth_limit,

@@ -907,3 +907,56 @@ def test_http_fetcher_robots_cache():
     g = Fake(max_concurrency=2)
     out3 = g(batch(["http://a.example/private/x"]))
     assert out3["url"].to_pylist() == ["http://a.example/private/x"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_archive_preserves_outputs_and_resume(t1_corpus, tmp_path):
+    """Archive compaction (crawl.compact_archive) folds the per-wave
+    delta parts into a bounded compact set: (1) on a finished run,
+    archive() is BIT-IDENTICAL across the compaction boundary and the
+    restore source shrinks to the compact parts; (2) compacting an
+    interrupted run mid-crawl and resuming reproduces the uninterrupted
+    run exactly (the resume shard-restore reads the compact parts);
+    (3) re-compaction folds a previous revision plus new deltas."""
+    from crawler_ray.pipelines.crawl import _archive_part_paths, compact_archive
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    cfg = CrawlConfig(num_seen_shards=4)
+
+    full = run_crawl(path, seeds, str(tmp_path / "full"), cfg)
+    arch_before = full.archive()
+    n_parts_before = len(_archive_part_paths(full))
+    stats = compact_archive(str(full.out), group_size=4)
+    assert stats["upto_wave"] == full.n_waves() - 1
+    assert stats["rows"] == arch_before.num_rows
+    assert full.archive().equals(arch_before)  # bit-identical read-back
+    after = _archive_part_paths(full)
+    assert len(after) == stats["parts_out"] <= n_parts_before
+    assert all("archive_compact" in str(p) for p in after)
+    assert full.texts() and full.metrics()  # other accessors untouched
+
+    # interrupt -> compact -> resume == uninterrupted
+    partial = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "part"),
+        CrawlConfig(num_seen_shards=4, max_waves=3),
+    )
+    assert partial.n_waves() == 3 < full.n_waves()
+    compact_archive(str(partial.out), group_size=2)
+    resumed = run_crawl(path, seeds, str(tmp_path / "part"), cfg, resume=True)
+    assert resumed.n_waves() == full.n_waves()
+    assert resumed.order().equals(full.order())
+    assert resumed.archive().equals(arch_before)
+    assert resumed.host_counts() == full.host_counts()
+    assert resumed.texts() == full.texts()
+    assert resumed.metrics() == full.metrics()
+
+    # re-compaction: previous revision + the post-resume deltas fold again
+    stats2 = compact_archive(str(partial.out), group_size=8)
+    assert stats2["upto_wave"] == full.n_waves() - 1
+    assert resumed.archive().equals(arch_before)
+    assert all(
+        "archive_compact" in str(p) for p in _archive_part_paths(resumed)
+    )

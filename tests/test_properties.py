@@ -133,3 +133,71 @@ def test_jsonl_salvage_matches_per_line_reference(snap_texts, new_texts):
     out = parse_jsonl_bytes(data)
     got = list(zip(out["url"].to_pylist(), out["text"].to_pylist()))
     assert got == expect
+
+
+# ---- canonical-URL kernel vs a per-row Python reference --------------------
+
+_track_names = st.sampled_from(["utm_source", "utm_a", "fbclid", "gclid", "msclkid"])
+_keep_names = st.sampled_from(["q", "x", "page", "utmx", "id"])
+_vals = st.text(
+    alphabet="abcZ019-._~", min_size=0, max_size=4
+)
+
+
+@st.composite
+def messy_urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS"]))
+    host = draw(st.sampled_from(["Ex.COM", "ex.com", "A.b.Test"]))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(st.sampled_from(["", "/", "/P/x", "/a%20b"]))
+    n = draw(st.integers(0, 5))
+    params = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            params.append(f"{draw(_track_names)}={draw(_vals)}")
+        else:
+            params.append(f"{draw(_keep_names)}={draw(_vals)}")
+    query = "?" + "&".join(params) if params else ""
+    frag = draw(st.sampled_from(["", "#f", "#a?b&c"]))
+    return f"{scheme}://{host}{port}{path}{query}{frag}"
+
+
+def _canon_ref(u: str) -> str:
+    """Per-row reference of the canonicalization spec (independent of the
+    RE2 kernels): fragment off, tracking params out, empty '?' off,
+    scheme+authority lowercased, default port stripped."""
+    import re as _re
+
+    u = u.split("#", 1)[0]
+    m = _re.match(r"(?s)^([^:/?#]+)://([^/?#]*)(.*)$", u)
+    if m:
+        scheme, auth, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+    else:
+        scheme = auth = None
+        rest = u
+    if "?" in rest:
+        base, q = rest.split("?", 1)
+        kept = [
+            p
+            for p in q.split("&")
+            if not _re.match(r"^(?:utm_[^=&]*|fbclid|gclid|msclkid)(?:=|$)", p)
+        ]
+        rest = base + ("?" + "&".join(kept) if kept else "")
+    if scheme is None:
+        return rest
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    return f"{scheme}://{auth}{rest}"
+
+
+@given(st.lists(messy_urls(), min_size=1, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_canonicalize_url_kernel_matches_reference(urls):
+    import pyarrow as pa
+
+    from crawler_ray.functions.dedup import canonicalize_url_batch
+
+    got = canonicalize_url_batch(pa.array(urls, pa.string())).to_pylist()
+    assert got == [_canon_ref(u) for u in urls]

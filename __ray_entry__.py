@@ -835,6 +835,47 @@ def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_c4_filters(sf_dir: str) -> pd.DataFrame:
+    """C4 structural cleaning rules (functions/c4.c4_filter — Raffel et
+    al. 2020 §2.2: terminal-punctuation lines, ≥5 words/line, no
+    "javascript" lines; ≥3 surviving lines, bad-word/``{``/"lorem ipsum"
+    page drops). The sf* document texts are single-line unpunctuated word
+    streams, so the query first reshapes each doc deterministically into
+    5-word lines with a cycling terminal-punctuation suffix
+    (``' .' / '' / ' !'`` by line index mod 3 — same augmentation in the
+    SQL oracle, same pattern as docs_line_dedup's chunk5); the rules then
+    bite on real structure: ~1/3 of lines lack terminal punctuation,
+    short last chunks fail the word floor, and "dup" (29 occurrences in
+    the sf vocab) exercises the bad-word page drop."""
+    from crawler_ray.functions.c4 import c4_filter
+
+    def sentencify(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            w = (s or "").split(" ")
+            lines = []
+            for i in range(0, max(1, -(-len(w) // 5))):
+                suffix = (" .", "", " !")[i % 3]
+                lines.append(" ".join(w[i * 5 : i * 5 + 5]) + suffix)
+            out.append("\n".join(lines))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        sentencify, batch_format="pyarrow"
+    )
+    return (
+        c4_filter(ds, doc_bad_words=("dup",))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Image-decode PLUMBING demo: document text bytes as opaque payloads →
     wrap → actor-pool decode.
@@ -1286,7 +1327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": R.events_sessions,
         "purchases_asof_click": R.purchases_asof_click,
         "events_error_click_window": R.events_error_click_window,
-        "events_hopping_window": R.events_hopping_window,
+        # round-4 C4 structural cleaning takes the window slot of
+        # events_hopping_window, whose windowed-rollup family keeps
+        # error_click_window + sessions + running_total in-window and a
+        # green CORRECTNESS_r03 row of its own
+        "docs_c4_filters": _docs_c4_filters,
         # newest operator (duplicated-span excision) takes the window slot
         # of events_props_stats, whose family (grouped event rollups) keeps
         # several in-window representatives (sessions, hopping window,
@@ -1350,6 +1395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redacted": _doc_redacted,
         "multimodal_decode": _multimodal_decode,
         "events_props_stats": R.events_props_stats,
+        "events_hopping_window": R.events_hopping_window,
         "order_status_with_lineitems": R.order_status_with_lineitems,
         "customer_nation": R.customer_nation,
         # token-budget mixture allocation (data-mixing step); family
@@ -1718,6 +1764,48 @@ SELECT d.doc_id,
        coalesce(a.n_lines_kept, 0) AS n_lines_kept
 FROM documents d LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+#: C4 structural cleaning over the SAME deterministic sentencification the
+#: query applies (5-word chunks, cycling ' .' / '' / ' !' suffix): line
+#: kept iff terminal punctuation AND ≥5 whitespace tokens AND no
+#: "javascript"; doc kept iff ≥3 kept lines AND no token equals 'dup' AND
+#: no '{' AND no 'lorem ipsum'. Mirrors functions/c4.py rule for rule.
+DOCS_C4_FILTERS_SQL = r"""
+WITH ws AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+),
+lines AS (
+  SELECT doc_id, i,
+    array_to_string(w[(i*5+1):(i*5+5)], ' ') ||
+      CASE WHEN i % 3 = 0 THEN ' .' WHEN i % 3 = 2 THEN ' !' ELSE '' END AS line
+  FROM ws,
+       UNNEST(range(greatest(1, CAST(ceil(len(w) / 5.0) AS BIGINT)))) AS t(i)
+),
+perline AS (
+  SELECT doc_id, i, line,
+    (regexp_matches(line, '[.!?"]$')
+     AND NOT contains(lower(line), 'javascript')
+     AND len(string_split(line, ' ')) >= 5) AS keep_line,
+    list_contains(string_split(line, ' '), 'dup') AS has_bad_line
+  FROM lines
+),
+perdoc AS (
+  SELECT doc_id,
+    count(*) AS n_lines,
+    count(*) FILTER (WHERE keep_line) AS n_kept_lines,
+    coalesce(array_to_string(list(line ORDER BY i) FILTER (WHERE keep_line),
+                             chr(10)), '') AS clean_text,
+    bool_or(has_bad_line) AS has_bad,
+    array_to_string(list(line ORDER BY i), chr(10)) AS full_text
+  FROM perline GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept_lines,
+  (n_kept_lines >= 3 AND NOT has_bad
+   AND NOT contains(full_text, '{')
+   AND NOT contains(lower(full_text), 'lorem ipsum')) AS kept,
+  clean_text
+FROM perdoc ORDER BY doc_id
 """
 
 #: Curation-funnel retention counts: cumulative stage gates (lang,
@@ -2160,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_snapshot_dedup": DOCS_SNAPSHOT_DEDUP_SQL,
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
+        "docs_c4_filters": DOCS_C4_FILTERS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
         "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,

@@ -16,6 +16,7 @@ REAL_SQL = [
     "docs_snapshot_dedup",
     "docs_decontaminate",
     "docs_line_dedup",
+    "docs_c4_filters",
     "docs_frequent_words",
     "docs_unigram_logprob",
     "docs_dsir_sample",
@@ -134,6 +135,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "docs_dedup_spans",
         "sitemap_roundtrip",
         "sitemap_recrawl_due",
+        # round-4 C4 structural cleaning (took events_hopping_window's
+        # slot; windowed-rollup family keeps three in-window reps)
+        "docs_c4_filters",
     }
     assert round3 <= set(window), round3 - set(window)
 

@@ -1139,3 +1139,67 @@ def test_canonical_url_dedup_kernel_and_survivors(ray_session):
     assert out["canon_url"].tolist() == ["http://a.test/x", "http://b.test/y"]
     assert out["url"].tolist() == ["http://a.test/x", "http://b.test/y"]
     assert out["warc_ts"].tolist() == [3, 9]
+
+
+def test_c4_filter_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.c4 import c4_filter
+
+    docs = [
+        # 3 good lines -> kept
+        {"doc_id": 0, "text": "one two three four five.\nsix seven eight nine ten!\na b c d e?"},
+        # only 2 surviving lines (no-punct + short + javascript) -> dropped
+        {"doc_id": 1, "text": "good line with five words.\nno terminal punctuation here\nshort one.\nplease enable JavaScript to view.\nanother good line right here!"},
+        # bad word as exact token -> dropped even with 3 good lines
+        {"doc_id": 2, "text": 'alpha beta gamma delta epsilon.\nbadword is right here today.\nzeta eta theta iota kappa."', "bad": True},
+        # bad word only as substring of a token -> NOT a token match, kept
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon.\nbadwordy is not a match.\nzeta eta theta iota kappa."},
+        # brace page -> dropped
+        {"doc_id": 4, "text": "function f does many things.\nvar x = { a: 1 }.\nclosing line with five words."},
+        # lorem ipsum page (case-insensitive) -> dropped
+        {"doc_id": 5, "text": "Lorem IPSUM dolor sit amet.\nfiller text goes right here.\nmore filler text lands here."},
+        # empty doc -> 1 line, 0 kept, dropped
+        {"doc_id": 6, "text": ""},
+    ]
+    out = (
+        c4_filter(rd.from_items([{k: d[k] for k in ("doc_id", "text")} for d in docs]),
+                  doc_bad_words=("badword",))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute-force reference, rule by rule
+    import re as _re
+
+    exp = []
+    for d in docs:
+        lines = d["text"].split("\n")
+        kept_lines = [
+            ln
+            for ln in lines
+            if _re.search(r'[.!?"]$', ln)
+            and "javascript" not in ln.lower()
+            and len(ln.split(" ")) >= 5
+        ]
+        toks = set(_re.split(r"[ \n]", d["text"]))
+        kept = (
+            len(kept_lines) >= 3
+            and "badword" not in toks
+            and "{" not in d["text"]
+            and "lorem ipsum" not in d["text"].lower()
+        )
+        exp.append(
+            {
+                "doc_id": d["doc_id"],
+                "n_lines": len(lines),
+                "n_kept_lines": len(kept_lines),
+                "kept": kept,
+                "clean_text": "\n".join(kept_lines),
+            }
+        )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, pd.DataFrame(exp))
+    assert out["kept"].tolist() == [True, False, False, True, False, False, False]

@@ -607,6 +607,32 @@ def _ann_ivf(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-k (functions/similarity.pq_topk —
+    Jégou et al. 2011): 64-dim float32 vectors compress to 8 uint8 codes
+    (32× smaller), queries rank by the ADC inner-product table, and the
+    exact cosine of every emitted candidate rides along as ``sim`` (the
+    re-rank signal, computed in-batch at no extra corpus pass). Pinned
+    oracle; the training loop, encode path and ADC gather are each
+    re-derived by the independent reference in
+    tests/test_independent_truths.py. On the sf embeddings (isotropic
+    random vectors — the worst case for an 8-byte code) ADC recall@10 vs
+    brute force is ~0.3; the planted-cluster test shows the realistic
+    regime where recall ≈ 1."""
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.similarity import pq_topk
+
+    full = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    q = np.asarray(list(full["embedding"][:4]), dtype=np.float32)
+    out = pq_topk(_emb_ds(sf_dir), q, k=10)
+    out["sim_adc"] = out["sim_adc"].round(4)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
 def _ann_lsh_ivf(sf_dir: str) -> pd.DataFrame:
     """Both approximate-ANN variants (hyperplane-LSH buckets and a trained
     IVF quantizer) in one driver-checked table, tagged by ``method`` — the
@@ -1391,6 +1417,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_bigrams": _corpus_top_bigrams,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
+        # PQ/ADC compressed-index ANN; family (approximate ANN over the
+        # embeddings table) is in-window via ann_lsh_ivf_topk
+        "ann_pq_topk": _ann_pq_topk,
         "doc_normalized": _doc_normalized,
         "doc_redacted": _doc_redacted,
         "multimodal_decode": _multimodal_decode,
@@ -2087,6 +2116,26 @@ FROM (VALUES (0,0,1.0,0), (0,334,0.3627,1), (0,387,0.3311,2), (0,423,0.2969,3), 
 ORDER BY query_id, rank
 """
 
+#: Pinned PQ/ADC answer at sf0.01 (deterministic spec: seeded sorted-choice
+#: init, 10 Lloyd rounds, float32, argmin ties → lowest id; block-boundary
+#: independent by construction). Cross-checked by the independent
+#: training/encode/ADC reference in tests/test_independent_truths.py.
+ANN_PQ_SQL = """
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(sim_adc AS DOUBLE) AS sim_adc, CAST(sim AS DOUBLE) AS sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (VALUES (0,0,0.439,1.0,0), (0,334,0.2488,0.3627,1), (0,415,0.2271,0.238,2), (0,351,0.2172,0.1864,3), (0,312,0.2145,0.181,4),
+             (0,433,0.2049,0.1042,5), (0,365,0.2031,0.37,6), (0,325,0.1939,0.1355,7), (0,29,0.1819,0.1223,8), (0,164,0.1731,-0.0234,9),
+             (1,1,0.4375,1.0,0), (1,124,0.2704,0.3028,1), (1,386,0.2468,0.3715,2), (1,407,0.2305,0.327,3), (1,257,0.2228,0.1468,4),
+             (1,220,0.2212,0.2898,5), (1,27,0.2203,0.3482,6), (1,195,0.2122,0.3227,7), (1,203,0.2083,0.2682,8), (1,314,0.2018,0.0964,9),
+             (2,2,0.4992,1.0,0), (2,117,0.259,0.3181,1), (2,187,0.23,0.1215,2), (2,320,0.2147,0.255,3), (2,468,0.2054,0.1997,4),
+             (2,202,0.2044,0.2219,5), (2,34,0.2041,0.2071,6), (2,9,0.1851,0.1417,7), (2,100,0.183,0.2034,8), (2,440,0.1811,0.2314,9),
+             (3,3,0.4723,1.0,0), (3,129,0.2836,0.1997,1), (3,85,0.2832,0.182,2), (3,224,0.266,0.0952,3), (3,130,0.2433,0.3999,4),
+             (3,447,0.24,0.1095,5), (3,309,0.2221,0.0996,6), (3,397,0.2178,0.0573,7), (3,207,0.2161,0.2917,8), (3,474,0.2123,0.2767,9))
+     AS t(query_id, vec_id, sim_adc, sim, rank)
+ORDER BY query_id, rank
+"""
+
 APPROX_DISTINCT_SQL = """
 SELECT event_type, CAST(approx_distinct AS BIGINT) AS approx_distinct
 FROM (VALUES ('click', 150), ('error', 150), ('purchase', 150),
@@ -2262,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
         "ann_lsh_topk": ANN_LSH_SQL,
         "ann_ivf_topk": ANN_IVF_SQL,
+        "ann_pq_topk": ANN_PQ_SQL,
         "ann_lsh_ivf_topk": (
             f"SELECT 'ivf' AS method, * FROM ({ANN_IVF_SQL}) "
             f"UNION ALL SELECT 'lsh' AS method, * FROM ({ANN_LSH_SQL}) "

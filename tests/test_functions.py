@@ -1203,3 +1203,56 @@ def test_c4_filter_matches_brute_force(ray_session):
 
     pd.testing.assert_frame_equal(out, pd.DataFrame(exp))
     assert out["kept"].tolist() == [True, False, False, True, False, False, False]
+
+
+def test_pq_topk_planted_clusters_and_block_independence(ray_session):
+    """PQ/ADC in its intended regime: 10 planted clusters of near-identical
+    vectors. The 8-byte code preserves cluster identity, so ADC top-k must
+    recover the query's own cluster members with high recall vs brute
+    force; the result must also be bit-identical across block boundaries
+    (the ADC score of a vector is a pure function of codebooks + code)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64)).astype(np.float32)
+    rows = []
+    vid = 0
+    for ci in range(10):
+        for _ in range(20):
+            v = centers[ci] + 0.05 * rng.normal(size=64).astype(np.float32)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_items(rows)
+    queries = np.asarray(
+        [rows[0]["embedding"], rows[45]["embedding"], rows[190]["embedding"]],
+        dtype=np.float32,
+    )
+    got = pq_topk(ds, queries, k=10)
+    # every ADC top-10 hit lies in the query's true cluster (the 8-byte
+    # code preserves cluster identity; WITHIN-cluster order is ADC-tied
+    # by construction — that is what the exact `sim` re-rank column is for)
+    want_cluster = [0, 2, 9]
+    for qi in range(3):
+        hits = got[got.query_id == qi].vec_id.to_numpy()
+        assert (hits // 20 == want_cluster[qi]).all(), (qi, hits)
+    # at k = cluster size the ADC candidate set equals brute force exactly
+    got20 = pq_topk(ds, queries, k=20)
+    bf20 = brute_force_topk(ds, queries, k=20)
+    for qi in range(3):
+        a = set(got20[got20.query_id == qi].vec_id)
+        b = set(bf20[bf20.query_id == qi].vec_id)
+        assert a == b, (qi, a ^ b)
+    # rank-0 is a same-cluster member with near-1 exact cosine (codes are
+    # cluster-level, so the exact self-match is ADC-tied with its cluster)
+    head = got[got["rank"] == 0]
+    assert (head["vec_id"].to_numpy() // 20 == want_cluster).all()
+    assert (head["sim"] > 0.98).all()
+    # block-boundary independence
+    got2 = pq_topk(ds.repartition(9), queries, k=10)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got2.reset_index(drop=True)
+    )

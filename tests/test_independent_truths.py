@@ -1035,3 +1035,76 @@ def test_bpe_independent_reference_parity(ray_session):
     pinned = duckdb.sql(PIN.DOCS_BPE_SUBWORDS_SQL).df()
     _m01, ref01 = reference("/root/testdata/sf0.01")
     pd.testing.assert_frame_equal(pinned, ref01)
+
+
+def test_pq_topk_independent_reference(ray_session):
+    """Re-derive the PQ/ADC ANN answer end to end with a second
+    implementation: the TRAINING loop (seeded sorted-choice init + plain
+    Lloyd per subspace), the encode path, and the ADC gather are each
+    restated in per-vector Python loops — unlike the IVF test, no part of
+    the trained index is shared with the engine, so a training-loop bug
+    cannot cancel out."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from crawler_ray.functions.similarity import _normalize
+
+    sf = "/root/testdata/sf0.01"
+    got = E.queries()["ann_pq_topk"](sf)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    X = _normalize(
+        np.asarray([np.asarray(v) for v in t["embedding"].to_pylist()], np.float32)
+    )
+    ids = t["vec_id"].to_numpy()
+    m_sub, ks, dsub, iters = 8, 16, 8, 10
+
+    # independent training: per-subspace seeded init + Lloyd with
+    # squared-L2 argmin (ties -> lowest id), empty clusters frozen
+    rng = np.random.default_rng(13)
+    books = []
+    for j in range(m_sub):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        pick = np.sort(rng.choice(len(X), size=ks, replace=False))
+        c = sub[pick].copy()
+        for _ in range(iters):
+            assign = []
+            for v in sub:
+                d2 = [float(((v - ck) ** 2).sum()) for ck in c]
+                assign.append(int(np.argmin(d2)))
+            assign = np.asarray(assign)
+            for ci in range(ks):
+                mem = sub[assign == ci]
+                if len(mem):
+                    c[ci] = mem.mean(axis=0)
+        books.append(c)
+
+    def encode_one(v):
+        code = []
+        for j in range(m_sub):
+            s = v[j * dsub : (j + 1) * dsub]
+            d2 = [float(((s - ck) ** 2).sum()) for ck in books[j]]
+            code.append(int(np.argmin(d2)))
+        return code
+
+    q = X[:4]
+    rows = []
+    for qi in range(4):
+        scored = []
+        for vi in range(len(X)):
+            code = encode_one(X[vi])
+            adc = sum(
+                float(np.dot(q[qi, j * dsub : (j + 1) * dsub], books[j][code[j]]))
+                for j in range(m_sub)
+            )
+            scored.append((adc, int(ids[vi]), float(np.dot(X[vi], q[qi]))))
+        scored.sort(key=lambda svx: (-svx[0], svx[1]))
+        for rank, (adc, v, sim) in enumerate(scored[:10]):
+            rows.append((qi, v, rank, adc, sim))
+
+    assert len(rows) == len(got)
+    for (qi, v, rank, adc, sim), r in zip(rows, got.itertuples(index=False)):
+        assert (qi, v, rank) == (r.query_id, r.vec_id, r.rank)
+        assert abs(adc - r.sim_adc) < 5e-4
+        assert abs(sim - r.sim) < 5e-4

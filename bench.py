@@ -305,13 +305,31 @@ def run_bench() -> dict:
         minhash_lsh_dedup,
         window_dup_pairs,
     )
+    from crawler_ray.functions.c4 import c4_filter
     from crawler_ray.functions.classify import logreg_quality
     from crawler_ray.functions.similarity import (
         kmeans_embeddings,
+        pq_topk,
         semantic_dedup,
     )
 
     docs = f"{SF_DIR}/documents.parquet"
+    _pq_queries = None
+
+    def _pq_bench():
+        nonlocal _pq_queries
+        ds = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        if _pq_queries is None:
+            import pyarrow.parquet as _pqt
+
+            head = _pqt.read_table(
+                f"{SF_DIR}/embeddings.parquet", columns=["embedding"]
+            )["embedding"][:4]
+            _pq_queries = np.asarray(head.to_pylist(), dtype=np.float32)
+        return pq_topk(ds, _pq_queries, k=10)
+
     for name, fn in [
         (
             "dedup_minhash",
@@ -364,6 +382,14 @@ def run_bench() -> dict:
                 rd.read_parquet(docs, columns=["doc_id", "text"])
             ),
         ),
+        (
+            "c4_filter",
+            lambda: c4_filter(
+                rd.read_parquet(docs, columns=["doc_id", "text"]),
+                doc_bad_words=("dup",),
+            ).to_pandas(),
+        ),
+        ("ann_pq_topk", _pq_bench),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

@@ -20,9 +20,12 @@ leak into the result — same discipline as ``similarity.kmeans_embeddings``.
 
 Scale note: ranks/out-degrees are node-scale (hosts, ~10^8 at web scale —
 a few GB as arrays, broadcast-feasible); edges are edge-scale and stay in
-the object store. The fully-sharded variant (ranks kept as a bucketed
-dataset, contributions via bucketed join on src) drops in behind the same
-signature if the node table ever outgrows the broadcast budget.
+the object store. For node tables that outgrow the broadcast budget
+(10^9+ nodes), ``pagerank_sharded`` below keeps ranks as hash-bucketed
+pinned tables and exchanges contributions src-bucket → dst-bucket, with
+only ``n_buckets`` floats per iteration reaching the driver; it matches
+this broadcast form exactly at fixture scale
+(tests/test_functions.py::test_pagerank_sharded_matches_broadcast).
 """
 
 from __future__ import annotations
@@ -276,3 +279,271 @@ def anchor_texts(
     return out.sort_values(
         ["url", "n", "anchor"], ascending=[True, False, True]
     ).reset_index(drop=True)
+
+
+# ------------------------------------------------------------ sharded ranks
+
+
+def pagerank_sharded(
+    edges_ds,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 8,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """The fully-sharded PageRank the module docstring promises for when
+    the node table outgrows the broadcast budget (10^9+ nodes: a rank
+    vector no longer fits in one ``ray.put``): ranks live as
+    hash(node)-bucketed PINNED tables, each iteration is one keyed task
+    exchange — per src-bucket, join that bucket's edges against ITS OWN
+    rank shard (edges were bucketed by the same hash, so the join is
+    shard-local) and scatter per-dst partials straight to dst buckets
+    (``num_returns=n_buckets`` slices, no intermediate gather); per
+    dst-bucket, fold partials and update that shard's ranks. The driver
+    handles exactly ``n_buckets`` floats per iteration (the dangling-mass
+    partial sums) — nothing node- or edge-scale.
+
+    Same deterministic spec as ``pagerank`` (distinct edges, float32
+    quantization per iteration, half-up rounding); per-dst folds sort
+    ``(dst, c)`` first so equal addends sum identically. Cross-mode parity
+    with the broadcast form is pinned by
+    tests/test_functions.py::test_pagerank_sharded_matches_broadcast.
+    """
+    import functools
+
+    import ray
+
+    from ..stages.shuffle import _bucket_ids
+
+    B = n_buckets
+    edges = _dedup_edges(edges_ds, src_col, dst_col, n_buckets)
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype=object), "pr": pd.Series(dtype=float)}
+    )
+    if edges.count() == 0:  # nothing survives dedup/self-loop filtering
+        return empty
+    edge_refs = edges.to_arrow_refs()
+    if not edge_refs:
+        return empty
+
+    def _as_arrow_tbl(t):
+        return t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+
+    @functools.lru_cache(maxsize=4)
+    def _split_edges_task(nb: int):
+        @ray.remote(num_returns=nb + 1)
+        def split(t):
+            t = _as_arrow_tbl(t)
+            # per-block node/outdeg partials ride along with the edge
+            # slices so the setup needs only one pass over the edges
+            bk = _bucket_ids(t["src"], nb)
+            order = np.argsort(bk, kind="stable")
+            st = t.take(pa.array(order))
+            sb = bk[order]
+            bounds = np.searchsorted(sb, np.arange(nb + 1))
+            out = [st.slice(int(bounds[b]), int(bounds[b + 1] - bounds[b]))
+                   for b in range(nb)]
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            u, c = np.unique(src, return_counts=True)
+            ends = np.unique(np.concatenate([src, dst]))
+            meta = pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate([u, ends]), pa.string()
+                    ),
+                    "deg": pa.array(
+                        np.concatenate(
+                            [c, np.zeros(len(ends), np.int64)]
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            return (*out, meta)
+
+        return split
+
+    split = _split_edges_task(B)
+    slices = [split.remote(r) for r in edge_refs]
+    # pin each src-bucket's edges once (concat task per bucket)
+    @ray.remote
+    def _concat(*parts):
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        return pa.concat_tables(parts).combine_chunks()
+
+    edge_buckets = [
+        _concat.remote(*[s[b] for s in slices]) for b in range(B)
+    ]
+
+    # node/outdeg shards: re-split the per-block meta partials by
+    # hash(node), fold per bucket, init rank
+    @functools.lru_cache(maxsize=4)
+    def _split_meta_task(nb: int):
+        @ray.remote(num_returns=nb)
+        def split_meta(t):
+            bk = _bucket_ids(t["node"], nb)
+            order = np.argsort(bk, kind="stable")
+            st = t.take(pa.array(order))
+            sb = bk[order]
+            bounds = np.searchsorted(sb, np.arange(nb + 1))
+            return tuple(
+                st.slice(int(bounds[b]), int(bounds[b + 1] - bounds[b]))
+                for b in range(nb)
+            ) if nb > 1 else st
+        return split_meta
+
+    split_meta = _split_meta_task(B)
+    meta_slices = [split_meta.remote(s[B]) for s in slices]
+
+    @ray.remote(num_returns=2)
+    def _init_shard(*parts):
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return (
+                pa.table(
+                    {
+                        "node": pa.array([], pa.string()),
+                        "outdeg": pa.array([], pa.float64()),
+                    }
+                ),
+                0,
+            )
+        t = pa.concat_tables(parts)
+        nodes_np = t["node"].to_numpy(zero_copy_only=False)
+        deg_np = t["deg"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nodes_np, return_inverse=True)
+        outdeg = np.bincount(inv, weights=deg_np.astype(np.float64))
+        return (
+            pa.table(
+                {
+                    "node": pa.array(u, pa.string()),
+                    "outdeg": pa.array(outdeg, pa.float64()),
+                }
+            ),
+            len(u),
+        )
+
+    init = [
+        _init_shard.remote(
+            *[(ms[b] if B > 1 else ms) for ms in meta_slices]
+        )
+        for b in range(B)
+    ]
+    shard_refs = [p[0] for p in init]
+    counts = ray.get([p[1] for p in init])
+    n = int(sum(counts))
+    if n == 0:
+        return empty
+
+    # attach pr = 1/n (f32-quantized) and report initial dangling mass
+    @ray.remote(num_returns=2)
+    def _with_init_rank(shard, n_):
+        outdeg = shard["outdeg"].to_numpy(zero_copy_only=False)
+        pr = np.full(len(outdeg), 1.0 / n_, np.float64)
+        pr = pr.astype(np.float32).astype(np.float64)
+        shard = shard.append_column("pr", pa.array(pr, pa.float64()))
+        return shard, float(pr[outdeg == 0].sum())
+
+    with_rank = [_with_init_rank.remote(s, n) for s in shard_refs]
+    state = [w[0] for w in with_rank]
+    dangling = float(sum(ray.get([w[1] for w in with_rank])))
+
+    @functools.lru_cache(maxsize=4)
+    def _contrib_task(nb: int):
+        @ray.remote(num_returns=nb)
+        def contrib(edges_b, shard_b):
+            empty_part = pa.table(
+                {
+                    "dst": pa.array([], pa.string()),
+                    "c": pa.array([], pa.float64()),
+                }
+            )
+            if edges_b.num_rows == 0 or shard_b.num_rows == 0:
+                return ((empty_part,) * nb) if nb > 1 else empty_part
+            nodes_b = shard_b["node"].to_numpy(zero_copy_only=False)
+            outdeg_b = shard_b["outdeg"].to_numpy(zero_copy_only=False)
+            pr_b = shard_b["pr"].to_numpy(zero_copy_only=False)
+            w = np.zeros(len(nodes_b), np.float64)
+            nz = outdeg_b > 0
+            w[nz] = pr_b[nz] / outdeg_b[nz]
+            src = edges_b["src"].to_numpy(zero_copy_only=False)
+            dst = edges_b["dst"].to_numpy(zero_copy_only=False)
+            c = w[np.searchsorted(nodes_b, src)]
+            ud, inv = np.unique(dst, return_inverse=True)
+            sums = np.bincount(inv, weights=c)
+            part = pa.table(
+                {
+                    "dst": pa.array(ud, pa.string()),
+                    "c": pa.array(sums, pa.float64()),
+                }
+            )
+            bk = _bucket_ids(part["dst"], nb)
+            order = np.argsort(bk, kind="stable")
+            st = part.take(pa.array(order))
+            sb = bk[order]
+            bounds = np.searchsorted(sb, np.arange(nb + 1))
+            out = tuple(
+                st.slice(int(bounds[b]), int(bounds[b + 1] - bounds[b]))
+                for b in range(nb)
+            )
+            return out if nb > 1 else out[0]
+
+        return contrib
+
+    @ray.remote(num_returns=2)
+    def _update_shard(shard, dangling_, n_, d_, *parts):
+        nodes_b = shard["node"].to_numpy(zero_copy_only=False)
+        outdeg_b = shard["outdeg"].to_numpy(zero_copy_only=False)
+        inflow = np.zeros(len(nodes_b), np.float64)
+        parts = [p for p in parts if p.num_rows]
+        if parts:
+            pp = (
+                pa.concat_tables(parts)
+                .to_pandas()
+                .sort_values(["dst", "c"])  # order-insensitive fold
+                .groupby("dst", sort=True)["c"]
+                .sum()
+                .reset_index()
+            )
+            pos = np.searchsorted(nodes_b, pp["dst"].to_numpy())
+            inflow[pos] = pp["c"].to_numpy(np.float64)
+        pr = (1.0 - d_) / n_ + d_ * (inflow + dangling_ / n_)
+        pr = pr.astype(np.float32).astype(np.float64)
+        shard = shard.set_column(
+            shard.schema.get_field_index("pr"),
+            "pr",
+            pa.array(pr, pa.float64()),
+        )
+        return shard, float(pr[outdeg_b == 0].sum())
+
+    contrib = _contrib_task(B)
+    for _ in range(iters):
+        contribs = [
+            contrib.remote(edge_buckets[b], state[b]) for b in range(B)
+        ]
+        updated = [
+            _update_shard.remote(
+                state[j],
+                dangling,
+                n,
+                damping,
+                *[(contribs[b][j] if B > 1 else contribs[b]) for b in range(B)],
+            )
+            for j in range(B)
+        ]
+        state = [u[0] for u in updated]
+        dangling = float(sum(ray.get([u[1] for u in updated])))
+
+    shards = ray.get(state)
+    out = pa.concat_tables(
+        [s.select(["node", "pr"]) for s in shards if s.num_rows]
+    ).to_pandas()
+    scale = 10.0**round_dp
+    out["pr"] = np.floor(out["pr"].to_numpy() * scale + 0.5) / scale
+    return out.sort_values("node").reset_index(drop=True)

@@ -1256,3 +1256,36 @@ def test_pq_topk_planted_clusters_and_block_independence(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), got2.reset_index(drop=True)
     )
+
+
+def test_pagerank_sharded_matches_broadcast(ray_session):
+    """The design-scale sharded PageRank (ranks as hash-bucketed pinned
+    tables, keyed src->dst task exchange, O(n_buckets) driver traffic per
+    iteration) must reproduce the broadcast form exactly at fixture scale
+    — including across different bucket counts and on dangling-heavy
+    graphs where the teleport/dangling redistribution dominates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import pagerank, pagerank_sharded
+
+    rng = np.random.default_rng(3)
+    hosts = [f"h{i}.example" for i in range(60)]
+    edges = [
+        {"src": hosts[rng.integers(60)], "dst": hosts[rng.integers(60)]}
+        for _ in range(900)
+    ]
+    want = pagerank(rd.from_items(edges), iters=10)
+    got = pagerank_sharded(rd.from_items(edges), iters=10)
+    pd.testing.assert_frame_equal(want, got)
+    # bucket-count invariance (the exchange layout must not leak into ranks)
+    got3 = pagerank_sharded(rd.from_items(edges), iters=10, n_buckets=3)
+    pd.testing.assert_frame_equal(want, got3)
+    # dangling-heavy star: every dst is a sink
+    star = [{"src": "hub", "dst": f"s{i}"} for i in range(10)]
+    pd.testing.assert_frame_equal(
+        pagerank(rd.from_items(star)), pagerank_sharded(rd.from_items(star))
+    )
+    # degenerate inputs
+    assert pagerank_sharded(rd.from_items([{"src": "a", "dst": "a"}])).empty

@@ -408,7 +408,9 @@ class _UnigramScorer:
     lookup is one vectorized ``np.searchsorted``), then every batch is
     scored with numpy segment math — no per-token Python."""
 
-    def __init__(self, vocab_ref, text_col: str, id_col: str) -> None:
+    def __init__(
+        self, vocab_ref, text_col: str, id_col: str, oov_logp=None
+    ) -> None:
         import ray
 
         words, logp = ray.get(vocab_ref)
@@ -416,6 +418,9 @@ class _UnigramScorer:
         self.logp = logp  # np.ndarray[float64], aligned
         self.text_col = text_col
         self.id_col = id_col
+        #: None = uncapped mode, every token MUST be in vocab (hard error);
+        #: a float = capped mode, absent tokens score this OOV floor
+        self.oov_logp = oov_logp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(
@@ -427,16 +432,26 @@ class _UnigramScorer:
         doc_idx = np.repeat(np.arange(len(lens)), lens)
         mask = vals != ""
         vals, doc_idx = vals[mask], doc_idx[mask]
-        # every token exists in the vocab by construction (the input is
-        # materialized, so pass 2 scores exactly the rows pass 1 counted) —
-        # verify rather than trust: a silent neighbor lookup would corrupt
-        # scores, so an out-of-vocab token is a hard error
         idx = np.searchsorted(self.words, vals)
-        idx_c = np.minimum(idx, len(self.words) - 1)
-        if not (self.words[idx_c] == vals).all():
-            missing = vals[self.words[idx_c] != vals][:3]
-            raise ValueError(f"tokens absent from vocab: {missing!r}")
-        lp = self.logp[idx_c]
+        idx_c = np.minimum(idx, max(len(self.words) - 1, 0))
+        hit = (
+            self.words[idx_c] == vals
+            if len(self.words)
+            else np.zeros(len(vals), bool)
+        )
+        if self.oov_logp is None:
+            # uncapped: every token exists in the vocab by construction
+            # (the input is materialized, so pass 2 scores exactly the rows
+            # pass 1 counted) — verify rather than trust: a silent neighbor
+            # lookup would corrupt scores, so an absent token is a hard error
+            if not hit.all():
+                missing = vals[~hit][:3]
+                raise ValueError(f"tokens absent from vocab: {missing!r}")
+            lp = self.logp[idx_c]
+        else:
+            # capped (CCNet top-V) mode: tokens outside the kept vocabulary
+            # score the precomputed OOV floor
+            lp = np.where(hit, self.logp[idx_c], self.oov_logp)
         n_tok = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
         sums = np.bincount(doc_idx, weights=lp, minlength=len(lens))
         keep = n_tok > 0  # empty docs have no defined mean (SQL inner join)
@@ -461,6 +476,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     n_buckets: int = 16,
     concurrency=(2, 16),
+    top_v: "int | None" = None,
 ):
     """Corpus-unigram language-model score per document — the CCNet-style
     LM-quality proxy: mean log10 unigram probability of the document's
@@ -477,11 +493,17 @@ def unigram_logprob(
         pool; each batch scores with one ``np.searchsorted`` + two
         ``np.bincount`` segment reductions, averaging in document order.
 
-    Scale note: at the 10^10-doc design point the broadcast table would be
-    capped to the top-V words with an OOV floor (the standard CCNet
-    vocabulary cap); at test scale the exact full vocabulary is used so
-    the DuckDB oracle (same tokenizer: space-split, empties dropped)
-    matches bit-for-bit after 6-dp rounding.
+    Scale: ``top_v`` is the CCNet vocabulary cap for the 10^10-doc design
+    point, where an unbounded broadcast vocab would outgrow ``ray.put``:
+    only the top-V words by ``(count desc, word asc)`` ship to the
+    scorers, and every other token scores the deterministic OOV floor
+    ``log10(dropped_token_mass / total) - log10(n_dropped_words)`` (the
+    average per-word probability of the dropped tail — so the floor is
+    derived from the corpus, not tuned). ``top_v=None`` (default, the
+    oracle path) uses the exact full vocabulary, where the DuckDB oracle
+    (same tokenizer: space-split, empties dropped) matches bit-for-bit
+    after 6-dp rounding; a cap ≥ the true vocabulary size is exactly
+    equivalent to uncapped (pytest-pinned).
 
     Returns a pandas DataFrame ``(doc_id, n_tokens, logprob_mean)`` sorted
     by id; documents with zero tokens are excluded (matching the SQL
@@ -522,13 +544,24 @@ def unigram_logprob(
     ).to_pandas()  # vocabulary-sized (see scale note)
     vocab = vocab.sort_values("word").reset_index(drop=True)
     total = float(vocab["cnt"].sum())
+    oov_logp = None
+    if top_v is not None and top_v < len(vocab):
+        keep = vocab.sort_values(
+            ["cnt", "word"], ascending=[False, True]
+        ).head(top_v)
+        dropped_mass = total - float(keep["cnt"].sum())
+        n_dropped = len(vocab) - len(keep)
+        oov_logp = float(
+            np.log10(dropped_mass / total) - np.log10(n_dropped)
+        )
+        vocab = keep.sort_values("word").reset_index(drop=True)
     words = vocab["word"].to_numpy()
     logp = np.log10(vocab["cnt"].to_numpy(np.float64) / total)
     ref = ray.put((words, logp))
 
     out = ds.map_batches(
         _UnigramScorer,
-        fn_constructor_args=(ref, text_col, id_col),
+        fn_constructor_args=(ref, text_col, id_col, oov_logp),
         batch_format="pyarrow",
         concurrency=concurrency,
     ).to_pandas()

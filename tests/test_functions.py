@@ -1289,3 +1289,52 @@ def test_pagerank_sharded_matches_broadcast(ray_session):
     )
     # degenerate inputs
     assert pagerank_sharded(rd.from_items([{"src": "a", "dst": "a"}])).empty
+
+
+def test_unigram_logprob_top_v_cap(ray_session):
+    """The CCNet vocabulary cap: a cap >= |vocab| is exactly the uncapped
+    result; a small cap matches a brute-force restatement of the spec
+    (top-V by (count desc, word asc); OOV floor = average per-word tail
+    probability, log10(dropped_mass/total) - log10(n_dropped))."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.textstats import unigram_logprob
+
+    docs = [
+        {"doc_id": 0, "text": "a a a b b c rare1"},
+        {"doc_id": 1, "text": "a b c c d rare2 rare3"},
+        {"doc_id": 2, "text": "a a d d e"},
+        {"doc_id": 3, "text": ""},
+    ]
+    full = unigram_logprob(rd.from_items(docs))
+    capped_big = unigram_logprob(rd.from_items(docs), top_v=10_000)
+    pd.testing.assert_frame_equal(full, capped_big)
+
+    got = unigram_logprob(rd.from_items(docs), top_v=3)
+    # brute force
+    toks = [d["text"].split() for d in docs]
+    counts = collections.Counter(w for t in toks for w in t if w)
+    total = sum(counts.values())
+    keep = sorted(counts.items(), key=lambda wc: (-wc[1], wc[0]))[:3]
+    kept = dict(keep)
+    dropped_mass = total - sum(kept.values())
+    n_dropped = len(counts) - len(kept)
+    oov = np.log10(dropped_mass / total) - np.log10(n_dropped)
+    exp = []
+    for d, t in zip(docs, toks):
+        t = [w for w in t if w]
+        if not t:
+            continue
+        lps = [
+            np.log10(kept[w] / total) if w in kept else oov for w in t
+        ]
+        m = float(np.mean(lps))
+        m = np.sign(m) * np.floor(abs(m) * 1e6 + 0.5) / 1e6
+        exp.append(
+            {"doc_id": d["doc_id"], "n_tokens": len(t), "logprob_mean": m}
+        )
+    pd.testing.assert_frame_equal(got, pd.DataFrame(exp))

@@ -576,6 +576,7 @@ def dsir_sample(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     n_buckets: int = 16,
+    top_v: "int | None" = None,
 ) -> pd.DataFrame:
     """DSIR-style unigram importance resampling (Xie et al. 2023,
     arXiv:2302.03169): score every document by how much more likely its
@@ -602,9 +603,15 @@ def dsir_sample(
     partials (volume ∝ vocabulary) → bucketed task exchange sums them →
     the vocabulary-sized log-ratio table broadcasts once → the scoring
     pass reuses ``_UnigramScorer``'s vectorized searchsorted/bincount
-    math. At the 10^10 design point the vocab caps to top-V with an OOV
-    floor and the final rank is a distributed top-k; at test scale the
-    exact forms keep the oracle bit-exact.
+    math. ``top_v`` is the design-point vocabulary cap: only the top-V
+    words by ``(combined count desc, word asc)`` broadcast, and all
+    dropped words pool into ONE out-of-vocabulary type whose log-ratio is
+    computed from the pooled tail counts under the same add-1 smoothing
+    (the smoothing denominator becomes ``kept types + 1``) — so a cap ≥
+    the true vocabulary size is exactly the uncapped computation
+    (pytest-pinned, with a brute-force spec restatement for small caps).
+    ``top_v=None`` (default) is the exact-vocab oracle path, bit-exact
+    against DuckDB.
 
     Returns ``(doc_id, dsir_weight)`` for the kept docs, sorted by id."""
     import ray
@@ -659,9 +666,20 @@ def dsir_sample(
     if v_refs is None:
         return empty_out
     vocab = gather_refs_pd(v_refs).sort_values("word").reset_index(drop=True)
-    V = float(len(vocab))
     n_s = float(vocab["cnt"].sum())
     n_t = float(vocab["cnt_t"].sum())
+    oov_ratio = None
+    if top_v is not None and top_v < len(vocab):
+        order = vocab.sort_values(["cnt", "word"], ascending=[False, True])
+        drop = order.iloc[top_v:]
+        vocab = order.head(top_v).sort_values("word").reset_index(drop=True)
+        V = float(len(vocab)) + 1.0  # kept types + the pooled OOV type
+        oov_ratio = float(
+            np.log10((float(drop["cnt_t"].sum()) + 1.0) / (n_t + V))
+            - np.log10((float(drop["cnt"].sum()) + 1.0) / (n_s + V))
+        )
+    else:
+        V = float(len(vocab))
     log_t = np.log10((vocab["cnt_t"].to_numpy(np.float64) + 1.0) / (n_t + V))
     log_s = np.log10((vocab["cnt"].to_numpy(np.float64) + 1.0) / (n_s + V))
     ref = ray.put((vocab["word"].to_numpy(), log_t - log_s))
@@ -669,7 +687,7 @@ def dsir_sample(
     scored = (
         ds.map_batches(
             _UnigramScorer,
-            fn_constructor_args=(ref, text_col, id_col),
+            fn_constructor_args=(ref, text_col, id_col, oov_ratio),
             batch_format="pyarrow",
             concurrency=(2, 8),
         )

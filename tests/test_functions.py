@@ -1338,3 +1338,65 @@ def test_unigram_logprob_top_v_cap(ray_session):
             {"doc_id": d["doc_id"], "n_tokens": len(t), "logprob_mean": m}
         )
     pd.testing.assert_frame_equal(got, pd.DataFrame(exp))
+
+
+def test_dsir_sample_top_v_cap(ray_session):
+    """The DSIR vocabulary cap: cap >= |vocab| is exactly uncapped; a
+    small cap matches a brute-force restatement (top-V by (combined count
+    desc, word asc); dropped words pool into ONE OOV type under the same
+    add-1 smoothing with denominator kept_types + 1)."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.textstats import dsir_sample
+
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": "a a b c common rare1"},
+        {"doc_id": 1, "lang": "de", "text": "a b b d common rare2"},
+        {"doc_id": 2, "lang": "en", "text": "c c d common e"},
+        {"doc_id": 3, "lang": "de", "text": "e e a rare3"},
+    ]
+    full = dsir_sample(rd.from_items(docs), frac=0.5)
+    big = dsir_sample(rd.from_items(docs), frac=0.5, top_v=10_000)
+    pd.testing.assert_frame_equal(full, big)
+
+    got = dsir_sample(rd.from_items(docs), frac=0.5, top_v=3)
+    # brute force
+    toks = {d["doc_id"]: d["text"].split() for d in docs}
+    cnt = collections.Counter(w for t in toks.values() for w in t)
+    cnt_t = collections.Counter(
+        w for d in docs if d["lang"] == "en" for w in d["text"].split()
+    )
+    n_s, n_t = sum(cnt.values()), sum(cnt_t.values())
+    keep = sorted(cnt.items(), key=lambda wc: (-wc[1], wc[0]))[:3]
+    kept = dict(keep)
+    drop_s = n_s - sum(kept.values())
+    drop_t = sum(c for w, c in cnt_t.items() if w not in kept)
+    V = len(kept) + 1
+    oov = np.log10((drop_t + 1) / (n_t + V)) - np.log10(
+        (drop_s + 1) / (n_s + V)
+    )
+    rows = []
+    for did, t in toks.items():
+        lps = [
+            np.log10((cnt_t.get(w, 0) + 1) / (n_t + V))
+            - np.log10((cnt[w] + 1) / (n_s + V))
+            if w in kept
+            else oov
+            for w in t
+        ]
+        m = float(np.mean(lps))
+        m = np.sign(m) * np.floor(abs(m) * 1e6 + 0.5) / 1e6
+        rows.append({"doc_id": did, "dsir_weight": m})
+    ref = pd.DataFrame(rows)
+    m_keep = int(np.ceil(0.5 * len(ref)))
+    exp = (
+        ref.sort_values(["dsir_weight", "doc_id"], ascending=[False, True])
+        .head(m_keep)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)

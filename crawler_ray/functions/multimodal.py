@@ -337,3 +337,94 @@ class SampleFrames:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+class ResizeImage:
+    """Actor-pool image RESIZE stage — the remaining member of the
+    decode / feature-extract / resize / frame-sample family. Same codec
+    discipline as ``DecodeImage``: PIL if importable (``codec="pil"``
+    requires it, real thumbnail-to-fit + re-encode to PNG), otherwise a
+    deterministic fake that preserves the CONTRACT (output payload is a
+    content-derived byte string whose length scales with the target box,
+    plus the post-resize dims computed by the real aspect-fit rule);
+    ``strict=True`` without a codec raises at the boundary — the honest
+    production stub. Dims math is shared by both branches, so the
+    fake-path plumbing tests pin the same aspect-fit behavior the PIL
+    branch ships.
+
+    Output: input columns with ``data`` replaced by the resized payload
+    and ``out_w`` / ``out_h`` appended. Keep payload batches small
+    (``suggest_batch_size``) — resize holds ~2× the payload in memory."""
+
+    def __init__(
+        self,
+        max_w: int = 256,
+        max_h: int = 256,
+        strict: bool = False,
+        codec: str = "auto",
+    ) -> None:
+        self.max_w, self.max_h = int(max_w), int(max_h)
+        self.strict = strict
+        self.codec = None
+        if codec in ("auto", "pil"):
+            try:
+                import io as _io
+
+                from PIL import Image as _Image
+
+                self.codec = (_Image, _io)
+            except ImportError:
+                if codec == "pil":
+                    raise
+
+    @staticmethod
+    def fit(w: int, h: int, max_w: int, max_h: int) -> "tuple[int, int]":
+        """Aspect-preserving fit into (max_w, max_h), never upscaling —
+        PIL.Image.thumbnail's box rule (floor with a 1px floor)."""
+        scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _resize(self, data: bytes) -> "tuple[bytes, int, int]":
+        if self.codec is not None:
+            _Image, _io = self.codec
+            try:
+                img = _Image.open(_io.BytesIO(data or b""))
+                img.load()
+                ow, oh = self.fit(*img.size, self.max_w, self.max_h)
+                img = img.resize((ow, oh))
+                buf = _io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue(), ow, oh
+            except NotImplementedError:
+                raise
+            except Exception:
+                if self.strict:
+                    raise
+        if self.strict:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install pillow (ResizeImage picks it up per actor)"
+            )
+        # deterministic fake: reuse DecodeImage's content-derived dims,
+        # apply the REAL fit rule, emit a content-keyed payload sized to
+        # the target box (so byte-budget math stays realistic downstream)
+        hd = hashlib.blake2b(data or b"", digest_size=16).digest()
+        w, h = 64 + hd[0] * 4, 64 + hd[1] * 4
+        ow, oh = self.fit(w, h, self.max_w, self.max_h)
+        n = max(1, (ow * oh) // 16)
+        reps = -(-n // len(hd))
+        return (hd * reps)[:n], ow, oh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs, ws, hs = [], [], []
+        for data in batch["data"].to_pylist():
+            b, w, h = self._resize(data)
+            outs.append(b)
+            ws.append(w)
+            hs.append(h)
+        i = batch.column_names.index("data")
+        return (
+            batch.set_column(i, "data", pa.array(outs, pa.binary()))
+            .append_column("out_w", pa.array(ws, pa.int32()))
+            .append_column("out_h", pa.array(hs, pa.int32()))
+        )

@@ -1400,3 +1400,100 @@ def test_dsir_sample_top_v_cap(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_resize_image_both_branches(ray_session):
+    """ResizeImage: the aspect-fit rule, the stand-in-codec real branch,
+    the lenient fake fallback, strict-without-codec raising, and the
+    actor-pool plumbing over wrapped binary payloads."""
+    import io
+
+    import pytest as _pytest
+    import ray.data as rd
+
+    from crawler_ray.functions.multimodal import ResizeImage, wrap_binary
+
+    # the shared aspect-fit rule (never upscale, 1px floor)
+    assert ResizeImage.fit(640, 480, 256, 256) == (256, 192)
+    assert ResizeImage.fit(100, 50, 256, 256) == (100, 50)  # no upscale
+    assert ResizeImage.fit(10000, 3, 256, 256) == (256, 1)
+
+    class _Img:
+        size = (640, 480)
+
+        def load(self):
+            pass
+
+        def resize(self, wh):
+            self.size = wh
+            return self
+
+        def save(self, buf, format):
+            buf.write(b"PNG" + self.size[0].to_bytes(2, "big"))
+
+    class _ImageMod:
+        @staticmethod
+        def open(fp):
+            if fp.read(3) != b"IMG":
+                raise ValueError("not an image")
+            return _Img()
+
+    r = ResizeImage(strict=True)
+    r.codec = (_ImageMod, io)
+    data, w, h = r._resize(b"IMG....")
+    assert (w, h) == (256, 192) and data.startswith(b"PNG")
+    with _pytest.raises(ValueError):
+        r._resize(b"garbage")  # strict surfaces decode errors
+
+    lenient = ResizeImage(strict=False)
+    lenient.codec = (_ImageMod, io)
+    data2, w2, h2 = lenient._resize(b"garbage")  # fake fallback
+    assert 1 <= w2 <= 256 and 1 <= h2 <= 256 and len(data2) == (w2 * h2) // 16
+
+    with _pytest.raises(NotImplementedError):
+        ResizeImage(strict=True, codec="fake")._resize(b"x")
+
+    # actor-pool plumbing over wrapped payloads; fake is deterministic
+    ds = rd.from_items(
+        [{"payload": bytes([i]) * 40} for i in range(6)]
+    ).map_batches(
+        lambda t: wrap_binary(t, "payload", "image"), batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        ResizeImage, batch_format="pyarrow", concurrency=1, batch_size=3
+    ).to_pandas()
+    assert len(out) == 6
+    assert ((out["out_w"] <= 256) & (out["out_h"] <= 256)).all()
+    out2 = ds.map_batches(
+        ResizeImage, batch_format="pyarrow", concurrency=1, batch_size=2
+    ).to_pandas()
+    a = out.sort_values("content_sha").reset_index(drop=True)
+    b = out2.sort_values("content_sha").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="pillow not installed in this container (honest codec stub)",
+)
+def test_resize_image_with_real_pil():
+    """The REAL PIL resize branch whenever pillow is installed: a genuine
+    PNG resizes through ResizeImage(strict=True) to the aspect-fit box and
+    re-encodes to a decodable PNG (skips here: no pillow)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from crawler_ray.functions.multimodal import ResizeImage
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((480, 640, 3), dtype=np.uint8)).save(
+        buf, format="PNG"
+    )
+    r = ResizeImage(strict=True, max_w=128, max_h=128)
+    assert r.codec is not None
+    data, w, h = r._resize(buf.getvalue())
+    assert (w, h) == (128, 96)
+    img = Image.open(io.BytesIO(data))
+    assert img.size == (128, 96)

@@ -861,7 +861,7 @@ def _docs_line_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _docs_c4_filters(sf_dir: str) -> pd.DataFrame:
+def _docs_c4_filters(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame:
     """C4 structural cleaning rules (functions/c4.c4_filter — Raffel et
     al. 2020 §2.2: terminal-punctuation lines, ≥5 words/line, no
     "javascript" lines; ≥3 surviving lines, bad-word/``{``/"lorem ipsum"
@@ -894,11 +894,10 @@ def _docs_c4_filters(sf_dir: str) -> pd.DataFrame:
     ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         sentencify, batch_format="pyarrow"
     )
-    return (
-        c4_filter(ds, doc_bad_words=("dup",))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+    # the cleaned corpus is corpus-sized (clean_text per doc), so it takes
+    # the same streaming out_path sink contract as the per-doc frames
+    return _per_doc_result(
+        c4_filter(ds, doc_bad_words=("dup",)), lambda df: df, out_path
     )
 
 

@@ -201,3 +201,62 @@ def test_canonicalize_url_kernel_matches_reference(urls):
 
     got = canonicalize_url_batch(pa.array(urls, pa.string())).to_pylist()
     assert got == [_canon_ref(u) for u in urls]
+
+
+# ------------------------------------------------------- C4 kernel algebra
+
+_words = st.sampled_from(
+    ["alpha", "beta", "javascript", "dup", "a", "{x}", "lorem", "ipsum", ""]
+)
+_lines = st.lists(_words, max_size=8).map(" ".join).flatmap(
+    lambda s: st.sampled_from([s, s + ".", s + "!", s + '?"', s + " ?"])
+)
+_texts = st.lists(_lines, max_size=6).map("\n".join)
+
+
+@given(st.lists(_texts, min_size=1, max_size=10), st.integers(1, 6), st.integers(0, 4))
+@settings(max_examples=80, deadline=None)
+def test_c4_signals_match_python_reference(texts, min_words, min_kept):
+    """The vectorized C4 kernel (Arrow explode + bincount + binary_join)
+    must agree with a plain per-document Python restatement of the rules
+    on arbitrary punctuation/newline/bad-word soup — including empty
+    lines, empty docs, quote terminals, and parameter sweeps."""
+    import re
+
+    import pyarrow as pa
+
+    from crawler_ray.functions.c4 import c4_signals
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = c4_signals(
+        batch,
+        min_words_per_line=min_words,
+        min_kept_lines=min_kept,
+        doc_bad_words=("dup",),
+    ).to_pydict()
+
+    for i, text in enumerate(texts):
+        lines = text.split("\n")
+        kept_lines = [
+            ln
+            for ln in lines
+            if re.search(r'[.!?"]$', ln)
+            and "javascript" not in ln.lower()
+            and len(ln.split(" ")) >= min_words
+        ]
+        toks = set(re.split(r"[ \n]", text))
+        kept = (
+            len(kept_lines) >= min_kept
+            and "dup" not in toks
+            and "{" not in text
+            and "lorem ipsum" not in text.lower()
+        )
+        assert got["n_lines"][i] == len(lines)
+        assert got["n_kept_lines"][i] == len(kept_lines)
+        assert got["kept"][i] == kept
+        assert got["clean_text"][i] == "\n".join(kept_lines)

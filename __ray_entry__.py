@@ -210,14 +210,9 @@ def _crawl_anchor_texts(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
-    """PageRank over the host-level page-link graph of the crawl corpus
-    (functions/graph.pagerank): single-pass link extraction → host→host
-    edges (RE2 host kernel, page links only) → 10 damped iterations with
-    broadcast node weights + per-batch combiners + one bucketed exchange
-    per iteration. Pinned oracle; the pytest suite checks exact parity
-    against an independent dense power-iteration reference."""
-    from crawler_ray.functions.graph import pagerank
+def _host_edges_ds(sf_dir: str):
+    """host→host page-link edges of the crawl corpus (RE2 host kernel,
+    page links only) — the shared input of both PageRank physical plans."""
 
     def host_edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -236,10 +231,34 @@ def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
             {"src": host_of(t["src_url"]), "dst": host_of(t["url"])}
         )
 
-    edges = _corpus_findings_ds(sf_dir).map_batches(
+    return _corpus_findings_ds(sf_dir).map_batches(
         host_edges, batch_format="pyarrow"
     )
-    return pagerank(edges, damping=0.85, iters=10)
+
+
+def _crawl_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the host-level page-link graph of the crawl corpus
+    (functions/graph.pagerank): single-pass link extraction → host→host
+    edges → 10 damped iterations with broadcast node weights + per-batch
+    combiners + one bucketed exchange per iteration. Pinned oracle; the
+    pytest suite checks exact parity against an independent dense
+    power-iteration reference."""
+    from crawler_ray.functions.graph import pagerank
+
+    return pagerank(_host_edges_ds(sf_dir), damping=0.85, iters=10)
+
+
+def _crawl_host_pagerank_sharded(sf_dir: str) -> pd.DataFrame:
+    """The SAME host-graph PageRank computed by the no-broadcast scale
+    path (functions/graph.pagerank_sharded: ranks as hash-bucketed pinned
+    shards, keyed src→dst task exchange, O(n_buckets) driver floats per
+    iteration) against the SAME pinned oracle as ``crawl_host_pagerank``
+    — the two physical plans must agree bit-for-bit after the spec's f32
+    quantization + 6-dp rounding, so the scale path gets its own
+    driver-checked row instead of only the in-repo parity test."""
+    from crawler_ray.functions.graph import pagerank_sharded
+
+    return pagerank_sharded(_host_edges_ds(sf_dir), damping=0.85, iters=10)
 
 
 # ----------------------------------------------------------- doc extensions
@@ -1433,6 +1452,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ingest-side canonical-URL snapshot dedup; family (exact dedup /
         # keep-min-per-key exchange) is in-window via docs_exact_dedup_ids
         "corpus_url_dedup": _corpus_url_dedup,
+        # the no-broadcast PageRank scale path, checked against the SAME
+        # pinned oracle as the in-window broadcast form
+        "crawl_host_pagerank_sharded": _crawl_host_pagerank_sharded,
     }
 
 
@@ -2326,6 +2348,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": PIN.DOC_FINGERPRINTS_SQL,
         "embeddings_kmeans": PIN.EMBEDDINGS_KMEANS_SQL,
         "crawl_host_pagerank": PIN.CRAWL_HOST_PAGERANK_SQL,
+        "crawl_host_pagerank_sharded": PIN.CRAWL_HOST_PAGERANK_SQL,
         "embeddings_pca": PIN.EMBEDDINGS_PCA_SQL,
         "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,

@@ -390,6 +390,21 @@ def run_bench() -> dict:
             ).to_pandas(),
         ),
         ("ann_pq_topk", _pq_bench),
+        # both PageRank physical plans over the same host graph: the
+        # broadcast form vs the sharded-rank scale path (its keyed
+        # exchange overhead is the price of dropping the node broadcast)
+        (
+            "pagerank_broadcast",
+            lambda: __import__("__ray_entry__").queries()[
+                "crawl_host_pagerank"
+            ](SF_DIR),
+        ),
+        (
+            "pagerank_sharded",
+            lambda: __import__("__ray_entry__").queries()[
+                "crawl_host_pagerank_sharded"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

@@ -878,6 +878,10 @@ class PQIndex:
                         c[ci] = mem.mean(axis=0)
             books.append(c)
         self.codebooks = np.stack(books)  # (m_sub, ks, dsub) float32
+        # a train set smaller than ks yields fewer centroids per subspace;
+        # keep ks consistent with the actual codebook width so the ADC
+        # gather arithmetic stays valid (caught by the hypothesis test)
+        self.ks = self.codebooks.shape[1]
 
     @staticmethod
     def _assign(sub: np.ndarray, c: np.ndarray) -> np.ndarray:

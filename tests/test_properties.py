@@ -260,3 +260,52 @@ def test_c4_signals_match_python_reference(texts, min_words, min_kept):
         assert got["n_kept_lines"][i] == len(kept_lines)
         assert got["kept"][i] == kept
         assert got["clean_text"][i] == "\n".join(kept_lines)
+
+
+# ---------------------------------------------------------- PQ/ADC algebra
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(2, 40),
+    st.sampled_from([2, 4, 8]),
+    st.integers(2, 8),
+)
+@settings(max_examples=25, deadline=None)
+def test_pq_adc_matches_per_vector_loops(seed, n, m_sub, ks):
+    """PQIndex encode + ADC gather (vectorized) must equal per-vector
+    Python loops over the SAME codebooks for arbitrary shapes — pins the
+    einsum/searchsorted/bincount plumbing, independent of Ray. Pure
+    numpy — no Ray session."""
+    import numpy as np
+
+    from crawler_ray.functions.similarity import PQIndex, _normalize
+
+    rng = np.random.default_rng(seed)
+    d = 16
+    X = _normalize(rng.normal(size=(n, d)).astype(np.float32))
+    index = PQIndex(X, m_sub=m_sub, ks=ks, seed=7, iters=3)
+    dsub = d // m_sub
+
+    codes = index.encode(X)
+    for vi in range(min(n, 10)):
+        for j in range(m_sub):
+            s = X[vi, j * dsub : (j + 1) * dsub]
+            d2 = [float(((s - c) ** 2).sum()) for c in index.codebooks[j]]
+            assert codes[vi, j] == int(np.argmin(d2))
+
+    q = X[: min(3, n)]
+    lut = index.lut(q)
+    adc = index.adc(lut, codes)
+    for qi in range(len(q)):
+        for vi in range(min(n, 10)):
+            want = sum(
+                float(
+                    np.dot(
+                        q[qi, j * dsub : (j + 1) * dsub],
+                        index.codebooks[j][codes[vi, j]],
+                    )
+                )
+                for j in range(m_sub)
+            )
+            assert abs(adc[qi, vi] - want) < 1e-5

@@ -1497,3 +1497,36 @@ def test_resize_image_with_real_pil():
     assert (w, h) == (128, 96)
     img = Image.open(io.BytesIO(data))
     assert img.size == (128, 96)
+
+
+def test_unigram_and_dsir_cap_edge_values(ray_session):
+    """Cap off-by-one sweep: top_v = 1, |vocab|-1, |vocab| must all be
+    well-defined, with top_v = |vocab| exactly equal to uncapped (no
+    pooled OOV type when nothing is dropped)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.textstats import dsir_sample, unigram_logprob
+
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": "a a b c d"},
+        {"doc_id": 1, "lang": "de", "text": "a b b e"},
+        {"doc_id": 2, "lang": "en", "text": "c d e f g"},
+    ]
+    vocab_size = 7  # a b c d e f g
+    full_u = unigram_logprob(rd.from_items(docs))
+    full_d = dsir_sample(rd.from_items(docs), frac=0.67)
+    pd.testing.assert_frame_equal(
+        full_u, unigram_logprob(rd.from_items(docs), top_v=vocab_size)
+    )
+    pd.testing.assert_frame_equal(
+        full_d,
+        dsir_sample(rd.from_items(docs), frac=0.67, top_v=vocab_size),
+    )
+    for tv in (1, vocab_size - 1):
+        u = unigram_logprob(rd.from_items(docs), top_v=tv)
+        d = dsir_sample(rd.from_items(docs), frac=0.67, top_v=tv)
+        # same docs scored, weights finite
+        assert u["doc_id"].tolist() == full_u["doc_id"].tolist()
+        assert np.isfinite(u["logprob_mean"]).all()
+        assert len(d) == len(full_d) and np.isfinite(d["dsir_weight"]).all()

@@ -920,6 +920,18 @@ def _docs_c4_filters(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame
     )
 
 
+def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 ranking for a fixed query-term bag
+    (functions/textstats.bm25_topk): one integer-exact combiner pass for
+    (N, Σdl, df), broadcast idf table, one scoring pass with per-batch
+    partial top-k. Real SQL oracle (same formula, LATERAL tf)."""
+    from crawler_ray.functions.textstats import bm25_topk
+
+    return bm25_topk(
+        _docs_ds(sf_dir, ["doc_id", "text"]), ("spark", "merge", "slow"), k=10
+    )
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Image-decode PLUMBING demo: document text bytes as opaque payloads →
     wrap → actor-pool decode.
@@ -1455,6 +1467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the no-broadcast PageRank scale path, checked against the SAME
         # pinned oracle as the in-window broadcast form
         "crawl_host_pagerank_sharded": _crawl_host_pagerank_sharded,
+        # Okapi BM25 query ranking (retrieval family; TF-IDF vectors are
+        # in-window via doc_tfidf_topk) — real SQL oracle
+        "docs_bm25_topk": _docs_bm25_topk,
     }
 
 
@@ -1856,6 +1871,44 @@ SELECT doc_id, n_lines, n_kept_lines,
    AND NOT contains(lower(full_text), 'lorem ipsum')) AS kept,
   clean_text
 FROM perdoc ORDER BY doc_id
+"""
+
+#: Okapi BM25 for the fixed term bag ('spark','merge','slow') — same
+#: formula as functions/textstats.bm25_topk: idf = ln((N-df+0.5)/(df+0.5)+1),
+#: k1=1.2, b=0.75, score>0 docs only, 6-dp half-up, (score desc, id) top-10.
+DOCS_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM toks
+),
+terms AS (SELECT unnest(['merge', 'slow', 'spark']) AS term),
+df AS (
+  SELECT term,
+         (SELECT count(*) FROM toks WHERE list_contains(w, term)) AS df_t
+  FROM terms
+),
+scored AS (
+  SELECT t.doc_id,
+    sum(
+      ln((s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5) + 1.0)
+      * tf * 2.2
+      / (tf + 1.2 * (1 - 0.75 + 0.75 * len(t.w) / (s.sum_dl * 1.0 / s.n_docs)))
+    ) AS score
+  FROM toks t, stats s, df d,
+       LATERAL (SELECT len(list_filter(t.w, x -> x = d.term)) AS tf) x
+  WHERE tf > 0
+  GROUP BY t.doc_id
+)
+SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score,
+       CAST(row_number() OVER (
+              ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id
+            ) - 1 AS BIGINT) AS rank
+FROM scored
+ORDER BY rank LIMIT 10
 """
 
 #: Curation-funnel retention counts: cumulative stage gates (lang,
@@ -2319,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_c4_filters": DOCS_C4_FILTERS_SQL,
+        "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
         "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,

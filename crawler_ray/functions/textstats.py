@@ -735,3 +735,142 @@ def perplexity_buckets(ds, text_col: str = "text", id_col: str = "doc_id"):
         v >= t_hi, "head", np.where(v >= t_lo, "middle", "tail")
     )
     return lp
+
+
+def bm25_topk(
+    ds,
+    query_terms: "tuple[str, ...]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Okapi BM25 document ranking for a bag of query terms (Robertson &
+    Walker 1994; the classic retrieval scorer — complements the TF-IDF
+    vectors in ``relational.doc_tfidf_topk`` with an actual query ranker).
+
+    Deterministic spec (mirrored by the DuckDB oracle):
+      idf(t)  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)   [BM25+-style
+                floor: always positive]
+      score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+      keep docs with score > 0; top-k by (score desc, id asc); scores
+      rounded 6-dp half-up.
+
+    Ray shape: ONE combiner pass emits per-batch ``(n_docs, sum_dl,
+    df_t...)`` partials — all integers, so the driver fold is EXACT and
+    reduce-order-free; the (terms × idf, avgdl) broadcast is query-sized;
+    the scoring pass computes per-doc tf via one searchsorted +
+    2-d bincount and emits per-query-batch partial top-k. Nothing
+    corpus-sized reaches the driver."""
+    import ray
+
+    terms = np.asarray(sorted(set(query_terms)))
+    nt = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
+        )
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = vals != ""
+        vals, doc_idx = vals[mask], doc_idx[mask]
+        dl = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+        pos = np.searchsorted(terms, vals)
+        posc = np.minimum(pos, nt - 1) if nt else np.zeros(0, np.int64)
+        hit = terms[posc] == vals if nt else np.zeros(0, bool)
+        # df partial: distinct docs containing each term in this batch
+        df = np.zeros(nt, np.int64)
+        if hit.any():
+            pairs = np.unique(
+                doc_idx[hit] * np.int64(nt) + posc[hit].astype(np.int64)
+            )
+            np.add.at(df, (pairs % nt).astype(np.int64), 1)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(lens)], pa.int64()),
+                "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+                "df": pa.array([df.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    if n_docs == 0 or nt == 0:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    sum_dl = int(parts["sum_dl"].sum())  # exact integer fold
+    df = np.sum(np.stack(parts["df"].to_numpy()), axis=0).astype(np.float64)
+    avgdl = sum_dl / n_docs
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    ref = ray.put((terms, idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        terms_, idf_, avgdl_ = ray.get(ref)
+        toks = pc.split_pattern(
+            pc.fill_null(batch[text_col], "").combine_chunks(), pattern=" "
+        )
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        mask = vals != ""
+        vals, doc_idx = vals[mask], doc_idx[mask]
+        dl = np.bincount(doc_idx, minlength=len(lens)).astype(np.float64)
+        pos = np.searchsorted(terms_, vals)
+        posc = np.minimum(pos, len(terms_) - 1)
+        hit = terms_[posc] == vals
+        tf = np.zeros((len(lens), len(terms_)), np.float64)
+        if hit.any():
+            flat = doc_idx[hit] * len(terms_) + posc[hit]
+            tf = np.bincount(
+                flat, minlength=len(lens) * len(terms_)
+            ).reshape(len(lens), len(terms_)).astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (dl / avgdl_)[:, None])
+        with np.errstate(invalid="ignore"):
+            s = np.where(tf > 0, idf_[None, :] * tf * (k1 + 1.0) / denom, 0.0)
+        sc = s.sum(axis=1)
+        sc = np.floor(sc * 1e6 + 0.5) / 1e6  # scores are non-negative
+        keep = sc > 0
+        if not keep.any():
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        sc = sc[keep]
+        order = np.lexsort((ids, -sc))[:k]  # per-batch partial top-k
+        return pa.table(
+            {
+                id_col: pa.array(ids[order].astype(np.int64)),
+                "score": pa.array(sc[order], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        partials.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = np.arange(len(out), dtype=np.int64)
+    return out

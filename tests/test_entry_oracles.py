@@ -17,6 +17,7 @@ REAL_SQL = [
     "docs_decontaminate",
     "docs_line_dedup",
     "docs_c4_filters",
+    "docs_bm25_topk",
     "docs_frequent_words",
     "docs_unigram_logprob",
     "docs_dsir_sample",

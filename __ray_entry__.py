@@ -920,6 +920,31 @@ def _docs_c4_filters(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame
     )
 
 
+def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
+    """Model-free text near-dup pairs END TO END from raw text:
+    feature-hashing char-trigram embeddings
+    (functions/similarity.hashing_embed — the hashing trick, Weinberger
+    2009; identical texts embed identically) → LSH-bucketed cosine pair
+    search (cosine_near_dup_pairs). Pinned oracle (seeded planes, exact
+    verify ⇒ deterministic); the embedder spec is restated per-gram by an
+    independent pytest reference, and planted-duplicate tests pin the
+    cos=1-for-identical-text property the composition relies on."""
+    from crawler_ray.functions.similarity import (
+        cosine_near_dup_pairs,
+        hashing_embed,
+    )
+
+    def embed_vec(t: pa.Table) -> pa.Table:
+        return hashing_embed(t).rename_columns(["vec_id", "embedding"])
+
+    emb = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        embed_vec, batch_format="pyarrow"
+    )
+    out = cosine_near_dup_pairs(emb, threshold=0.995)
+    out["sim"] = out["sim"].round(4)
+    return out
+
+
 def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
     """Okapi BM25 ranking for a fixed query-term bag
     (functions/textstats.bm25_topk): one integer-exact combiner pass for
@@ -1470,6 +1495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Okapi BM25 query ranking (retrieval family; TF-IDF vectors are
         # in-window via doc_tfidf_topk) — real SQL oracle
         "docs_bm25_topk": _docs_bm25_topk,
+        # raw-text near-dedup via the model-free hashing-trick embedder
+        # (family repped in-window by cosine_near_dups) — pinned oracle
+        "docs_text_near_dups": _docs_text_near_dups,
     }
 
 
@@ -1871,6 +1899,19 @@ SELECT doc_id, n_lines, n_kept_lines,
    AND NOT contains(lower(full_text), 'lorem ipsum')) AS kept,
   clean_text
 FROM perdoc ORDER BY doc_id
+"""
+
+#: Pinned text-near-dup pairs at sf0.01 (hashing-trick char-trigram
+#: embeddings → LSH-bucketed cosine ≥ 0.995; seeded planes + exact verify
+#: ⇒ deterministic). The embedder spec is restated per-gram by
+#: tests/test_independent_truths.py::test_hashing_embed_independent_reference.
+DOCS_TEXT_NEAR_DUPS_SQL = """
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, CAST(sim AS DOUBLE) AS sim
+FROM (VALUES (8,245,0.9989), (31,383,0.9965), (45,413,0.9982), (58,293,0.9987), (61,185,0.9973),
+             (70,447,0.9987), (72,377,0.9972), (98,290,0.9992), (152,178,0.9962), (166,323,0.9981),
+             (267,413,0.9982), (285,301,0.9987), (326,457,0.9957), (393,420,0.9985), (458,462,0.9978))
+     AS t(a, b, sim)
+ORDER BY a, b
 """
 
 #: Okapi BM25 for the fixed term bag ('spark','merge','slow') — same
@@ -2373,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_c4_filters": DOCS_C4_FILTERS_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
+        "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
         "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,

@@ -999,3 +999,69 @@ def pq_topk(
     )
     res["rank"] = res.groupby("query_id").cumcount()
     return res
+
+
+# ------------------------------------------------------- hashing embedder
+
+
+def hashing_embed(
+    batch: pa.Table,
+    dim: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Feature-hashing character-n-gram text embedding (the hashing trick,
+    Weinberger et al. 2009): each byte n-gram's rolling hash picks a
+    bucket in ``[0, 2*dim)``; the low half adds +1 and the high half −1 to
+    the bucket-mod-dim coordinate; the vector is L2-normalized. A cheap,
+    deterministic, model-free embedder — identical texts embed
+    identically, so the embedding composes with ``semantic_dedup`` /
+    ``cosine_near_dup_pairs`` to run text near-dedup end-to-end without a
+    model library. Same arithmetic family as textstats.fingerprints: one
+    vectorized multiply-sum per doc against a batch-shared power table
+    over Z/2^64, no per-byte Python.
+
+    Output: ``(id_col, embedding list<float>)``; empty/short texts embed
+    to the zero vector (excluded from cosine ops downstream)."""
+    texts = batch[text_col].to_pylist()
+    BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+    nbuckets = np.uint64(2 * dim)
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    pows = np.ones(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if n > 1:
+            pows[1:] = BASE
+            np.cumprod(pows, out=pows)
+        wpows = pows[::-1].copy()
+        for i, t in enumerate(texts):
+            data = np.frombuffer(
+                (t or "").encode("utf-8", "replace"), dtype=np.uint8
+            )
+            if len(data) < n:
+                continue
+            wins = np.lib.stride_tricks.sliding_window_view(data, n).astype(
+                np.uint64
+            )
+            h = (wins * wpows).sum(axis=1, dtype=np.uint64)
+            # avalanche the low bits before bucketing (splitmix-style)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            b = (h % nbuckets).astype(np.int64)
+            sign = np.where(b < dim, 1.0, -1.0)
+            out[i] = np.bincount(
+                b % dim, weights=sign, minlength=dim
+            )
+            nrm = np.linalg.norm(out[i])
+            if nrm > 0:
+                out[i] /= nrm
+    return pa.table(
+        {
+            id_col: batch[id_col].cast(pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in out],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )

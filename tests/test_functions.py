@@ -1530,3 +1530,46 @@ def test_unigram_and_dsir_cap_edge_values(ray_session):
         assert u["doc_id"].tolist() == full_u["doc_id"].tolist()
         assert np.isfinite(u["logprob_mean"]).all()
         assert len(d) == len(full_d) and np.isfinite(d["dsir_weight"]).all()
+
+
+def test_hashing_embed_duplicate_and_similarity_properties(ray_session):
+    """The properties docs_text_near_dups relies on: identical texts embed
+    identically (cos exactly 1 through the whole pair pipeline); a
+    one-word edit of a long doc stays near-dup; disjoint character
+    distributions score low; end-to-end text->embed->pairs surfaces
+    exactly the planted duplicates at a high threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import (
+        cosine_near_dup_pairs,
+        hashing_embed,
+    )
+
+    base = ("spark merge slow table scan filter join order group window " * 8).strip()
+    texts = [
+        base,                                   # 0
+        base,                                   # 1: exact dup of 0
+        base.replace("window", "vector", 1),    # 2: near dup of 0
+        "zzzz qqqq xxxx jjjj " * 10,            # 3: disjoint charset
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}
+    )
+    emb = hashing_embed(t)
+    m = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    cos = lambda a, b: float(np.dot(a, b))
+    assert np.array_equal(m[0], m[1])  # identical text, identical vector
+    assert cos(m[0], m[2]) > 0.95
+    assert cos(m[0], m[3]) < 0.5
+
+    def embed_vec(tbl: pa.Table) -> pa.Table:
+        return hashing_embed(tbl).rename_columns(["vec_id", "embedding"])
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": s} for i, s in enumerate(texts)]
+    ).map_batches(embed_vec, batch_format="pyarrow")
+    pairs = cosine_near_dup_pairs(ds, threshold=0.999)
+    assert [(r.a, r.b) for r in pairs.itertuples(index=False)] == [(0, 1)]
+    assert pairs["sim"].iloc[0] > 1.0 - 1e-6  # f32 self-cosine

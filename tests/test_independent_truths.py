@@ -1108,3 +1108,45 @@ def test_pq_topk_independent_reference(ray_session):
         assert (qi, v, rank) == (r.query_id, r.vec_id, r.rank)
         assert abs(adc - r.sim_adc) < 5e-4
         assert abs(sim - r.sim) < 5e-4
+
+
+def test_hashing_embed_independent_reference():
+    """Re-derive the hashing-trick embedding with per-gram Python loops —
+    polynomial rolling hash over Z/2^64, splitmix avalanche, signed
+    bucket, L2 normalization — and compare against the vectorized engine
+    kernel. Pure numpy/pyarrow, no Ray."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.functions.similarity import hashing_embed
+
+    texts = ["spark merge slow", "", "ab", "the same the same the same", "ünïcode tëxt"]
+    got = hashing_embed(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        dim=16,
+        n=3,
+    )
+
+    BASE, M = 1099511628211, (1 << 64) - 1
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8", "replace")
+        vec = np.zeros(16)
+        for s in range(len(data) - 2):
+            h = 0
+            for byte in data[s : s + 3]:
+                h = (h * BASE + byte) & M
+            h ^= h >> 33
+            h = (h * 0xFF51AFD7ED558CCD) & M
+            h ^= h >> 33
+            b = h % 32
+            vec[b % 16] += 1.0 if b < 16 else -1.0
+        nrm = np.linalg.norm(vec)
+        if nrm > 0:
+            vec /= nrm
+        want = np.asarray(got["embedding"][i].as_py(), dtype=np.float64)
+        assert np.allclose(want, vec.astype(np.float32), atol=1e-6), (i, t)

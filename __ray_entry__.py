@@ -1944,11 +1944,13 @@ scored AS (
   WHERE tf > 0
   GROUP BY t.doc_id
 )
-SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score,
-       CAST(row_number() OVER (
-              ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id
-            ) - 1 AS BIGINT) AS rank
-FROM scored
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1
+            AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS score FROM scored
+)
+WHERE score > 0  -- engine keeps rounded-score>0 docs only (spec)
 ORDER BY rank LIMIT 10
 """
 

@@ -68,6 +68,11 @@ def c4_signals(
     texts = pc.fill_null(batch[text_col], "")
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        # binary_join ships no large_string kernel (any Arrow ≤ 21); a Ray
+        # block is bounded well under the 2 GiB string-offset limit, so
+        # the narrowing cast is safe per batch
+        texts = texts.cast(pa.string())
     n = len(texts)
 
     lines = pc.split_pattern(texts, "\n")

@@ -311,8 +311,6 @@ def pagerank_sharded(
     with the broadcast form is pinned by
     tests/test_functions.py::test_pagerank_sharded_matches_broadcast.
     """
-    import functools
-
     import ray
 
     from ..stages.shuffle import _bucket_ids
@@ -331,8 +329,9 @@ def pagerank_sharded(
     def _as_arrow_tbl(t):
         return t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
 
-    @functools.lru_cache(maxsize=4)
     def _split_edges_task(nb: int):
+        # plain factory: each pagerank_sharded call builds its remote fns
+        # once (a cross-call cache cannot hit — the factory is per-call)
         @ray.remote(num_returns=nb + 1)
         def split(t):
             t = _as_arrow_tbl(t)
@@ -383,7 +382,6 @@ def pagerank_sharded(
 
     # node/outdeg shards: re-split the per-block meta partials by
     # hash(node), fold per bucket, init rank
-    @functools.lru_cache(maxsize=4)
     def _split_meta_task(nb: int):
         @ray.remote(num_returns=nb)
         def split_meta(t):
@@ -454,7 +452,6 @@ def pagerank_sharded(
     state = [w[0] for w in with_rank]
     dangling = float(sum(ray.get([w[1] for w in with_rank])))
 
-    @functools.lru_cache(maxsize=4)
     def _contrib_task(nb: int):
         @ray.remote(num_returns=nb)
         def contrib(edges_b, shard_b):

@@ -950,9 +950,15 @@ def pq_topk(
         if b.num_rows
     ]
     empty_pd = pd.DataFrame(
-        {"query_id": [], "vec_id": [], "sim_adc": [], "sim": [], "rank": []}
+        {
+            "query_id": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "sim_adc": pd.Series(dtype="float64"),
+            "sim": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64"),
+        }
     )
-    if not chunks:
+    if not chunks or len(queries) == 0:
         return empty_pd
     train = _to_matrix(pa.chunked_array(chunks))
     index = PQIndex(train, m_sub=m_sub, ks=ks, seed=seed)

@@ -401,6 +401,22 @@ def corpus_top_ngrams(
     )
 
 
+def _explode_tokens(col) -> "tuple[np.ndarray, np.ndarray, int]":
+    """Whitespace-token explode shared by the unigram-LM / DSIR / BM25
+    passes: ``(vals, doc_idx, n_docs)`` with empty tokens dropped — ONE
+    tokenizer convention (space split), so the passes and their DuckDB
+    oracles (``string_split(text, ' ')`` + empty filter) cannot drift
+    apart site by site."""
+    toks = pc.split_pattern(
+        pc.fill_null(col, "").combine_chunks(), pattern=" "
+    )
+    vals = toks.values.to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    mask = vals != ""
+    return vals[mask], doc_idx[mask], len(lens)
+
+
 class _UnigramScorer:
     """Actor-pool scorer for ``unigram_logprob`` pass 2: the (word →
     log10 p) table is fetched from the object store ONCE per actor in
@@ -423,15 +439,7 @@ class _UnigramScorer:
         self.oov_logp = oov_logp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.fill_null(batch[self.text_col], "").combine_chunks(),
-            pattern=" ",
-        )
-        vals = toks.values.to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        mask = vals != ""
-        vals, doc_idx = vals[mask], doc_idx[mask]
+        vals, doc_idx, n_rows = _explode_tokens(batch[self.text_col])
         idx = np.searchsorted(self.words, vals)
         idx_c = np.minimum(idx, max(len(self.words) - 1, 0))
         hit = (
@@ -450,10 +458,14 @@ class _UnigramScorer:
             lp = self.logp[idx_c]
         else:
             # capped (CCNet top-V) mode: tokens outside the kept vocabulary
-            # score the precomputed OOV floor
-            lp = np.where(hit, self.logp[idx_c], self.oov_logp)
-        n_tok = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
-        sums = np.bincount(doc_idx, weights=lp, minlength=len(lens))
+            # score the precomputed OOV floor (np.where evaluates its arms
+            # eagerly, so an empty kept vocab needs the explicit branch)
+            if len(self.words) == 0:
+                lp = np.full(len(vals), self.oov_logp, np.float64)
+            else:
+                lp = np.where(hit, self.logp[idx_c], self.oov_logp)
+        n_tok = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        sums = np.bincount(doc_idx, weights=lp, minlength=n_rows)
         keep = n_tok > 0  # empty docs have no defined mean (SQL inner join)
         mean = sums[keep] / n_tok[keep]
         # 6-dp half-away-from-zero, matching DuckDB round(x, 6) on the
@@ -621,18 +633,12 @@ def dsir_sample(
     ds = ds.materialize()  # the scoring pass must see exactly the counted rows
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
-        )
-        vals = toks.values.to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        vals, doc_idx, _n = _explode_tokens(t[text_col])
         is_t = (
             pc.equal(pc.fill_null(t[lang_col], ""), target_lang)
             .to_numpy(zero_copy_only=False)
         )
-        tok_t = np.repeat(is_t, lens)
-        mask = vals != ""
-        vals, tok_t = vals[mask], tok_t[mask]
+        tok_t = is_t[doc_idx]
         items, inv = np.unique(vals, return_inverse=True)
         cnt = np.bincount(inv, minlength=len(items)).astype(np.int64)
         cnt_t = np.bincount(
@@ -769,15 +775,8 @@ def bm25_topk(
     nt = len(terms)
 
     def stats_partial(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(
-            pc.fill_null(t[text_col], "").combine_chunks(), pattern=" "
-        )
-        vals = toks.values.to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        mask = vals != ""
-        vals, doc_idx = vals[mask], doc_idx[mask]
-        dl = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+        vals, doc_idx, n_rows = _explode_tokens(t[text_col])
+        dl = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
         pos = np.searchsorted(terms, vals)
         posc = np.minimum(pos, nt - 1) if nt else np.zeros(0, np.int64)
         hit = terms[posc] == vals if nt else np.zeros(0, bool)
@@ -790,7 +789,7 @@ def bm25_topk(
             np.add.at(df, (pairs % nt).astype(np.int64), 1)
         return pa.table(
             {
-                "n_docs": pa.array([len(lens)], pa.int64()),
+                "n_docs": pa.array([n_rows], pa.int64()),
                 "sum_dl": pa.array([int(dl.sum())], pa.int64()),
                 "df": pa.array([df.tolist()], pa.list_(pa.int64())),
             }
@@ -822,24 +821,17 @@ def bm25_topk(
         if batch.num_rows == 0:
             return empty
         terms_, idf_, avgdl_ = ray.get(ref)
-        toks = pc.split_pattern(
-            pc.fill_null(batch[text_col], "").combine_chunks(), pattern=" "
-        )
-        vals = toks.values.to_numpy(zero_copy_only=False)
-        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        mask = vals != ""
-        vals, doc_idx = vals[mask], doc_idx[mask]
-        dl = np.bincount(doc_idx, minlength=len(lens)).astype(np.float64)
+        vals, doc_idx, n_rows = _explode_tokens(batch[text_col])
+        dl = np.bincount(doc_idx, minlength=n_rows).astype(np.float64)
         pos = np.searchsorted(terms_, vals)
         posc = np.minimum(pos, len(terms_) - 1)
         hit = terms_[posc] == vals
-        tf = np.zeros((len(lens), len(terms_)), np.float64)
+        tf = np.zeros((n_rows, len(terms_)), np.float64)
         if hit.any():
             flat = doc_idx[hit] * len(terms_) + posc[hit]
             tf = np.bincount(
-                flat, minlength=len(lens) * len(terms_)
-            ).reshape(len(lens), len(terms_)).astype(np.float64)
+                flat, minlength=n_rows * len(terms_)
+            ).reshape(n_rows, len(terms_)).astype(np.float64)
         denom = tf + k1 * (1.0 - b + b * (dl / avgdl_)[:, None])
         with np.errstate(invalid="ignore"):
             s = np.where(tf > 0, idf_[None, :] * tf * (k1 + 1.0) / denom, 0.0)

@@ -1361,13 +1361,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER CONTRACT: the driver's correctness harness oracle-checks the
     # FIRST 50 entries in dict order (CORRECTNESS_r03.json recorded exactly
     # the first 50 keys). The first 50 below therefore cover every distinct
-    # operator family exactly once, risk-first: the round-3 additions that
-    # had no driver row yet come first, then one representative per
-    # previously-green family. Entries after #50 are (a) the crawl-semantics
-    # queries, rows-only by design (their oracle is the in-repo pure-Python
-    # simulator, exercised by pytest), and (b) redundant same-family
-    # variants that already have a green row in CORRECTNESS_r03.json and
-    # stay pytest-oracled (tests/test_entry_oracles.py, test_relational.py).
+    # operator family exactly once, risk-first: operators that have never
+    # had a driver row come before long-green family representatives. Every
+    # round-4 addition (BM25, text near-dups, PQ ANN, mixture allocation,
+    # URL snapshot dedup, sharded PageRank, C4, span dedup, sitemap source,
+    # recrawl scheduler, audio decode) is inside the window. Entries after
+    # #50 are (a) the crawl-semantics queries, rows-only by design (their
+    # oracle is the in-repo pure-Python simulator, exercised by pytest),
+    # and (b) redundant same-family variants that already have a green row
+    # in CORRECTNESS_r01-r03.json and stay pytest-oracled
+    # (tests/test_entry_oracles.py, test_relational.py).
     # ------------------------------------------------------------------
     return {
         # -- slots 1-23: round-3 operators, first driver check (oracle_sql
@@ -1404,7 +1407,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- slots 24-50: one representative per previously-green family
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_segment_top_orders": R.q3_segment_top_orders,
-        "q5_region_nation_revenue": R.q5_region_nation_revenue,
+        # round-4 swap: Okapi BM25 ranking (first driver check, real SQL
+        # oracle) takes the window slot of q5_region_nation_revenue, whose
+        # join+agg family keeps q1/q3 in-window and green r01-r03 rows of
+        # its own
+        "docs_bm25_topk": _docs_bm25_topk,
         "events_sessions": R.events_sessions,
         "purchases_asof_click": R.purchases_asof_click,
         "events_error_click_window": R.events_error_click_window,
@@ -1420,22 +1427,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_spans": _docs_dedup_spans,
         "events_user_running_total": R.events_user_running_total,
         "doc_tfidf_topk": R.doc_tfidf_topk,
-        "docs_split_assign": R.docs_split_assign,
+        # round-4 swap: token-budget mixture allocation (first driver
+        # check) takes the slot of docs_split_assign, whose deterministic-
+        # hash-sampler family keeps pack_chunks + global_shuffle in-window
+        # and a green r01-r03 row of its own
+        "docs_mixture_budget_sample": R.docs_mixture_budget_sample,
         "docs_pack_chunks": R.docs_pack_chunks,
-        "docs_stratified_sample": R.docs_stratified_sample,
+        # round-4 swap: raw-text near-dedup via the model-free hashing-
+        # trick embedder (first driver check, pinned oracle) takes the slot
+        # of docs_stratified_sample (hash-sampler family repped in-window
+        # by pack_chunks/global_shuffle; green r01-r03 row of its own)
+        "docs_text_near_dups": _docs_text_near_dups,
         "docs_global_shuffle": R.docs_global_shuffle,
         "customers_without_orders": R.customers_without_orders,
         # round-4 sitemap source takes the window slot of
         # order_status_with_lineitems, whose semi/anti-join family keeps
         # customers_without_orders in-window and a green r03 row of its own
         "sitemap_roundtrip": _sitemap_roundtrip,
-        "docs_exact_dedup_ids": R.docs_exact_dedup_ids,
+        # round-4 swap: ingest-side canonical-URL snapshot dedup (first
+        # driver check) takes the slot of docs_exact_dedup_ids, the same
+        # keep-min-per-key exchange family with a green r01-r03 row of its
+        # own
+        "corpus_url_dedup": _corpus_url_dedup,
         # round-4 recrawl scheduler takes the window slot of
         # customer_nation, whose plain-hash-join family keeps q3/q5/
         # top_suppliers in-window and a green r03 row of its own
         "sitemap_recrawl_due": _sitemap_recrawl_due,
-        "ann_cosine_topk": R.ann_cosine_topk_sql_compat,
-        "crawl_host_pagerank": _crawl_host_pagerank,
+        # round-4 swap: PQ/ADC compressed-index ANN (first driver check)
+        # takes the slot of ann_cosine_topk, whose ANN family keeps
+        # ann_lsh_ivf_topk in-window and a green r01-r03 row of its own
+        "ann_pq_topk": _ann_pq_topk,
+        # round-4 swap: the no-broadcast sharded-rank PageRank scale path
+        # (first driver check) takes the broadcast form's slot — checked
+        # against the SAME pinned oracle; the broadcast form keeps its
+        # green r03 row and the pytest parity test
+        "crawl_host_pagerank_sharded": _crawl_host_pagerank_sharded,
         "crawl_anchor_texts": _crawl_anchor_texts,
         "dedup_minhash_clusters": _dedup_minhash,
         "dedup_simhash_pairs": _dedup_simhash,
@@ -1454,7 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_metrics": _crawl_metrics,
         "crawl_curated_stats": _crawl_curated_stats,
         "extract_links": _extract_links,
-        # -- same-family variants, green in CORRECTNESS_r03.json and still
+        # -- same-family variants, green in CORRECTNESS_r01-r03 and still
         #    pytest-oracled every session
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -1472,9 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_top_bigrams": _corpus_top_bigrams,
         "ann_lsh_topk": _ann_lsh,
         "ann_ivf_topk": _ann_ivf,
-        # PQ/ADC compressed-index ANN; family (approximate ANN over the
-        # embeddings table) is in-window via ann_lsh_ivf_topk
-        "ann_pq_topk": _ann_pq_topk,
+        "ann_cosine_topk": R.ann_cosine_topk_sql_compat,
         "doc_normalized": _doc_normalized,
         "doc_redacted": _doc_redacted,
         "multimodal_decode": _multimodal_decode,
@@ -1482,22 +1506,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         "order_status_with_lineitems": R.order_status_with_lineitems,
         "customer_nation": R.customer_nation,
-        # token-budget mixture allocation (data-mixing step); family
-        # (deterministic-hash samplers) is in-window via
-        # docs_stratified_sample; mirror + pytest oracle-check this one
-        "docs_mixture_budget_sample": R.docs_mixture_budget_sample,
-        # ingest-side canonical-URL snapshot dedup; family (exact dedup /
-        # keep-min-per-key exchange) is in-window via docs_exact_dedup_ids
-        "corpus_url_dedup": _corpus_url_dedup,
-        # the no-broadcast PageRank scale path, checked against the SAME
-        # pinned oracle as the in-window broadcast form
-        "crawl_host_pagerank_sharded": _crawl_host_pagerank_sharded,
-        # Okapi BM25 query ranking (retrieval family; TF-IDF vectors are
-        # in-window via doc_tfidf_topk) — real SQL oracle
-        "docs_bm25_topk": _docs_bm25_topk,
-        # raw-text near-dedup via the model-free hashing-trick embedder
-        # (family repped in-window by cosine_near_dups) — pinned oracle
-        "docs_text_near_dups": _docs_text_near_dups,
+        "q5_region_nation_revenue": R.q5_region_nation_revenue,
+        "docs_split_assign": R.docs_split_assign,
+        "docs_stratified_sample": R.docs_stratified_sample,
+        "docs_exact_dedup_ids": R.docs_exact_dedup_ids,
+        "crawl_host_pagerank": _crawl_host_pagerank,
     }
 
 

@@ -139,6 +139,15 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # round-4 C4 structural cleaning (took events_hopping_window's
         # slot; windowed-rollup family keeps three in-window reps)
         "docs_c4_filters",
+        # late round-4 additions, each swapped in for a long-green family
+        # representative (q5, split_assign, stratified_sample, cosine ANN,
+        # exact-dedup, broadcast PageRank respectively)
+        "docs_bm25_topk",
+        "docs_mixture_budget_sample",
+        "docs_text_near_dups",
+        "ann_pq_topk",
+        "corpus_url_dedup",
+        "crawl_host_pagerank_sharded",
     }
     assert round3 <= set(window), round3 - set(window)
 

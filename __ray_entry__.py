@@ -920,6 +920,47 @@ def _docs_c4_filters(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame
     )
 
 
+def _docs_boilerplate_paras(sf_dir: str) -> pd.DataFrame:
+    """jusText-style context-sensitive boilerplate-paragraph classification
+    (functions/boilerplate.classify_paragraphs — Pomikálek 2011 ch. 4:
+    per-paragraph stopword/link/length features → good/neargood/bad/short,
+    then undecided paragraphs take their nearest decisive neighbour's
+    class). The sf* document texts are single-line word streams, so the
+    query first reshapes each doc deterministically into 8-word paragraphs
+    (same augmentation in the SQL oracle, same pattern as
+    docs_line_dedup's chunk5); the small vocabulary's 'a'/'the' density
+    then spreads paragraphs across all four context-free classes and the
+    context pass genuinely flips neargood/short rows (checked in pytest:
+    ~290 flips at sf0.001)."""
+    from crawler_ray.functions.boilerplate import classify_paragraphs
+
+    def para8(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            w = [x for x in (s or "").split(" ") if x]
+            out.append(
+                "\n\n".join(
+                    " ".join(w[i : i + 8]) for i in range(0, max(1, len(w)), 8)
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        para8, batch_format="pyarrow"
+    )
+    return (
+        classify_paragraphs(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "para_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     """Model-free text near-dup pairs END TO END from raw text:
     feature-hashing char-trigram embeddings
@@ -1464,7 +1505,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank_sharded": _crawl_host_pagerank_sharded,
         "crawl_anchor_texts": _crawl_anchor_texts,
         "dedup_minhash_clusters": _dedup_minhash,
-        "dedup_simhash_pairs": _dedup_simhash,
+        # round-4 swap: jusText-style context-sensitive boilerplate
+        # paragraph classification (first driver check, real SQL oracle)
+        # takes the slot of dedup_simhash_pairs, whose near-dup family
+        # keeps minhash/jaccard/window/spans/text-near-dups in-window and
+        # a green r01-r03 row of its own
+        "docs_boilerplate_paras": _docs_boilerplate_paras,
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_quality_classifier": _docs_quality_classifier,
@@ -1511,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": R.docs_stratified_sample,
         "docs_exact_dedup_ids": R.docs_exact_dedup_ids,
         "crawl_host_pagerank": _crawl_host_pagerank,
+        "dedup_simhash_pairs": _dedup_simhash,
     }
 
 
@@ -1912,6 +1959,70 @@ SELECT doc_id, n_lines, n_kept_lines,
    AND NOT contains(lower(full_text), 'lorem ipsum')) AS kept,
   clean_text
 FROM perdoc ORDER BY doc_id
+"""
+
+#: jusText-style paragraph classification over the SAME deterministic
+#: 8-word-paragraph reshape the query applies. Mirrors
+#: functions/boilerplate.py rule for rule: context-free class from
+#: length/link-density/stopword-density (thresholds 4 words, 0.2, 0.25,
+#: 0.125 — exact binary fractions, so float compares agree bit-for-bit),
+#: then undecided (short/neargood) rows become good iff the nearest
+#: decisive neighbour before OR after within the document is good
+#: (IGNORE NULLS window scans = the kernel's maximum.accumulate passes).
+DOCS_BOILERPLATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+paras0 AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(1, (len(ws) + 7) // 8))) AS para_idx
+  FROM words
+),
+paras AS (
+  SELECT doc_id, para_idx, ws[(para_idx*8+1):(para_idx*8+8)] AS pw
+  FROM paras0
+),
+feat AS (
+  SELECT doc_id, para_idx, len(pw) AS n_words,
+         len(list_filter(pw, w -> list_contains(
+           ['the','a','an','and','or','of','to','in','is','are','was','were',
+            'be','been','it','this','that','for','on','with','as','at','by',
+            'from'], lower(w)))) AS n_stop,
+         len(list_filter(pw, w -> contains(w, 'http') OR contains(w, 'www.')))
+           AS n_link
+  FROM paras
+),
+base AS (
+  SELECT doc_id, para_idx, n_words, n_stop, n_link,
+         CASE WHEN n_words < 4 THEN 'short'
+              WHEN n_link > 0.2 * n_words THEN 'bad'
+              WHEN n_stop >= 0.25 * n_words THEN 'good'
+              WHEN n_stop >= 0.125 * n_words THEN 'neargood'
+              ELSE 'bad' END AS cls0
+  FROM feat
+),
+ctx AS (
+  SELECT *,
+    last_value(CASE WHEN cls0 IN ('good','bad') THEN cls0 END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY para_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ctx,
+    last_value(CASE WHEN cls0 IN ('good','bad') THEN cls0 END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY para_idx DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_ctx
+  FROM base
+)
+SELECT doc_id, para_idx, n_words,
+       round(n_stop / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(n_link / greatest(n_words, 1), 6) AS link_density,
+       cls0 AS cls_ctxfree,
+       CASE WHEN cls0 IN ('good','bad') THEN cls0
+            WHEN coalesce(prev_ctx, '') = 'good'
+                 OR coalesce(next_ctx, '') = 'good' THEN 'good'
+            ELSE 'bad' END AS cls
+FROM ctx
+ORDER BY doc_id, para_idx
 """
 
 #: Pinned text-near-dup pairs at sf0.01 (hashing-trick char-trigram
@@ -2428,6 +2539,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": DOCS_DECONTAMINATE_SQL,
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_c4_filters": DOCS_C4_FILTERS_SQL,
+        "docs_boilerplate_paras": DOCS_BOILERPLATE_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,

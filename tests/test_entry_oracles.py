@@ -17,6 +17,7 @@ REAL_SQL = [
     "docs_decontaminate",
     "docs_line_dedup",
     "docs_c4_filters",
+    "docs_boilerplate_paras",
     "docs_bm25_topk",
     "docs_frequent_words",
     "docs_unigram_logprob",
@@ -148,6 +149,10 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "ann_pq_topk",
         "corpus_url_dedup",
         "crawl_host_pagerank_sharded",
+        # jusText-style boilerplate classification (took
+        # dedup_simhash_pairs's slot; near-dup family keeps five
+        # in-window representatives)
+        "docs_boilerplate_paras",
     }
     assert round3 <= set(window), round3 - set(window)
 

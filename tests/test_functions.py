@@ -1573,3 +1573,94 @@ def test_hashing_embed_duplicate_and_similarity_properties(ray_session):
     pairs = cosine_near_dup_pairs(ds, threshold=0.999)
     assert [(r.a, r.b) for r in pairs.itertuples(index=False)] == [(0, 1)]
     assert pairs["sim"].iloc[0] > 1.0 - 1e-6  # f32 self-cosine
+
+
+# ---------------------------------------------------------------------------
+# jusText-style boilerplate paragraph classification (functions/boilerplate)
+# ---------------------------------------------------------------------------
+
+
+def _bp(rows, **kw):
+    from crawler_ray.functions.boilerplate import paragraph_signals
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    return paragraph_signals(t, **kw).to_pandas()
+
+
+def test_boilerplate_link_density_rule():
+    """A paragraph over the link-density cap is bad even with high
+    stopword density (the rule the sf corpus can't exercise: its vocab has
+    no http/www words)."""
+    linky = "the a http://x.example/a www.y.example the a of to"  # 2/8 links
+    out = _bp([(1, linky)])
+    assert out["cls_ctxfree"].tolist() == ["bad"]
+    assert out["link_density"].iloc[0] == pytest.approx(2 / 8, abs=1e-6)
+    # same paragraph without links is good (5/6 stopwords)
+    out2 = _bp([(1, "the a the of to x")])
+    assert out2["cls_ctxfree"].tolist() == ["good"]
+
+
+def test_boilerplate_context_pass_and_doc_isolation():
+    """neargood flips to good only when a decisive good neighbour exists
+    in the SAME document; document edges and bad-only docs stay bad."""
+    good = "the a of to and in is are"  # 8/8 stopwords
+    near = "the x y z w v u t"  # 1/8
+    bad = "x y z w v u t s"  # 0/8
+    # doc 1: good, near, bad  -> near flips good (prev decisive is good)
+    # doc 2: near, bad        -> near stays bad (nearest decisive is bad)
+    # doc 3: near             -> no decisive neighbour at all -> bad
+    out = _bp(
+        [
+            (1, f"{good}\n\n{near}\n\n{bad}"),
+            (2, f"{near}\n\n{bad}"),
+            (3, near),
+        ]
+    )
+    assert out[out.doc_id == 1]["cls"].tolist() == ["good", "good", "bad"]
+    assert out[out.doc_id == 2]["cls"].tolist() == ["bad", "bad"]
+    # doc 3 must not see doc 1's good paragraph across the boundary
+    assert out[out.doc_id == 3]["cls"].tolist() == ["bad"]
+    # short behaves like neargood in the context pass
+    out2 = _bp([(1, f"{good}\n\ntiny one"), (2, f"{bad}\n\ntiny one")])
+    assert out2[out2.doc_id == 1]["cls"].tolist() == ["good", "good"]
+    assert out2[out2.doc_id == 2]["cls"].tolist() == ["bad", "bad"]
+    assert out2[out2.para_idx == 1]["cls_ctxfree"].tolist() == [
+        "short",
+        "short",
+    ]
+
+
+def test_boilerplate_empty_and_null_docs():
+    """Empty/null text still emits one short row per doc (per-doc joins
+    never lose documents)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["", None], pa.string()),
+        }
+    )
+    from crawler_ray.functions.boilerplate import paragraph_signals
+
+    out = paragraph_signals(t).to_pandas()
+    assert out["doc_id"].tolist() == [7, 8]
+    assert out["n_words"].tolist() == [0, 0]
+    assert out["cls_ctxfree"].tolist() == ["short", "short"]
+    assert out["cls"].tolist() == ["bad", "bad"]
+
+
+def test_boilerplate_context_flips_nontrivial_on_sf_corpus():
+    """The entry query's reshape must actually exercise the context pass:
+    at sf0.001 a few hundred neargood/short paragraphs sit next to good
+    ones and flip."""
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_boilerplate_paras"]("/root/testdata/sf0.001")
+    flips = ((out.cls == "good") & (out.cls_ctxfree != "good")).sum()
+    assert flips > 100
+    assert set(out["cls_ctxfree"]) == {"good", "neargood", "bad", "short"}
+    assert set(out["cls"]) == {"good", "bad"}

@@ -961,6 +961,50 @@ def _docs_boilerplate_paras(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_url_quality(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style URL quality filter (functions/urlfilter.url_filter
+    — domain blocklist incl. subdomains + weighted soft-word score over
+    the full URL, kept iff unbanned and score < cutoff). The sf* documents
+    table carries no URL column, so the query first synthesizes one
+    deterministically per doc — ``http://h{doc_id % 37}.example/`` plus
+    the doc's first three words as path segments (same augmentation in
+    the SQL oracle); the small vocabulary then makes the soft words
+    ('spark', 'dup', 'slow', 'big') and the blocklist ('h3.example',
+    'h17.example') bite on real rows."""
+    from crawler_ray.functions.urlfilter import url_filter
+
+    def mkurl(t: pa.Table) -> pa.Table:
+        out = []
+        for did, s in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            w = [x for x in (s or "").split(" ") if x]
+            out.append(
+                f"http://h{did % 37}.example/" + "/".join(w[:3])
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "url": pa.array(out, pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        mkurl, batch_format="pyarrow"
+    )
+    return (
+        url_filter(
+            ds,
+            blocked_hosts=("h3.example", "h17.example"),
+            soft_words={"spark": 1.5, "dup": 2.5, "slow": 1.0, "big": 0.75},
+            cutoff=2.0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     """Model-free text near-dup pairs END TO END from raw text:
     feature-hashing char-trigram embeddings
@@ -1511,7 +1555,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keeps minhash/jaccard/window/spans/text-near-dups in-window and
         # a green r01-r03 row of its own
         "docs_boilerplate_paras": _docs_boilerplate_paras,
-        "dedup_jaccard_pairs": _dedup_jaccard,
+        # round-4 swap: RefinedWeb-style URL quality filter (first driver
+        # check, real SQL oracle) takes the slot of dedup_jaccard_pairs,
+        # whose exact-Jaccard family keeps docs_jaccard_clusters (the CC
+        # closure over the same pairs) in-window and a green r01-r03 row
+        # of its own
+        "docs_url_quality": _docs_url_quality,
         "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_quality_classifier": _docs_quality_classifier,
         "docs_snapshot_dedup": _docs_snapshot_dedup,
@@ -1558,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup_ids": R.docs_exact_dedup_ids,
         "crawl_host_pagerank": _crawl_host_pagerank,
         "dedup_simhash_pairs": _dedup_simhash,
+        "dedup_jaccard_pairs": _dedup_jaccard,
     }
 
 
@@ -2023,6 +2073,47 @@ SELECT doc_id, para_idx, n_words,
             ELSE 'bad' END AS cls
 FROM ctx
 ORDER BY doc_id, para_idx
+"""
+
+#: RefinedWeb-style URL quality over the SAME deterministic URL synthesis
+#: the query applies (http://h{doc_id%37}.example/ + first three words as
+#: path). Mirrors functions/urlfilter.py rule for rule: host via the same
+#: anchored regex, blocklist = exact host or dot-suffix subdomain, soft
+#: score = presence-weighted substring sum (weights are exact binary
+#: fractions so float compares agree bit-for-bit), kept iff unbanned and
+#: score < 2.0.
+DOCS_URL_QUALITY_SQL = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS w
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 37) || '.example/' ||
+           array_to_string(w[1:3], '/') AS url
+  FROM ws
+),
+feat AS (
+  SELECT doc_id, url, lower(url) AS lu,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.\-]*://([^/?#:]*)', 1) AS host
+  FROM urls
+),
+scored AS (
+  SELECT doc_id, url, host,
+         round(1.5 * contains(lu, 'spark')::INT
+             + 2.5 * contains(lu, 'dup')::INT
+             + 1.0 * contains(lu, 'slow')::INT
+             + 0.75 * contains(lu, 'big')::INT, 6) AS soft_score,
+         (host IN ('h3.example', 'h17.example')
+          OR ends_with(host, '.h3.example')
+          OR ends_with(host, '.h17.example')) AS banned_host
+  FROM feat
+)
+SELECT doc_id, url, host, soft_score, banned_host,
+       (NOT banned_host AND soft_score < 2.0) AS kept
+FROM scored ORDER BY doc_id
 """
 
 #: Pinned text-near-dup pairs at sf0.01 (hashing-trick char-trigram
@@ -2540,6 +2631,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_line_dedup": DOCS_LINE_DEDUP_SQL,
         "docs_c4_filters": DOCS_C4_FILTERS_SQL,
         "docs_boilerplate_paras": DOCS_BOILERPLATE_SQL,
+        "docs_url_quality": DOCS_URL_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,

@@ -1,0 +1,99 @@
+"""RefinedWeb-style URL quality filtering (Penedo et al. 2023 §3.1, after
+Gopher/CCNet practice) — the curation stage that drops documents by their
+URL alone, BEFORE any text is fetched or scored: a blocklist of known-bad
+registered domains plus a weighted "soft" word score over the full URL
+string (one strike word isn't fatal; several are).
+
+Rules (per URL):
+  * ``banned_host`` — the URL's host equals a blocklist entry or is a
+    subdomain of one (``host == b`` or ``host`` ends with ``"." + b``);
+  * ``soft_score`` — sum of weights of every soft word CONTAINED in the
+    lowercased URL (each word counted once, presence not frequency —
+    RefinedWeb's sub-word matching);
+  * ``kept`` — not banned AND ``soft_score < cutoff``.
+
+Scale shape: embarrassingly per-row — ONE ``map_batches`` pass, no
+shuffle; the blocklist/word table is a closure constant (broadcast once
+with the function, never re-shipped per batch). Host extraction is one
+vectorized ``extract_regex``; the soft score is |words| substring kernels
+over the batch (the word list is policy-sized, tens of entries), summed
+in a float64 accumulator — no per-row Python anywhere. At the crawl
+frontier the same kernel gates findings before dispatch, where it is
+strictly cheaper than the politeness exchange it precedes.
+
+Reference anchor: the reference crawler fetches every discovered URL that
+passes the scheme/host predicates (/root/reference/src/main.rs:218-219)
+— it has no URL-quality notion; this operator is part of the
+beyond-reference training-data extension set (SURVEY.md §2
+"LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: host part of an absolute hierarchical URL: scheme://HOST[:port][/...]
+_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#:]*)"
+
+
+def url_quality(
+    batch: pa.Table,
+    *,
+    url_col: str = "url",
+    blocked_hosts: "tuple[str, ...]" = (),
+    soft_words: "dict[str, float] | None" = None,
+    cutoff: float = 2.0,
+) -> pa.Table:
+    """Score one batch of URLs. Returns the input columns plus
+    ``(host, soft_score, banned_host, kept)``. URLs whose host can't be
+    extracted (relative/opaque) get ``host = ''`` and are never
+    blocklist-banned (the soft score still applies — a policy word in an
+    opaque URL still counts)."""
+    urls = pc.fill_null(batch[url_col], "")
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if pa.types.is_large_string(urls.type):
+        urls = urls.cast(pa.string())
+    n = len(urls)
+    low = pc.utf8_lower(urls)
+
+    # host: vectorized regex extract; non-matching rows -> ''
+    matched = pc.extract_regex(low, _HOST_PATTERN)
+    host = pc.fill_null(pc.struct_field(matched, "host"), "")
+
+    banned = np.zeros(n, dtype=bool)
+    if blocked_hosts:
+        banned |= pc.is_in(
+            host, value_set=pa.array([b.lower() for b in blocked_hosts])
+        ).to_numpy(zero_copy_only=False)
+        for b in blocked_hosts:
+            banned |= pc.ends_with(host, "." + b.lower()).to_numpy(
+                zero_copy_only=False
+            )
+
+    score = np.zeros(n, dtype=np.float64)
+    for word, weight in (soft_words or {}).items():
+        score += weight * pc.match_substring(low, word.lower()).to_numpy(
+            zero_copy_only=False
+        )
+
+    kept = ~banned & (score < cutoff)
+    out = batch
+    for name, arr in (
+        ("host", host),
+        ("soft_score", pa.array(np.round(score, 6), pa.float64())),
+        ("banned_host", pa.array(banned)),
+        ("kept", pa.array(kept)),
+    ):
+        out = out.append_column(name, arr)
+    return out
+
+
+def url_filter(ds, **kwargs):
+    """URL-quality scoring over a Dataset: one vectorized ``map_batches``
+    pass (per-row-local — no shuffle). Returns the input rows annotated
+    with ``(host, soft_score, banned_host, kept)``; the surviving corpus
+    is ``.filter(kept)``."""
+    return ds.map_batches(url_quality, batch_format="pyarrow", fn_kwargs=kwargs)

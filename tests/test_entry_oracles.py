@@ -18,6 +18,7 @@ REAL_SQL = [
     "docs_line_dedup",
     "docs_c4_filters",
     "docs_boilerplate_paras",
+    "docs_url_quality",
     "docs_bm25_topk",
     "docs_frequent_words",
     "docs_unigram_logprob",
@@ -153,6 +154,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # dedup_simhash_pairs's slot; near-dup family keeps five
         # in-window representatives)
         "docs_boilerplate_paras",
+        # RefinedWeb-style URL quality filter (took dedup_jaccard_pairs's
+        # slot; jaccard family keeps docs_jaccard_clusters in-window)
+        "docs_url_quality",
     }
     assert round3 <= set(window), round3 - set(window)
 

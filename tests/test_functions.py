@@ -1664,3 +1664,74 @@ def test_boilerplate_context_flips_nontrivial_on_sf_corpus():
     assert flips > 100
     assert set(out["cls_ctxfree"]) == {"good", "neargood", "bad", "short"}
     assert set(out["cls"]) == {"good", "bad"}
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style URL quality filter (functions/urlfilter)
+# ---------------------------------------------------------------------------
+
+
+def test_url_quality_rules():
+    from crawler_ray.functions.urlfilter import url_quality
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://ads.example/x",  # exact blocklist hit
+                    "http://sub.ads.example/x",  # subdomain hit
+                    "http://fine.example/clean",  # kept
+                    "http://fine.example/casino/poker",  # 1.5+1.0 >= cutoff
+                    "http://fine.example/casino",  # 1.5 < cutoff -> kept
+                    "HTTP://ADS.EXAMPLE/UPPER",  # case-insensitive host
+                    "mailto:someone@casino.example",  # opaque: no host,
+                    # but the soft word still scores
+                    None,  # null url -> '' -> kept, no host
+                ],
+                pa.string(),
+            )
+        }
+    )
+    out = url_quality(
+        t,
+        blocked_hosts=("ads.example",),
+        soft_words={"casino": 1.5, "poker": 1.0},
+        cutoff=2.0,
+    ).to_pandas()
+    assert out["banned_host"].tolist() == [
+        True,
+        True,
+        False,
+        False,
+        False,
+        True,
+        False,
+        False,
+    ]
+    assert out["soft_score"].tolist() == [0, 0, 0, 2.5, 1.5, 0, 1.5, 0]
+    assert out["kept"].tolist() == [
+        False,
+        False,
+        True,
+        False,
+        True,
+        False,
+        True,
+        True,
+    ]
+    assert out["host"].tolist()[:3] == [
+        "ads.example",
+        "sub.ads.example",
+        "fine.example",
+    ]
+    assert out["host"].tolist()[6:] == ["", ""]
+
+
+def test_url_quality_word_counted_once():
+    """Presence not frequency: a soft word appearing twice scores once."""
+    from crawler_ray.functions.urlfilter import url_quality
+
+    t = pa.table({"url": pa.array(["http://x.example/casino/casino"])})
+    out = url_quality(t, soft_words={"casino": 1.5}, cutoff=2.0).to_pandas()
+    assert out["soft_score"].tolist() == [1.5]
+    assert out["kept"].tolist() == [True]

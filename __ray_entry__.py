@@ -261,6 +261,18 @@ def _crawl_host_pagerank_sharded(sf_dir: str) -> pd.DataFrame:
     return pagerank_sharded(_host_edges_ds(sf_dir), damping=0.85, iters=10)
 
 
+def _crawl_host_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the SAME host-level page-link graph as
+    the PageRank queries (functions/graph.hits: 10 iterations of
+    L2-normalized, float32-quantized a/h updates via broadcast node
+    weights + per-batch combiners). Pinned oracle; the pytest suite checks
+    exact parity against an independent dense-matrix reference and the
+    driver-fold vs bucketed-exchange path equivalence."""
+    from crawler_ray.functions.graph import hits
+
+    return hits(_host_edges_ds(sf_dir), iters=10)
+
+
 # ----------------------------------------------------------- doc extensions
 
 
@@ -1563,7 +1575,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_quality": _docs_url_quality,
         "docs_jaccard_clusters": _docs_jaccard_clusters,
         "docs_quality_classifier": _docs_quality_classifier,
-        "docs_snapshot_dedup": _docs_snapshot_dedup,
+        # round-4 swap: HITS hubs/authorities (first driver check, pinned
+        # oracle + independent dense reference) takes the slot of
+        # docs_snapshot_dedup, whose incremental-dedup family keeps
+        # corpus_url_dedup in-window and a green r03 row of its own
+        "crawl_host_hits": _crawl_host_hits,
         "docs_decontaminate": _docs_decontaminate,
         # -- 51+: crawl engine (rows-only; oracle = in-repo simulator, see
         #    tests/test_crawl_engine.py / test_oracle.py)
@@ -1608,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_pagerank": _crawl_host_pagerank,
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
+        "docs_snapshot_dedup": _docs_snapshot_dedup,
     }
 
 
@@ -2664,6 +2681,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_kmeans": PIN.EMBEDDINGS_KMEANS_SQL,
         "crawl_host_pagerank": PIN.CRAWL_HOST_PAGERANK_SQL,
         "crawl_host_pagerank_sharded": PIN.CRAWL_HOST_PAGERANK_SQL,
+        "crawl_host_hits": PIN.CRAWL_HOST_HITS_SQL,
         "embeddings_pca": PIN.EMBEDDINGS_PCA_SQL,
         "multimodal_decode": PIN.MULTIMODAL_DECODE_SQL,
         "cosine_near_dups": COSINE_NEAR_DUPS_SQL,

@@ -1,4 +1,5 @@
-"""Link-graph analytics over crawl output — host-level PageRank.
+"""Link-graph analytics over crawl output — host-level PageRank, HITS
+hubs/authorities, and anchor-text aggregation.
 
 PageRank (Page/Brin/Motwani/Winograd 1999, public spec): rank flows along
 out-edges with damping ``d``; dangling (no-out-edge) mass and the teleport
@@ -279,6 +280,136 @@ def anchor_texts(
     return out.sort_values(
         ["url", "n", "anchor"], ascending=[True, False, True]
     ).reset_index(drop=True)
+
+
+def hits(
+    edges_ds,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 8,
+    round_dp: int = 6,
+    driver_combine_nodes: int = 100_000,
+) -> pd.DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public spec) over a
+    Dataset of directed string edges — the complementary link-analysis
+    signal to PageRank (an authority is pointed at by good hubs; a hub
+    points at good authorities; webtext curators use the authority score
+    as a seed-quality / recrawl-priority feature alongside rank).
+
+    Deterministic spec (restated by the independent pytest reference):
+    distinct edges, self-loops excluded; nodes = union of endpoints; init
+    ``h = 1`` per node; each of ``iters`` iterations does
+    ``a(v) = Σ_{u→v} h(u)`` then L2-normalizes ``a``, then
+    ``h(u) = Σ_{u→v} a(v)`` then L2-normalizes ``h``; both vectors are
+    float32-quantized after each normalize (so the float64 partial fold
+    order cannot leak into the result); final scores rounded half-up to
+    ``round_dp``. Returns ``(node, hub, authority)`` sorted by node.
+
+    Physical plan per iteration — same shape as ``pagerank``: the
+    node-scale weight vector broadcasts once (node names ``ray.put`` once
+    for the whole run), each EDGE batch emits per-key partial sums (the
+    mergeable-combiner form, output ∝ distinct keys per batch), and the
+    fold is driver-side under ``driver_combine_nodes`` or one bucketed
+    task exchange above it. Two edge passes per iteration (dst-keyed for
+    authorities, src-keyed for hubs); edges stay pinned in the object
+    store throughout.
+    """
+    import ray
+
+    from ..stages.shuffle import apply_refs, bucketed_group_map
+
+    edges = _dedup_edges(edges_ds, src_col, dst_col, n_buckets)
+    empty = pd.DataFrame(
+        {
+            "node": pd.Series(dtype=object),
+            "hub": pd.Series(dtype=float),
+            "authority": pd.Series(dtype=float),
+        }
+    )
+    if edges.count() == 0:
+        return empty
+    edge_refs = edges.to_arrow_refs()
+
+    def batch_nodes(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(u, pa.string())})
+
+    endpoints = apply_refs(batch_nodes, edge_refs)
+    if endpoints.empty:
+        return empty
+    nodes = np.unique(endpoints["node"].to_numpy())
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def _propagate(weights: np.ndarray, from_col: str, to_col: str):
+        """One edge pass: per-``to_col`` sums of ``weights[from_col]``."""
+        w_ref = ray.put(weights)
+
+        def contrib(t: pa.Table, _nref=nodes_ref, _wref=w_ref) -> pa.Table:
+            nds, wts = ray.get(_nref), ray.get(_wref)
+            frm = t[from_col].to_numpy(zero_copy_only=False)
+            to = t[to_col].to_numpy(zero_copy_only=False)
+            c = wts[np.searchsorted(nds, frm)]
+            uk, inv = np.unique(to, return_inverse=True)
+            sums = np.bincount(inv, weights=c)
+            return pa.table(
+                {
+                    "k": pa.array(uk, pa.string()),
+                    "c": pa.array(sums, pa.float64()),
+                }
+            )
+
+        if n <= driver_combine_nodes:
+            parts = (
+                apply_refs(contrib, edge_refs)
+                .sort_values(["k", "c"])  # order-insensitive float64 fold
+                .groupby("k", sort=True)["c"]
+                .sum()
+                .reset_index()
+            )
+        else:
+            parts = bucketed_group_map(
+                edges.map_batches(contrib, batch_format="pyarrow"),
+                bucket_on="k",
+                fn=lambda df: df.sort_values(["k", "c"])
+                .groupby("k", sort=True)["c"]
+                .sum()
+                .reset_index(),
+                n_buckets=n_buckets,
+            ).to_pandas()
+        out = np.zeros(n, np.float64)
+        pos = np.searchsorted(nodes, parts["k"].to_numpy())
+        out[pos] = parts["c"].to_numpy(np.float64)
+        return out
+
+    def _l2q(v: np.ndarray) -> np.ndarray:
+        norm = float(np.sqrt(np.sum(v * v)))
+        if norm > 0.0:
+            v = v / norm
+        return v.astype(np.float32).astype(np.float64)
+
+    hub = np.ones(n, np.float64)
+    auth = np.zeros(n, np.float64)
+    for _ in range(iters):
+        auth = _l2q(_propagate(hub, "src", "dst"))
+        hub = _l2q(_propagate(auth, "dst", "src"))
+
+    scale = 10.0**round_dp
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "hub": np.floor(hub * scale + 0.5) / scale,
+            "authority": np.floor(auth * scale + 0.5) / scale,
+        }
+    )
 
 
 # ------------------------------------------------------------ sharded ranks

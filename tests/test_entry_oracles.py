@@ -157,6 +157,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # RefinedWeb-style URL quality filter (took dedup_jaccard_pairs's
         # slot; jaccard family keeps docs_jaccard_clusters in-window)
         "docs_url_quality",
+        # HITS hubs/authorities (took docs_snapshot_dedup's slot; the
+        # incremental-dedup family keeps corpus_url_dedup in-window)
+        "crawl_host_hits",
     }
     assert round3 <= set(window), round3 - set(window)
 

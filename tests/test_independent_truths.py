@@ -1150,3 +1150,100 @@ def test_hashing_embed_independent_reference():
             vec /= nrm
         want = np.asarray(got["embedding"][i].as_py(), dtype=np.float64)
         assert np.allclose(want, vec.astype(np.float32), atol=1e-6), (i, t)
+
+
+def test_hits_independent_reference_parity(ray_session):
+    """graph.hits (broadcast weights + per-batch combiners) must exactly
+    equal a dense single-process restatement of the same spec — distinct
+    edges, no self-loops, h init 1, a-then-h updates each L2-normalized
+    and float32-quantized, 6-dp half-up rounding — over the sf0.001 crawl
+    corpus's host-link graph."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.queries()["crawl_host_hits"](sf)
+
+    links = E.queries()["extract_links"](sf).to_pandas()
+    pat = _re.compile(r"^[^:]*://(\[[^\]]*\]|[^/:?#]*)")
+
+    def host(u):
+        m = pat.match(u or "")
+        return (m.group(1) if m else "") or None
+
+    pl = links[links["kind"] == "page"]
+    edges = pd.DataFrame(
+        {"src": pl["src_url"].map(host), "dst": pl["url"].map(host)}
+    ).dropna()
+    edges = edges[edges["src"] != edges["dst"]].drop_duplicates()
+    nodes = np.unique(
+        np.concatenate([edges["src"].to_numpy(), edges["dst"].to_numpy()])
+    )
+    n = len(nodes)
+    idx = {h: i for i, h in enumerate(nodes)}
+    A = np.zeros((n, n))
+    for s, d in edges.itertuples(index=False):
+        A[idx[s], idx[d]] = 1.0
+
+    def l2q(v):
+        norm = np.sqrt((v * v).sum())
+        if norm > 0:
+            v = v / norm
+        return v.astype(np.float32).astype(np.float64)
+
+    h = np.ones(n)
+    for _ in range(10):
+        a = l2q(A.T @ h)
+        h = l2q(A @ a)
+    ref = pd.DataFrame(
+        {
+            "node": nodes,
+            "hub": np.floor(h * 1e6 + 0.5) / 1e6,
+            "authority": np.floor(a * 1e6 + 0.5) / 1e6,
+        }
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+    # L2 norms survive quantization: both vectors are ~unit
+    assert abs((got["hub"] ** 2).sum() - 1.0) < 1e-3
+    assert abs((got["authority"] ** 2).sum() - 1.0) < 1e-3
+
+
+def test_hits_combine_paths_and_degenerate(ray_session):
+    """Driver-fold and bucketed-exchange paths of graph.hits agree
+    exactly; empty and self-loop-only graphs return empty frames; a pure
+    hub/authority pair gets the expected 1.0 scores."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import hits
+
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": ["a", "a", "b", "c", "d", "d", "e"],
+                "dst": ["b", "c", "c", "a", "a", "e", "a"],
+            }
+        )
+    )
+    fast = hits(edges, iters=10)
+    bucketed = hits(edges, iters=10, driver_combine_nodes=0)
+    assert fast.equals(bucketed)
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+    )
+    assert hits(empty, iters=2).empty
+    loops = rd.from_arrow(pa.table({"src": ["x"], "dst": ["x"]}))
+    assert hits(loops, iters=2).empty
+
+    # one hub pointing at one authority: hub(a)=1, authority(b)=1
+    pair = rd.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
+    out = hits(pair, iters=3).set_index("node")
+    assert out.loc["a", "hub"] == 1.0 and out.loc["b", "authority"] == 1.0
+    assert out.loc["a", "authority"] == 0.0 and out.loc["b", "hub"] == 0.0

@@ -390,6 +390,24 @@ def run_bench() -> dict:
             ).to_pandas(),
         ),
         ("ann_pq_topk", _pq_bench),
+        (
+            "boilerplate_paras",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_boilerplate_paras"
+            ](SF_DIR),
+        ),
+        (
+            "url_quality",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_url_quality"
+            ](SF_DIR),
+        ),
+        (
+            "host_hits",
+            lambda: __import__("__ray_entry__").queries()["crawl_host_hits"](
+                SF_DIR
+            ),
+        ),
         # both PageRank physical plans over the same host graph: the
         # broadcast form vs the sharded-rank scale path (its keyed
         # exchange overhead is the price of dropping the node broadcast)

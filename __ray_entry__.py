@@ -932,6 +932,30 @@ def _docs_c4_filters(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame
     )
 
 
+def _docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality-rule document filter (functions/textstats.
+    gopher_filter — Rae et al. 2021 A1.1: word-count window, mean-word-
+    length window, '#'/'...' symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-word hits). Published thresholds, except
+    the required-word list is vocab-aware — ('the','a','table','value'),
+    min 2 distinct hits — because the synthetic corpus lacks most of
+    Gopher's English function words (same list in the SQL oracle); with
+    that, the word-count floor and the required-hits rule both bite
+    (~56% of docs kept at sf0.01)."""
+    from crawler_ray.functions.textstats import gopher_filter
+
+    return (
+        gopher_filter(
+            _docs_ds(sf_dir, ["doc_id", "text"]),
+            required_words=("the", "a", "table", "value"),
+            min_required_hits=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_boilerplate_paras(sf_dir: str) -> pd.DataFrame:
     """jusText-style context-sensitive boilerplate-paragraph classification
     (functions/boilerplate.classify_paragraphs — Pomikálek 2011 ch. 4:
@@ -1523,7 +1547,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # running total) and a green CORRECTNESS_r03 row of its own.
         "docs_dedup_spans": _docs_dedup_spans,
         "events_user_running_total": R.events_user_running_total,
-        "doc_tfidf_topk": R.doc_tfidf_topk,
+        # round-4 swap: the Gopher quality-rule document filter (first
+        # driver check, real SQL oracle) takes the slot of doc_tfidf_topk,
+        # whose retrieval-weights family keeps docs_bm25_topk in-window
+        # and a green r01-r03 row of its own
+        "docs_gopher_quality": _docs_gopher_quality,
         # round-4 swap: token-budget mixture allocation (first driver
         # check) takes the slot of docs_split_assign, whose deterministic-
         # hash-sampler family keeps pack_chunks + global_shuffle in-window
@@ -1625,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _dedup_simhash,
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_snapshot_dedup": _docs_snapshot_dedup,
+        "doc_tfidf_topk": R.doc_tfidf_topk,
     }
 
 
@@ -2026,6 +2055,59 @@ SELECT doc_id, n_lines, n_kept_lines,
    AND NOT contains(lower(full_text), 'lorem ipsum')) AS kept,
   clean_text
 FROM perdoc ORDER BY doc_id
+"""
+
+#: Gopher quality rules, mirroring functions/textstats.gopher_quality
+#: rule for rule with the query's vocab-aware required-word list. The
+#: signal arithmetic is restated with the SAME divisions (sum/len over
+#: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
+#: '...'-count uses the replace-length arithmetic, which is the same
+#: non-overlapping count as Arrow's count_substring.
+DOCS_GOPHER_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \n]+'),
+                     w -> w <> '') AS ws,
+         string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'),
+                  0) / greatest(len(ws), 1) AS mean_wl,
+         ((length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '...', ''))) // 3)
+           / greatest(len(ws), 1) AS symbol_ratio,
+         len(list_filter(ls, l -> starts_with(l, '- ')
+                              OR starts_with(l, '* ')
+                              OR starts_with(l, '• ')))
+           / greatest(len(ls), 1) AS bullet_ratio,
+         len(list_filter(ls, l -> ends_with(l, '...')))
+           / greatest(len(ls), 1) AS ellipsis_ratio,
+         len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+           / greatest(len(ws), 1) AS alpha_ratio,
+         (list_contains(list_transform(ws, w -> lower(w)), 'the')::INT
+          + list_contains(list_transform(ws, w -> lower(w)), 'a')::INT
+          + list_contains(list_transform(ws, w -> lower(w)), 'table')::INT
+          + list_contains(list_transform(ws, w -> lower(w)), 'value')::INT)
+           AS n_required_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_ratio, 6) AS bullet_line_ratio,
+       round(ellipsis_ratio, 6) AS ellipsis_line_ratio,
+       round(alpha_ratio, 6) AS alpha_word_ratio,
+       CAST(n_required_hits AS BIGINT) AS n_required_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND symbol_ratio <= 0.1
+        AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+        AND alpha_ratio >= 0.8
+        AND n_required_hits >= 2) AS kept
+FROM feat ORDER BY doc_id
 """
 
 #: jusText-style paragraph classification over the SAME deterministic
@@ -2649,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_c4_filters": DOCS_C4_FILTERS_SQL,
         "docs_boilerplate_paras": DOCS_BOILERPLATE_SQL,
         "docs_url_quality": DOCS_URL_QUALITY_SQL,
+        "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,

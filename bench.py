@@ -391,6 +391,12 @@ def run_bench() -> dict:
         ),
         ("ann_pq_topk", _pq_bench),
         (
+            "gopher_quality",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_gopher_quality"
+            ](SF_DIR),
+        ),
+        (
             "boilerplate_paras",
             lambda: __import__("__ray_entry__").queries()[
                 "docs_boilerplate_paras"

@@ -866,3 +866,148 @@ def bm25_topk(
     )
     out["rank"] = np.arange(len(out), dtype=np.int64)
     return out
+
+
+#: Gopher quality-rule defaults (Rae et al. 2021, Appendix A1.1 — the
+#: published web-text document filter every later pipeline cites).
+GOPHER_REQUIRED_WORDS: "tuple[str, ...]" = (
+    "the",
+    "be",
+    "to",
+    "of",
+    "and",
+    "that",
+    "have",
+    "with",
+)
+
+#: line-start markers that count as bullets for the line rule
+GOPHER_BULLET_PREFIXES: "tuple[str, ...]" = ("- ", "* ", "• ")
+
+
+def gopher_quality(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    required_words: "tuple[str, ...]" = GOPHER_REQUIRED_WORDS,
+    min_required_hits: int = 2,
+) -> pa.Table:
+    """Gopher quality rules for one batch (Rae et al. 2021 A1.1): a
+    document is KEPT iff word count in [min_words, max_words], mean word
+    length in [min_mean, max_mean], '#'/'...' symbol-to-word ratio under
+    the cap, bullet-started and ellipsis-ended line fractions under their
+    caps, >= min_alpha_word_ratio of words contain a letter, and at least
+    ``min_required_hits`` DISTINCT ``required_words`` appear. Emits one
+    row per doc with every signal plus ``kept`` — per-doc-local (no
+    shuffle), all Arrow/numpy kernels (two-level explode + bincount)."""
+    texts = pc.fill_null(batch[text_col], "")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())
+    n = len(texts)
+
+    # --- word-level signals ------------------------------------------
+    words = pc.split_pattern_regex(texts, r"[ \n]+")
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words)
+    ne = pc.not_equal(flat, "")
+    ne_np = ne.to_numpy(zero_copy_only=False)
+    fw = flat.filter(ne)
+    fp = parent[ne_np]
+
+    n_words = np.bincount(fp, minlength=n).astype(np.int64)
+    wl = pc.utf8_length(fw).to_numpy(zero_copy_only=False)
+    sum_wl = np.bincount(fp, weights=wl, minlength=n)
+    safe_w = np.maximum(n_words, 1)
+    mean_wl = sum_wl / safe_w
+
+    alpha = pc.match_substring_regex(fw, r"[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = np.bincount(fp[alpha], minlength=n).astype(np.int64)
+    alpha_ratio = n_alpha / safe_w
+
+    low_fw = pc.utf8_lower(fw)
+    req_hits = np.zeros(n, dtype=np.int64)
+    for w in required_words:
+        has = np.bincount(
+            fp[
+                pc.equal(low_fw, w.lower()).to_numpy(zero_copy_only=False)
+            ],
+            minlength=n,
+        )
+        req_hits += has > 0  # distinct presence, not frequency
+
+    # --- symbol ratio (non-overlapping counts, same as str.count and
+    # the SQL replace-length arithmetic) -------------------------------
+    n_sym = (
+        pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(texts, "...").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    symbol_ratio = n_sym / safe_w
+
+    # --- line-level signals -------------------------------------------
+    lines = pc.split_pattern(texts, "\n")
+    lparent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    lflat = pc.list_flatten(lines)
+    n_lines = np.bincount(lparent, minlength=n).astype(np.int64)
+    bullet = np.zeros(len(lflat), dtype=bool)
+    for pfx in GOPHER_BULLET_PREFIXES:
+        bullet |= pc.starts_with(lflat, pfx).to_numpy(zero_copy_only=False)
+    ell = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+    safe_l = np.maximum(n_lines, 1)
+    bullet_ratio = np.bincount(lparent[bullet], minlength=n) / safe_l
+    ellipsis_ratio = np.bincount(lparent[ell], minlength=n) / safe_l
+
+    kept = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_line_ratio)
+        & (ellipsis_ratio <= max_ellipsis_line_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (req_hits >= min_required_hits)
+    )
+
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(np.round(mean_wl, 6), pa.float64()),
+            "symbol_ratio": pa.array(
+                np.round(symbol_ratio, 6), pa.float64()
+            ),
+            "bullet_line_ratio": pa.array(
+                np.round(bullet_ratio, 6), pa.float64()
+            ),
+            "ellipsis_line_ratio": pa.array(
+                np.round(ellipsis_ratio, 6), pa.float64()
+            ),
+            "alpha_word_ratio": pa.array(
+                np.round(alpha_ratio, 6), pa.float64()
+            ),
+            "n_required_hits": pa.array(req_hits),
+            "kept": pa.array(kept),
+        }
+    )
+
+
+def gopher_filter(ds, **kwargs):
+    """Gopher quality rules over a Dataset: one vectorized ``map_batches``
+    pass (per-doc-local — no shuffle, streams at read bandwidth). One row
+    per document with every rule signal plus ``kept``."""
+    return ds.map_batches(
+        gopher_quality, batch_format="pyarrow", fn_kwargs=kwargs
+    )

@@ -19,6 +19,7 @@ REAL_SQL = [
     "docs_c4_filters",
     "docs_boilerplate_paras",
     "docs_url_quality",
+    "docs_gopher_quality",
     "docs_bm25_topk",
     "docs_frequent_words",
     "docs_unigram_logprob",
@@ -160,6 +161,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # HITS hubs/authorities (took docs_snapshot_dedup's slot; the
         # incremental-dedup family keeps corpus_url_dedup in-window)
         "crawl_host_hits",
+        # Gopher quality rules (took doc_tfidf_topk's slot; retrieval
+        # weights keep docs_bm25_topk in-window)
+        "docs_gopher_quality",
     }
     assert round3 <= set(window), round3 - set(window)
 

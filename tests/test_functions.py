@@ -1735,3 +1735,65 @@ def test_url_quality_word_counted_once():
     out = url_quality(t, soft_words={"casino": 1.5}, cutoff=2.0).to_pandas()
     assert out["soft_score"].tolist() == [1.5]
     assert out["kept"].tolist() == [True]
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule document filter (functions/textstats.gopher_quality)
+# ---------------------------------------------------------------------------
+
+
+def _gq(texts, **kw):
+    from crawler_ray.functions.textstats import gopher_quality
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return gopher_quality(t, **kw).to_pandas()
+
+
+def test_gopher_line_and_symbol_rules():
+    """The rules the single-line sf corpus can't exercise: bullet-started
+    and ellipsis-ended line fractions, and the '#'/'...' symbol ratio
+    (non-overlapping '...' counting)."""
+    base = "the quick brown fox jumps over the lazy dog and that dog " * 5
+    bullets = "\n".join(["- item one here", "- item two here", "prose line"])
+    dots = "\n".join(["ends in dots...", "also dots...", "clean line"])
+    symbols = "the fox #tag " + "." * 7  # 7 dots = 2 non-overlapping '...'
+    out = _gq(
+        [base, bullets, dots, symbols],
+        min_words=3,
+        min_required_hits=1,
+    )
+    # doc 1: 2/3 bullet lines > 0.9? no — but with a tighter cap it fails
+    assert out.loc[1, "bullet_line_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out.loc[2, "ellipsis_line_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert not out.loc[2, "kept"]  # 2/3 > 0.3 ellipsis cap
+    # doc 3: '#' once + '...' twice (7 dots, non-overlapping) over 4 words
+    assert out.loc[3, "symbol_ratio"] == pytest.approx(3 / 4, abs=1e-6)
+    assert not out.loc[3, "kept"]
+    assert out.loc[0, "kept"]
+    tight = _gq([bullets], min_words=3, min_required_hits=0,
+                max_bullet_line_ratio=0.5)
+    assert not tight.loc[0, "kept"]
+
+
+def test_gopher_word_rules_and_edges():
+    """Word-count window, mean-word-length window, alpha-word fraction,
+    distinct required-word hits; empty/null docs fail closed."""
+    short = "the cat"  # under the word floor
+    longwords = "extraordinarily " * 60 + "the and of that"  # mean wl > 10
+    numeric = "the and 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"
+    good = "the quick brown fox and that dog ran off with a bone " * 5
+    out = _gq([short, longwords, numeric, good, "", None], min_words=10)
+    assert out["kept"].tolist() == [False, False, False, True, False, False]
+    assert not out.loc[1, "kept"] and out.loc[1, "mean_word_len"] > 10
+    # numeric doc: 2/20 words alphabetic -> fails the 80% alpha rule
+    assert out.loc[2, "alpha_word_ratio"] == pytest.approx(0.1, abs=1e-6)
+    # required hits count DISTINCT words: 'the' repeated is one hit
+    rep = _gq(["the the the the the the the the the the the the"],
+              min_words=5)
+    assert rep.loc[0, "n_required_hits"] == 1
+    assert not rep.loc[0, "kept"]

@@ -1486,7 +1486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # had a driver row come before long-green family representatives. Every
     # round-4 addition (BM25, text near-dups, PQ ANN, mixture allocation,
     # URL snapshot dedup, sharded PageRank, C4, span dedup, sitemap source,
-    # recrawl scheduler, audio decode) is inside the window. Entries after
+    # recrawl scheduler, audio decode, jusText boilerplate, URL quality,
+    # Gopher rules, HITS) is inside the window. Entries after
     # #50 are (a) the crawl-semantics queries, rows-only by design (their
     # oracle is the in-repo pure-Python simulator, exercised by pytest),
     # and (b) redundant same-family variants that already have a green row

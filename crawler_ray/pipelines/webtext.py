@@ -54,12 +54,19 @@ def build_training_set(
     min_stopword_ratio: float = 0.0,
     max_dup_line_ratio: float | None = None,
     max_top_bigram_ratio: float | None = None,
+    blocked_hosts: "tuple[str, ...]" = (),
+    url_soft_words: "dict[str, float] | None" = None,
+    url_score_cutoff: float = 2.0,
+    gopher_rules: "dict | None" = None,
 ) -> pd.DataFrame:
     """Run the curation chain; writes ``dest/lang=XX/*.parquet`` and returns
     the per-language stats frame (docs, tokens, mean quality). The
     repetition gates (Gopher-style ``max_dup_line_ratio`` /
-    ``max_top_bigram_ratio``) are off by default and add one stateless
-    vectorized stage when set."""
+    ``max_top_bigram_ratio``), the RefinedWeb URL gate
+    (``blocked_hosts`` / ``url_soft_words``) and the full Gopher
+    rule-set gate (``gopher_rules`` — kwargs for
+    textstats.gopher_quality) are all off by default; each adds one
+    stateless vectorized stage when set."""
     from ..functions.dedup import exact_dedup
     from ..functions.textstats import (
         fingerprints,
@@ -70,9 +77,40 @@ def build_training_set(
     )
 
     ds = _texts_ds(source)
+
+    if blocked_hosts or url_soft_words:
+        # cheapest gate first: URL-only, before any text is touched
+        from ..functions.urlfilter import url_quality
+
+        def url_gate(t: pa.Table) -> pa.Table:
+            sig = url_quality(
+                t,
+                blocked_hosts=blocked_hosts,
+                soft_words=url_soft_words,
+                cutoff=url_score_cutoff,
+            )
+            return t.filter(sig["kept"])
+
+        ds = ds.map_batches(url_gate, batch_format="pyarrow")
+
     # the crawl can legitimately fetch one URL under several fragment
     # aliases; identical text dedups right after by content anyway
     ds = exact_dedup(ds, col="text", id_col="url")
+
+    if gopher_rules is not None:
+        from ..functions.textstats import gopher_quality
+
+        def gopher_gate(t: pa.Table) -> pa.Table:
+            sig = gopher_quality(
+                t.append_column(
+                    "_i", pa.array(np.arange(t.num_rows), pa.int64())
+                ),
+                id_col="_i",
+                **gopher_rules,
+            )  # one output row per input row, in batch order
+            return t.filter(sig["kept"])
+
+        ds = ds.map_batches(gopher_gate, batch_format="pyarrow")
 
     ds = ds.map_batches(quality_scores, batch_format="pyarrow", batch_size=4096)
 

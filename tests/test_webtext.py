@@ -65,3 +65,71 @@ def test_repetition_gate_only_removes(t1_corpus, tmp_path):
     # off-by-default path is byte-identical to the pre-gate behavior
     again = build_training_set(str(tmp_path / "c1"), str(tmp_path / "again"))
     assert again.equals(base)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_and_gopher_gates(t1_corpus, tmp_path):
+    """The optional URL-quality and Gopher-rule stages compose into the
+    curation chain: each only removes, matches a manual recompute of the
+    expected survivor set, and off-by-default stays byte-identical."""
+    import pyarrow.parquet as pq
+
+    path, _ = t1_corpus
+    run_crawl(
+        path, fixtures.default_seeds(5), str(tmp_path / "c1"), CrawlConfig(num_seen_shards=2)
+    )
+    base = build_training_set(str(tmp_path / "c1"), str(tmp_path / "base"))
+    base_tbl = pads.dataset(
+        [str(p) for p in (tmp_path / "base").glob("lang=*/*.parquet")],
+        format="parquet",
+    ).to_table()
+    hosts = sorted(
+        {u.split("/")[2] for u in base_tbl["url"].to_pylist()}
+    )
+    blocked = (hosts[0],)
+
+    gated = build_training_set(
+        str(tmp_path / "c1"),
+        str(tmp_path / "gated"),
+        blocked_hosts=blocked,
+        gopher_rules=dict(
+            min_words=8,
+            required_words=("the", "a", "and", "of"),
+            min_required_hits=1,
+        ),
+    )
+    assert gated["docs"].sum() < base["docs"].sum()
+    got_tbl = pads.dataset(
+        [str(p) for p in (tmp_path / "gated").glob("lang=*/*.parquet")],
+        format="parquet",
+    ).to_table()
+    got_urls = set(got_tbl["url"].to_pylist())
+
+    # manual recompute over the BASE output (same dedup winners: the URL
+    # gate can only remove whole hosts, and no duplicate text pair in the
+    # fixture spans a host boundary with the blocked host)
+    import pyarrow as pa
+
+    from crawler_ray.functions.textstats import gopher_quality
+    from crawler_ray.functions.urlfilter import url_quality
+
+    sig_u = url_quality(base_tbl, blocked_hosts=blocked)
+    sig_g = gopher_quality(
+        base_tbl.append_column(
+            "_i",
+            pa.array(range(base_tbl.num_rows), pa.int64()),
+        ),
+        id_col="_i",
+        min_words=8,
+        required_words=("the", "a", "and", "of"),
+        min_required_hits=1,
+    )
+    import pyarrow.compute as pc
+
+    want_urls = set(
+        base_tbl.filter(
+            pc.and_(sig_u["kept"], sig_g["kept"])
+        )["url"].to_pylist()
+    )
+    assert got_urls == want_urls
+    assert len(got_urls) < base_tbl.num_rows

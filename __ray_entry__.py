@@ -932,6 +932,65 @@ def _docs_c4_filters(sf_dir: str, out_path: "str | None" = None) -> pd.DataFrame
     )
 
 
+def _docs_repetition_full(
+    sf_dir: str, out_path: "str | None" = None
+) -> pd.DataFrame:
+    """The complete Gopher repetition signal set in one pass: the legacy
+    pair (dup-line char ratio, top-bigram count ratio —
+    textstats.repetition_scores) JOINED with the full char-based family
+    (textstats.gopher_repetition: top 2/3/4-gram char ratios, duplicate
+    5..10-gram char-coverage ratios). Same merged-query pattern as
+    ann_lsh_ivf_topk / doc_normalized_redacted: one driver slot checks
+    both kernels; the merged-equals-parts pytest guards the join.
+
+    The sf* texts are random word streams with no repeated >=5-gram, so
+    the query first appends each doc's FIRST 12 WORDS to its end (same
+    augmentation in the SQL oracle) — every doc then carries genuine
+    duplicated 5..10-grams and the char-coverage columns are non-trivial
+    (the un-augmented kernel is brute-force-tested in pytest)."""
+    from crawler_ray.functions.textstats import (
+        gopher_repetition,
+        repetition_scores,
+    )
+
+    def rep12(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            w = [x for x in (s or "").split(" ") if x]
+            out.append((s or "") + " " + " ".join(w[:12]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    def both(t: pa.Table) -> pa.Table:
+        rep = repetition_scores(t)  # appends two cols, batch order kept
+        gop = gopher_repetition(t)  # one row per doc, batch order kept
+        cols = {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "dup_line_char_ratio": rep["dup_line_char_ratio"],
+            "top_bigram_ratio": rep["top_bigram_ratio"],
+        }
+        for name in gop.column_names:
+            if name != "doc_id":
+                cols[name] = gop[name]
+        return pa.table(cols)
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        rep12, batch_format="pyarrow"
+    ).map_batches(both, batch_format="pyarrow")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ["dup_line_char_ratio", "top_bigram_ratio"]:
+            df[c] = np.floor(df[c] * 1e6 + 0.5) / 1e6  # half-up, as DuckDB
+        return df
+
+    return _per_doc_result(ds, finalize, out_path)
+
+
 def _docs_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher quality-rule document filter (functions/textstats.
     gopher_filter — Rae et al. 2021 A1.1: word-count window, mean-word-
@@ -1516,7 +1575,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         "doc_quality_scores": _quality_scores,
-        "doc_repetition_scores": _repetition_scores,
+        # round-4 swap: the complete Gopher repetition family (legacy
+        # line/bigram signals JOINED with top-2/3/4-gram and duplicate
+        # 5..10-gram char ratios — merged-query pattern) takes the slot
+        # of doc_repetition_scores, whose two columns it contains
+        # verbatim (merged-equals-parts pytest)
+        "docs_repetition_full": _docs_repetition_full,
         "doc_normalized_redacted": _doc_normalized_redacted,
         # the multimodal family's in-window representative: REAL stdlib WAV
         # decode with a true SQL oracle (multimodal_decode — the pinned
@@ -1655,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_pairs": _dedup_jaccard,
         "docs_snapshot_dedup": _docs_snapshot_dedup,
         "doc_tfidf_topk": R.doc_tfidf_topk,
+        "doc_repetition_scores": _repetition_scores,
     }
 
 
@@ -2057,6 +2122,95 @@ SELECT doc_id, n_lines, n_kept_lines,
   clean_text
 FROM perdoc ORDER BY doc_id
 """
+
+def _make_repetition_full_sql(
+    top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
+) -> str:
+    """Generate the DuckDB oracle for docs_repetition_full: the legacy
+    line/bigram CTEs plus, per n, window CTEs restating
+    textstats.gopher_repetition — counts per (doc, n-gram) from 1-based
+    list slices, top = (count desc, chars desc) row_number 1, duplicate
+    coverage = word j covered iff a duplicated window starts in
+    [j-n+1, j] (the kernel's prefix-sum test, as an EXISTS range join)."""
+    ctes = [
+        # the query's rep12 augmentation: doc text + ' ' + its first 12 words
+        "base AS (SELECT doc_id, coalesce(text,'') || ' ' || "
+        "array_to_string(list_filter(string_split(coalesce(text,''), ' '), "
+        "w -> w <> '')[1:12], ' ') AS t FROM documents)",
+        r"ln AS (SELECT doc_id, unnest(regexp_split_to_array(t, '\n')) AS line FROM base)",
+        "lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l FROM ln GROUP BY 1,2)",
+        "ldup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c*l ELSE 0 END) AS dup_chars, sum(c*l) AS tot_chars FROM lc GROUP BY 1)",
+        r"toks AS (SELECT doc_id, list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS ws FROM base)",
+        "bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i FROM toks))",
+        "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1,2)",
+        "btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)",
+        "wp AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS j, ws FROM toks)",
+        "wp2 AS (SELECT doc_id, j, length(ws[j]) AS wl FROM wp)",
+        "tc AS (SELECT doc_id, sum(wl) AS tot FROM wp2 GROUP BY 1)",
+    ]
+    sel = [
+        "base.doc_id",
+        "round(CAST(coalesce(ldup.dup_chars,0) AS DOUBLE) / greatest(coalesce(ldup.tot_chars,0),1), 6) AS dup_line_char_ratio",
+        "round(CAST(coalesce(btop.mx,0) AS DOUBLE) / greatest(coalesce(btop.tot,0),1), 6) AS top_bigram_ratio",
+    ]
+    joins = [
+        "LEFT JOIN ldup USING(doc_id)",
+        "LEFT JOIN btop USING(doc_id)",
+        "LEFT JOIN tc USING(doc_id)",
+    ]
+    for nn in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(
+            f"win{nn} AS (SELECT doc_id, i, "
+            f"array_to_string(ws[i:i+{nn - 1}], chr(1)) AS key, "
+            f"list_aggregate(list_transform(ws[i:i+{nn - 1}], x -> length(x)), 'sum') AS chars "
+            f"FROM (SELECT doc_id, ws, unnest(range(1, len(ws)-{nn}+2)) AS i "
+            f"FROM toks WHERE len(ws) >= {nn}))"
+        )
+        ctes.append(
+            f"cnt{nn} AS (SELECT doc_id, key, count(*) AS c, max(chars) AS chars "
+            f"FROM win{nn} GROUP BY 1,2)"
+        )
+        if nn in top_ns:
+            ctes.append(
+                f"top{nn} AS (SELECT doc_id, c*chars AS prod FROM "
+                f"(SELECT doc_id, c, chars, row_number() OVER "
+                f"(PARTITION BY doc_id ORDER BY c DESC, chars DESC) AS rn "
+                f"FROM cnt{nn}) WHERE rn = 1)"
+            )
+            sel.append(
+                f"round(CAST(coalesce(top{nn}.prod,0) AS DOUBLE) / greatest(coalesce(tc.tot,0),1), 6) AS top_{nn}gram_char_ratio"
+            )
+            joins.append(f"LEFT JOIN top{nn} USING(doc_id)")
+        if nn in dup_ns:
+            ctes.append(
+                f"dup{nn} AS (SELECT w.doc_id, w.i FROM win{nn} w "
+                f"JOIN cnt{nn} c ON w.doc_id = c.doc_id AND w.key = c.key "
+                f"WHERE c.c > 1)"
+            )
+            ctes.append(
+                f"cov{nn} AS (SELECT p.doc_id, sum(p.wl) AS dupchars FROM wp2 p "
+                f"WHERE EXISTS (SELECT 1 FROM dup{nn} d WHERE d.doc_id = p.doc_id "
+                f"AND d.i BETWEEN p.j - {nn} + 1 AND p.j) GROUP BY 1)"
+            )
+            sel.append(
+                f"round(CAST(coalesce(cov{nn}.dupchars,0) AS DOUBLE) / greatest(coalesce(tc.tot,0),1), 6) AS dup_{nn}gram_char_ratio"
+            )
+            joins.append(f"LEFT JOIN cov{nn} USING(doc_id)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT "
+        + ",\n       ".join(sel)
+        + "\nFROM base "
+        + " ".join(joins)
+        + "\nORDER BY base.doc_id"
+    )
+
+
+#: Full Gopher repetition family over the documents table — generated so
+#: the per-n CTEs stay mechanically consistent across n=2..10.
+DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
+
 
 #: Gopher quality rules, mirroring functions/textstats.gopher_quality
 #: rule for rule with the query's vocab-aware required-word list. The
@@ -2743,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_top_bigrams": CORPUS_TOP_BIGRAMS_SQL,
         "docs_curation_funnel": DOCS_CURATION_FUNNEL_SQL,
         "doc_repetition_scores": REPETITION_SCORES_SQL,
+        "docs_repetition_full": DOCS_REPETITION_FULL_SQL,
         "doc_normalized": DOC_NORMALIZED_SQL,
         "dedup_simhash_pairs": SIMHASH_PAIRS_SQL,
         "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,

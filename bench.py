@@ -391,6 +391,12 @@ def run_bench() -> dict:
         ),
         ("ann_pq_topk", _pq_bench),
         (
+            "gopher_repetition",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_repetition_full"
+            ](SF_DIR),
+        ),
+        (
             "gopher_quality",
             lambda: __import__("__ray_entry__").queries()[
                 "docs_gopher_quality"

@@ -163,10 +163,10 @@ def paragraph_signals(
             "para_idx": pa.array(para_idx),
             "n_words": pa.array(n_words),
             "stopword_ratio": pa.array(
-                np.round(n_stop / safe, 6), pa.float64()
+                np.floor((n_stop / safe) * 1e6 + 0.5) / 1e6, pa.float64()
             ),
             "link_density": pa.array(
-                np.round(n_link / safe, 6), pa.float64()
+                np.floor((n_link / safe) * 1e6 + 0.5) / 1e6, pa.float64()
             ),
             "cls_ctxfree": pa.array(_CLS_NAMES[cls0], pa.string()),
             "cls": pa.array(_CLS_NAMES[cls], pa.string()),

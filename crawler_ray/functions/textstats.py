@@ -985,18 +985,18 @@ def gopher_quality(
         {
             "doc_id": batch[id_col].cast(pa.int64()),
             "n_words": pa.array(n_words),
-            "mean_word_len": pa.array(np.round(mean_wl, 6), pa.float64()),
+            "mean_word_len": pa.array(np.floor((mean_wl) * 1e6 + 0.5) / 1e6, pa.float64()),
             "symbol_ratio": pa.array(
-                np.round(symbol_ratio, 6), pa.float64()
+                np.floor((symbol_ratio) * 1e6 + 0.5) / 1e6, pa.float64()
             ),
             "bullet_line_ratio": pa.array(
-                np.round(bullet_ratio, 6), pa.float64()
+                np.floor((bullet_ratio) * 1e6 + 0.5) / 1e6, pa.float64()
             ),
             "ellipsis_line_ratio": pa.array(
-                np.round(ellipsis_ratio, 6), pa.float64()
+                np.floor((ellipsis_ratio) * 1e6 + 0.5) / 1e6, pa.float64()
             ),
             "alpha_word_ratio": pa.array(
-                np.round(alpha_ratio, 6), pa.float64()
+                np.floor((alpha_ratio) * 1e6 + 0.5) / 1e6, pa.float64()
             ),
             "n_required_hits": pa.array(req_hits),
             "kept": pa.array(kept),
@@ -1010,4 +1010,118 @@ def gopher_filter(ds, **kwargs):
     per document with every rule signal plus ``kept``."""
     return ds.map_batches(
         gopher_quality, batch_format="pyarrow", fn_kwargs=kwargs
+    )
+
+
+def gopher_repetition(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: "tuple[int, ...]" = (2, 3, 4),
+    dup_ns: "tuple[int, ...]" = (5, 6, 7, 8, 9, 10),
+) -> pa.Table:
+    """The FULL Gopher repetition rule family (Rae et al. 2021 A1.1),
+    completing what ``repetition_scores`` starts (dup-line chars, top
+    bigram count): per document,
+
+      * ``top_{n}gram_char_ratio`` (n in ``top_ns``) — characters of the
+        most frequent word n-gram times its count, over total word
+        characters. Deterministic tie-break: maximal count, then maximal
+        character length. Overlapping occurrences are each counted
+        (Gopher's definition), so the ratio can exceed 1 on degenerate
+        docs — thresholds compare fine.
+      * ``dup_{n}gram_char_ratio`` (n in ``dup_ns``) — fraction of word
+        characters covered by at least one n-gram that occurs more than
+        once in the document (character-coverage union, so overlapping
+        duplicated windows never double-count a word).
+
+    Per-doc-local (no shuffle). One words explode + factorize, then pure
+    integer kernels per n: window runs via lexsort over the n shifted
+    code columns, counts via run-length bincount, character coverage via
+    a prefix-sum window test — no per-row Python.
+    """
+    texts = batch[text_col].to_pandas().fillna("")
+    n = len(texts)
+    safe_tc = None
+    out_cols: "dict[str, np.ndarray]" = {}
+    for nn in top_ns:
+        out_cols[f"top_{nn}gram_char_ratio"] = np.zeros(n, np.float64)
+    for nn in dup_ns:
+        out_cols[f"dup_{nn}gram_char_ratio"] = np.zeros(n, np.float64)
+
+    words = texts.str.split().explode().dropna()
+    total = len(words)
+    if n and total:
+        wdoc = words.index.to_numpy().astype(np.int64)
+        wcode, _ = pd.factorize(words.to_numpy())
+        wlen = words.str.len().to_numpy(dtype=np.int64)
+        m = np.bincount(wdoc, minlength=n)  # words per doc
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(m, out=starts[1:])
+        W = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(wlen, out=W[1:])
+        total_chars = np.bincount(wdoc, weights=wlen, minlength=n)
+        safe_tc = np.maximum(total_chars, 1)
+        g = np.arange(total, dtype=np.int64)
+        pos = g - starts[wdoc]
+
+        for nn in sorted(set(top_ns) | set(dup_ns)):
+            valid = pos <= (m[wdoc] - nn)
+            idx = np.nonzero(valid)[0]
+            if len(idx) == 0:
+                continue
+            cols = [wcode[idx + k] for k in range(nn)]
+            order = np.lexsort(tuple(reversed(cols)) + (wdoc[idx],))
+            sidx = idx[order]
+            sdoc = wdoc[sidx]
+            new = np.empty(len(sidx), dtype=bool)
+            new[0] = True
+            acc = sdoc[1:] != sdoc[:-1]
+            for c in cols:
+                cs = c[order]
+                acc = acc | (cs[1:] != cs[:-1])
+            new[1:] = acc
+            rid = np.cumsum(new) - 1
+            rsz = np.bincount(rid)
+            c_occ = rsz[rid]  # this window's in-doc occurrence count
+            chars_occ = W[sidx + nn] - W[sidx]
+
+            if nn in top_ns:
+                # per-doc lexicographic max of (count, chars): packed key
+                K = int(chars_occ.max()) + 1
+                key = c_occ.astype(np.int64) * K + chars_occ
+                best = np.zeros(n, np.int64)
+                np.maximum.at(best, sdoc, key)
+                bc, bch = best // K, best % K
+                out_cols[f"top_{nn}gram_char_ratio"] = (
+                    bc * bch
+                ) / safe_tc
+
+            if nn in dup_ns:
+                F = np.zeros(total, np.int64)
+                F[sidx[c_occ > 1]] = 1  # duplicated-window start marks
+                S = np.zeros(total + 1, np.int64)
+                np.cumsum(F, out=S[1:])
+                lo = np.maximum(g - (nn - 1), starts[wdoc])
+                hi = np.minimum(g, starts[wdoc] + m[wdoc] - nn)
+                ok = hi >= lo
+                hi_c = np.clip(hi, 0, total - 1)
+                covered = ok & ((S[hi_c + 1] - S[lo]) > 0)
+                dup_chars = np.bincount(
+                    wdoc[covered], weights=wlen[covered], minlength=n
+                )
+                out_cols[f"dup_{nn}gram_char_ratio"] = dup_chars / safe_tc
+
+    tbl = {"doc_id": batch[id_col].cast(pa.int64())}
+    for name, arr in out_cols.items():
+        tbl[name] = pa.array(np.floor((arr) * 1e6 + 0.5) / 1e6, pa.float64())
+    return pa.table(tbl)
+
+
+def gopher_repetition_scores(ds, **kwargs):
+    """Full Gopher repetition signals over a Dataset: one vectorized
+    ``map_batches`` pass (per-doc-local — no shuffle)."""
+    return ds.map_batches(
+        gopher_repetition, batch_format="pyarrow", fn_kwargs=kwargs
     )

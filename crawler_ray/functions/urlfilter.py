@@ -83,7 +83,7 @@ def url_quality(
     out = batch
     for name, arr in (
         ("host", host),
-        ("soft_score", pa.array(np.round(score, 6), pa.float64())),
+        ("soft_score", pa.array(np.floor((score) * 1e6 + 0.5) / 1e6, pa.float64())),
         ("banned_host", pa.array(banned)),
         ("kept", pa.array(kept)),
     ):

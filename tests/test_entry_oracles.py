@@ -35,6 +35,7 @@ REAL_SQL = [
     "docs_curation_funnel",
     "doc_quality_scores",
     "doc_repetition_scores",
+    "docs_repetition_full",
     "doc_normalized",
     "doc_normalized_redacted",
     "cosine_near_dups",
@@ -122,7 +123,8 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "lang_id_counts",
         "doc_fingerprints",
         "doc_quality_scores",
-        "doc_repetition_scores",
+        # repetition family: docs_repetition_full (merged query containing
+        # doc_repetition_scores's columns verbatim) holds the slot
         "doc_normalized_redacted",  # join of doc_normalized + doc_redacted
         # multimodal family: audio_decode_features (REAL stdlib WAV decode,
         # true SQL oracle) replaced multimodal_decode (pinned fake-codec
@@ -164,6 +166,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # Gopher quality rules (took doc_tfidf_topk's slot; retrieval
         # weights keep docs_bm25_topk in-window)
         "docs_gopher_quality",
+        # complete Gopher repetition family (merged query containing
+        # doc_repetition_scores's columns verbatim, whose slot it took)
+        "docs_repetition_full",
     }
     assert round3 <= set(window), round3 - set(window)
 
@@ -191,4 +196,35 @@ def test_merged_queries_equal_their_parts(entry_mod):
     )
     pd.testing.assert_frame_equal(
         nr[["doc_id", "red_text"]], q["doc_redacted"](SF)
+    )
+    # docs_repetition_full carries doc_repetition_scores's two columns
+    # verbatim — over the rep12-augmented text, so recompute the parts on
+    # the same augmentation the merged query applies
+    import pyarrow as pa
+
+    full = q["docs_repetition_full"](SF)
+    import __ray_entry__ as E
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.textstats import repetition_scores
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    aug = []
+    for s in t["text"].to_pylist():
+        w = [x for x in (s or "").split(" ") if x]
+        aug.append((s or "") + " " + " ".join(w[:12]))
+    part = repetition_scores(
+        pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": pa.array(aug, pa.string()),
+            }
+        )
+    ).to_pandas()[["doc_id", "dup_line_char_ratio", "top_bigram_ratio"]]
+    for c in ["dup_line_char_ratio", "top_bigram_ratio"]:
+        part[c] = np.floor(part[c] * 1e6 + 0.5) / 1e6
+    pd.testing.assert_frame_equal(
+        full[["doc_id", "dup_line_char_ratio", "top_bigram_ratio"]],
+        part.sort_values("doc_id").reset_index(drop=True),
     )

@@ -1797,3 +1797,88 @@ def test_gopher_word_rules_and_edges():
               min_words=5)
     assert rep.loc[0, "n_required_hits"] == 1
     assert not rep.loc[0, "kept"]
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher repetition family (functions/textstats.gopher_repetition)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_matches_brute_force():
+    """Every top-n and dup-n column equals a naive per-doc Counter/set
+    reference (different code path: tuples + set coverage vs factorize +
+    lexsort runs + prefix-sum window test), over degenerate docs, random
+    small-vocab docs and real sf0.001 texts."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.functions.textstats import gopher_repetition
+
+    def brute(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+        ws = text.split()
+        tc = max(sum(map(len, ws)), 1)
+        res = {}
+        for nn in top_ns:
+            grams = [tuple(ws[i : i + nn]) for i in range(max(len(ws) - nn + 1, 0))]
+            cnt = Counter(grams)
+            best = max(
+                ((c, sum(map(len, gm))) for gm, c in cnt.items()),
+                default=(0, 0),
+            )
+            res[f"top_{nn}gram_char_ratio"] = np.floor(best[0] * best[1] / tc * 1e6 + 0.5) / 1e6
+        for nn in dup_ns:
+            grams = [tuple(ws[i : i + nn]) for i in range(max(len(ws) - nn + 1, 0))]
+            cnt = Counter(grams)
+            covered = set()
+            for i, gm in enumerate(grams):
+                if cnt[gm] > 1:
+                    covered.update(range(i, i + nn))
+            res[f"dup_{nn}gram_char_ratio"] = (
+                np.floor(sum(len(ws[j]) for j in covered) / tc * 1e6 + 0.5)
+                / 1e6
+            )  # half-up at 6dp, matching the kernel and DuckDB round()
+        return res
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = ["", "aa", "aa aa aa aa", "x y z", None]
+    for _ in range(40):
+        docs.append(" ".join(rng.choice(vocab, size=rng.integers(0, 30))))
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )
+    docs += t["text"].to_pylist()[:80]
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = gopher_repetition(tbl).to_pandas()
+    for i, d in enumerate(docs):
+        want = brute(d or "")
+        for k, v in want.items():
+            assert abs(got.loc[i, k] - v) < 1e-9, (i, k, got.loc[i, k], v)
+
+
+def test_gopher_repetition_rechunk_invariant():
+    """Batching must not leak into the result: one batch vs three."""
+    from crawler_ray.functions.textstats import gopher_repetition
+
+    docs = ["aa b aa b aa b aa b aa b", "x " * 30, "q w e r t y u i o p"] * 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    whole = gopher_repetition(tbl).to_pandas()
+    parts = pd.concat(
+        [
+            gopher_repetition(tbl.slice(o, 4)).to_pandas()
+            for o in range(0, len(docs), 4)
+        ]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, parts)

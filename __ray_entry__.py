@@ -2219,12 +2219,19 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
 DOCS_GOPHER_QUALITY_SQL = r"""
-WITH base AS (
-  SELECT doc_id, coalesce(text, '') AS t,
-         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \n]+'),
-                     w -> w <> '') AS ws,
-         string_split(coalesce(text, ''), chr(10)) AS ls
+WITH norm AS (
+  -- CRLF / bare-CR -> LF, mirroring the kernel's line-ending contract
+  SELECT doc_id,
+         replace(replace(coalesce(text, ''), chr(13) || chr(10), chr(10)),
+                 chr(13), chr(10)) AS t
   FROM documents
+),
+base AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(t, '[ \n]+'),
+                     w -> w <> '') AS ws,
+         string_split(t, chr(10)) AS ls
+  FROM norm
 ),
 feat AS (
   SELECT doc_id,
@@ -2350,8 +2357,9 @@ urls AS (
 ),
 feat AS (
   SELECT doc_id, url, lower(url) AS lu,
-         regexp_extract(lower(url),
-                        '^[a-z][a-z0-9+.\-]*://([^/?#:]*)', 1) AS host
+         trim(regexp_extract(lower(url),
+                '^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]*)',
+                1), '[]') AS host
   FROM urls
 ),
 scored AS (

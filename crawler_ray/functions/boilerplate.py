@@ -46,10 +46,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-#: default stopword list — same 24-word list as textstats quality features
-DEFAULT_STOPWORDS: "tuple[str, ...]" = tuple(
-    "the a an and or of to in is are was were be been it this that for on with as at by from".split()
-)
+from .textstats import _STOPWORDS
+
+#: default stopword list — THE 24-word list from textstats quality
+#: features (single shared definition; editing one cannot desynchronize
+#: the other)
+DEFAULT_STOPWORDS: "tuple[str, ...]" = tuple(sorted(_STOPWORDS))
 
 #: paragraph separator: blank line (jusText works on DOM blocks; on flat
 #: text the blank-line convention is the standard stand-in)
@@ -85,6 +87,11 @@ def paragraph_signals(
         texts = texts.combine_chunks()
     if pa.types.is_large_string(texts.type):
         texts = texts.cast(pa.string())
+    # real web text carries CRLF (and bare-CR) line endings; normalize to
+    # '\n' so the blank-line paragraph split and the word split both see
+    # them (contract: '\r\n' and lone '\r' ARE line breaks)
+    texts = pc.replace_substring(texts, "\r\n", "\n")
+    texts = pc.replace_substring(texts, "\r", "\n")
     n_docs = len(texts)
 
     # --- explode level 1: document -> paragraphs -----------------------

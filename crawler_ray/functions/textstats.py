@@ -914,6 +914,11 @@ def gopher_quality(
         texts = texts.combine_chunks()
     if pa.types.is_large_string(texts.type):
         texts = texts.cast(pa.string())
+    # normalize CRLF / bare-CR line endings so the '\n' line split and
+    # the word split see them, and '...\r\n' lines still count as
+    # ellipsis-ended (real web text is routinely CRLF)
+    texts = pc.replace_substring(texts, "\r\n", "\n")
+    texts = pc.replace_substring(texts, "\r", "\n")
     n = len(texts)
 
     # --- word-level signals ------------------------------------------

@@ -1737,6 +1737,115 @@ def test_url_quality_word_counted_once():
     assert out["kept"].tolist() == [True]
 
 
+def test_url_quality_userinfo_and_ipv6_hosts():
+    """The blocklist can't be dodged with userinfo, and IPv6 literals
+    parse to the bare address (not '[' or the userinfo)."""
+    from crawler_ray.functions.urlfilter import url_quality
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://user@ads.example/x",  # userinfo, no password
+                    "http://user:pw@ads.example/x",  # userinfo with ':'
+                    "http://[::1]:8080/",  # IPv6 literal + port
+                    "http://user@[2001:db8::1]/y",  # userinfo + IPv6
+                    "http://ads.example:8080/x",  # port only
+                ]
+            )
+        }
+    )
+    out = url_quality(t, blocked_hosts=("ads.example",)).to_pandas()
+    assert out["host"].tolist() == [
+        "ads.example",
+        "ads.example",
+        "::1",
+        "2001:db8::1",
+        "ads.example",
+    ]
+    assert out["banned_host"].tolist() == [True, True, False, False, True]
+
+
+def test_url_quality_blocklist_label_semantics():
+    """Suffix-chain matching is exact: subdomains ban, partial-label
+    lookalikes don't, and mixed-label-count blocklists work."""
+    from crawler_ray.functions.urlfilter import url_quality
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://a.b.c/",  # subdomain of b.c
+                    "http://b.c/",  # exact b.c
+                    "http://xb.c/",  # NOT b.c, but subdomain-of-c form
+                    "http://notb.cx/",  # neither
+                    "http://c/",  # exact single-label c
+                ]
+            )
+        }
+    )
+    out = url_quality(t, blocked_hosts=("b.c", "c")).to_pandas()
+    assert out["banned_host"].tolist() == [True, True, True, False, True]
+
+
+def test_url_quality_kept_gates_on_rounded_score():
+    """kept compares the ROUNDED 6-dp score (the emitted column), so a
+    consumer recomputing `soft_score < cutoff` from the output always
+    agrees with the kept flag."""
+    from crawler_ray.functions.urlfilter import url_quality
+
+    t = pa.table({"url": pa.array(["http://x.example/w1/w2"])})
+    out = url_quality(
+        t, soft_words={"w1": 0.9999996, "w2": 1.0}, cutoff=2.0
+    ).to_pandas()
+    # raw sum 1.9999996 < 2.0 but rounds to 2.0 -> must NOT be kept
+    assert out["soft_score"].tolist() == [2.0]
+    assert out["kept"].tolist() == [False]
+
+
+def test_url_quality_and_boilerplate_and_gopher_crlf_parity():
+    """CRLF (and bare-CR) documents classify identically to their LF
+    forms — real web text is routinely CRLF."""
+    from crawler_ray.functions.boilerplate import paragraph_signals
+    from crawler_ray.functions.textstats import gopher_quality
+
+    lf = "the a an and of to in is\n\nzzz qqq http://x www.y yy zz aa bb"
+    for crlf in (lf.replace("\n", "\r\n"), lf.replace("\n", "\r")):
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array([crlf, lf]),
+            }
+        )
+        df = paragraph_signals(t).to_pandas()
+        a = df[df.doc_id == 0].drop(columns="doc_id").reset_index(drop=True)
+        b = df[df.doc_id == 1].drop(columns="doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    g_lf = "line one...\nline two\n- bullet"
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([g_lf.replace("\n", "\r\n"), g_lf]),
+        }
+    )
+    gd = gopher_quality(t).to_pandas()
+    a = gd[gd.doc_id == 0].drop(columns="doc_id").reset_index(drop=True)
+    b = gd[gd.doc_id == 1].drop(columns="doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert gd["ellipsis_line_ratio"].tolist() == [0.333333, 0.333333]
+
+
+def test_boilerplate_stopwords_shared_with_textstats():
+    """One stopword definition: boilerplate's default IS the textstats
+    quality-features list (the SQL oracle hardcodes the same 24)."""
+    from crawler_ray.functions.boilerplate import DEFAULT_STOPWORDS
+    from crawler_ray.functions.textstats import _STOPWORDS
+
+    assert set(DEFAULT_STOPWORDS) == set(_STOPWORDS)
+    assert len(DEFAULT_STOPWORDS) == 24
+
+
 # ---------------------------------------------------------------------------
 # Gopher quality-rule document filter (functions/textstats.gopher_quality)
 # ---------------------------------------------------------------------------

@@ -1592,7 +1592,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantile_sketch": _events_value_quantile_sketch,
         # -- slots 24-50: one representative per previously-green family
         "q1_pricing_summary": R.q1_pricing_summary,
-        "q3_segment_top_orders": R.q3_segment_top_orders,
+        # round-4 swap: test-set decontamination (8-gram GPT-3/PaLM rule,
+        # its OWN operator family) takes the slot of
+        # q3_segment_top_orders, whose join+agg+top-k family keeps q1,
+        # customers_without_orders, sessions, as-of and running-total
+        # in-window and green r01-r03 rows of its own
+        "docs_decontaminate": _docs_decontaminate,
         # round-4 swap: Okapi BM25 ranking (first driver check, real SQL
         # oracle) takes the window slot of q5_region_nation_revenue, whose
         # join+agg family keeps q1/q3 in-window and green r01-r03 rows of
@@ -1673,7 +1678,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # docs_snapshot_dedup, whose incremental-dedup family keeps
         # corpus_url_dedup in-window and a green r03 row of its own
         "crawl_host_hits": _crawl_host_hits,
-        "docs_decontaminate": _docs_decontaminate,
         # -- 51+: crawl engine (rows-only; oracle = in-repo simulator, see
         #    tests/test_crawl_engine.py / test_oracle.py)
         "crawl_archive": _crawl_archive,
@@ -1686,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _extract_links,
         # -- same-family variants, green in CORRECTNESS_r01-r03 and still
         #    pytest-oracled every session
+        "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
         "events_hourly": R.events_hourly,

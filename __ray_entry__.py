@@ -809,6 +809,19 @@ def _docs_unigram_logprob(sf_dir: str) -> pd.DataFrame:
     return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _docs_kn_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    KenLM-family order-2 scorer (CCNet filters on a KN-smoothed n-gram
+    LM; public formulation per Kneser & Ney 1995 / Chen & Goodman 1998)
+    trained on this same corpus: bigram-count combiner + bucketed
+    exchange, per-bigram KN probability evaluated once on the
+    vocabulary-sized table, then a broadcast scorer actor pool
+    (functions/textstats.kn_bigram_logprob)."""
+    from crawler_ray.functions.textstats import kn_bigram_logprob
+
+    return kn_bigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def _docs_bpe_subwords(sf_dir: str) -> pd.DataFrame:
     """Trained-BPE subword counts (functions/bpe.py): distributed word
     count (combiner + bucketed exchange) → merge learning over the
@@ -1616,7 +1629,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # several in-window representatives (sessions, hopping window,
         # running total) and a green CORRECTNESS_r03 row of its own.
         "docs_dedup_spans": _docs_dedup_spans,
-        "events_user_running_total": R.events_user_running_total,
+        # round-4 swap: the Kneser-Ney bigram LM scorer (first driver
+        # check, real SQL oracle) takes the window slot of
+        # events_user_running_total, whose windowed-rollup family keeps
+        # sessions + as-of + error-click in-window and a green r01-r03
+        # row of its own
+        "docs_kn_bigram_logprob": _docs_kn_bigram_logprob,
         # round-4 swap: the Gopher quality-rule document filter (first
         # driver check, real SQL oracle) takes the slot of doc_tfidf_topk,
         # whose retrieval-weights family keeps docs_bm25_topk in-window
@@ -1697,6 +1715,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first3_per_user": R.events_first3_per_user,
         "events_user_value_topk": R.events_user_value_topk,
         "events_value_quantiles": R.events_value_quantiles,
+        # swapped out of the 50-slot window for docs_kn_bigram_logprob in
+        # round 4 (green r01-r03 rows of its own; family repped in-window)
+        "events_user_running_total": R.events_user_running_total,
         "docs_temperature_sample": R.docs_temperature_sample,
         "top_suppliers": R.top_suppliers,
         "orders_priority_counts": R.orders_priority_counts,
@@ -1945,6 +1966,49 @@ SELECT t.doc_id,
 FROM tok t JOIN vocab v USING (word)
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+#: Interpolated Kneser-Ney bigram LM (D = 0.75), stated relationally with
+#: the SAME tokenizer (space split, empties dropped) and the SAME floating-
+#: point expression order as the engine: per-doc adjacent pairs via
+#: lag() over token position, histories/continuations from the bigram
+#: count table itself, P_cont = N1+(.,w2)/N1+(.,.). Docs with <2 tokens
+#: drop out through the inner join (no bigram rows). The parallel
+#: unnest(range(len(toks))) carries original list position so adjacency
+#: survives the empty-token filter identically to the engine's mask.
+DOCS_KN_BIGRAM_SQL = r"""
+WITH l AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS word, unnest(range(len(toks))) AS pos FROM l
+),
+tok AS (SELECT doc_id, word, pos FROM w WHERE word <> ''),
+bg AS (
+  SELECT doc_id,
+         lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         word AS w2
+  FROM tok
+),
+bgn AS (SELECT doc_id, w1, w2 FROM bg WHERE w1 IS NOT NULL),
+bc AS (SELECT w1, w2, count(*) AS c FROM bgn GROUP BY w1, w2),
+h AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS ch,
+             CAST(count(*) AS DOUBLE) AS n1p_l
+      FROM bc GROUP BY w1),
+r AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p_r FROM bc GROUP BY w2),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bc)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(avg(log10(
+         (CAST(bc.c AS DOUBLE) - 0.75) / h.ch
+         + 0.75 * h.n1p_l / h.ch * (r.n1p_r / (SELECT n FROM nb))
+       )), 6) AS kn_logprob_mean
+FROM bgn b
+JOIN bc USING (w1, w2)
+JOIN h USING (w1)
+JOIN r USING (w2)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
 """
 
 #: Perplexity bucketing: the unigram-logprob CTE extended with exact
@@ -2904,6 +2968,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
+        "docs_kn_bigram_logprob": DOCS_KN_BIGRAM_SQL,
         "docs_dsir_sample": DOCS_DSIR_SAMPLE_SQL,
         "docs_window_dup_pairs": DOCS_WINDOW_DUPS_SQL,
         "docs_dedup_spans": DOCS_DEDUP_SPANS_SQL,

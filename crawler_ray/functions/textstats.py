@@ -407,6 +407,8 @@ def _explode_tokens(col) -> "tuple[np.ndarray, np.ndarray, int]":
     tokenizer convention (space split), so the passes and their DuckDB
     oracles (``string_split(text, ' ')`` + empty filter) cannot drift
     apart site by site."""
+    if pa.types.is_null(col.type):  # an all-null block types as null, not string
+        col = pa.chunked_array([pa.nulls(len(col), pa.string())])
     toks = pc.split_pattern(
         pc.fill_null(col, "").combine_chunks(), pattern=" "
     )
@@ -577,6 +579,240 @@ def unigram_logprob(
         batch_format="pyarrow",
         concurrency=concurrency,
     ).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def _batch_bigrams(
+    col, doc_idx_offset: int = 0
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, int]":
+    """Adjacent-token bigrams per document from a text column: returns
+    ``(w1, w2, doc_idx, n_docs)``. Tokens are the shared space-split
+    convention (``_explode_tokens``), so a bigram never straddles a
+    document boundary and neither word can contain a space — which makes
+    ``w1 + ' ' + w2`` a collision-free composite key for the exchange."""
+    vals, doc_idx, n_rows = _explode_tokens(col)
+    if len(vals) < 2:
+        e = np.empty(0, dtype=vals.dtype if len(vals) else object)
+        return e, e, np.empty(0, np.int64), n_rows
+    same = doc_idx[1:] == doc_idx[:-1]
+    return (
+        vals[:-1][same],
+        vals[1:][same],
+        doc_idx[1:][same] + doc_idx_offset,
+        n_rows,
+    )
+
+
+class _KNBigramScorer:
+    """Actor-pool scorer for ``kn_bigram_logprob`` pass 2. The broadcast
+    model is fetched once per actor: a sorted composite-key array
+    (``w1 + ' ' + w2``) with an aligned per-bigram log10 KN probability,
+    plus (capped mode only) sorted per-history and per-continuation
+    arrays for the backoff path. Per-batch work is one vectorized key
+    build + ``np.searchsorted`` + two ``np.bincount`` segment sums."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str) -> None:
+        import ray
+
+        (
+            self.keys,  # sorted np.ndarray[str] "w1 w2"
+            self.logp,  # aligned log10 P_KN, float64
+            self.backoff,  # None (uncapped) or (h_words, h_logw, c_words, c_logp)
+        ) = ray.get(model_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w1, w2, doc_idx, n_rows = _batch_bigrams(batch[self.text_col])
+        if len(w1):
+            keys = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+        else:
+            keys = np.empty(0, dtype="U1")
+        idx = np.searchsorted(self.keys, keys)
+        idx_c = np.minimum(idx, max(len(self.keys) - 1, 0))
+        hit = (
+            self.keys[idx_c] == keys
+            if len(self.keys)
+            else np.zeros(len(keys), bool)
+        )
+        if self.backoff is None:
+            # uncapped: the input is materialized, so pass 2 scores exactly
+            # the bigrams pass 1 counted — an absent key is a hard error
+            # (a silent neighbor lookup would corrupt scores)
+            if not hit.all():
+                raise ValueError(
+                    f"bigrams absent from model: {keys[~hit][:3]!r}"
+                )
+            lp = self.logp[idx_c] if len(self.keys) else np.empty(0)
+        else:
+            # capped (top-B) mode: a dropped bigram backs off to the
+            # lower order — log10(backoff_weight(w1)) + log10(P_cont(w2)).
+            # Histories/continuations are complete (built before the cap,
+            # vocabulary-sized), so both lookups always hit when scoring
+            # the counted corpus.
+            h_words, h_logw, c_words, c_logp = self.backoff
+            hi = np.searchsorted(h_words, w1.astype(str) if len(w1) else w1)
+            ci = np.searchsorted(c_words, w2.astype(str) if len(w2) else w2)
+            lp_bo = (
+                h_logw[np.minimum(hi, max(len(h_words) - 1, 0))]
+                + c_logp[np.minimum(ci, max(len(c_words) - 1, 0))]
+                if len(h_words)
+                else np.empty(0)
+            )
+            lp = np.where(hit, self.logp[idx_c] if len(self.keys) else 0.0, lp_bo)
+        n_bg = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        sums = np.bincount(doc_idx, weights=lp, minlength=n_rows)
+        keep = n_bg > 0  # docs with <2 tokens have no bigram (SQL group absent)
+        mean = sums[keep] / n_bg[keep]
+        mean = np.sign(mean) * np.floor(np.abs(mean) * 1e6 + 0.5) / 1e6
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(n_bg[keep], pa.int64()),
+                "kn_logprob_mean": pa.array(mean, pa.float64()),
+            }
+        )
+
+
+def kn_bigram_logprob(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+    concurrency=(2, 16),
+    top_b: "int | None" = None,
+    discount: float = 0.75,
+):
+    """Interpolated Kneser-Ney bigram LM score per document — the
+    KenLM-family step up from ``unigram_logprob`` (CCNet filters on a
+    KN-smoothed n-gram LM; this is the order-2 member trained on THIS
+    corpus, public formulation per Kneser & Ney 1995 / Chen & Goodman
+    1998):
+
+        P_KN(w2 | w1) = (c(w1,w2) - D) / c(w1·)
+                        + D · N1+(w1,·) / c(w1·) · P_cont(w2)
+        P_cont(w2)    = N1+(·,w2) / N1+(·,·)
+
+    with D = ``discount`` (0.75), histories counted from the bigram table
+    itself (c(w1·) = Σ_w2 c(w1,w2)), so the model normalizes exactly.
+
+    Dataflow (mirrors ``unigram_logprob``; nothing corpus-sized on the
+    driver):
+
+      pass 1: per-batch bigram-count COMBINER (adjacent space-split
+        tokens within each document; exchange volume ∝ distinct bigrams
+        per batch) → bucketed task exchange on the composite key →
+        exact global (w1, w2, count) table.
+      model: history table (c(w1·), N1+(w1,·)) and continuation table
+        (N1+(·,w2)) are single groupbys of the bigram-vocabulary-sized
+        count table; per-bigram log10 P_KN is evaluated once here with
+        the SAME floating-point expression order as the DuckDB oracle.
+      pass 2: broadcast (sorted key array + log-prob array) into a
+        stateful ``map_batches`` actor pool; per-batch searchsorted +
+        bincount segment means, 6-dp half-away-from-zero.
+
+    Scale: the bigram vocabulary grows faster than the unigram one, so
+    ``top_b`` is the design-point cap: only the top-B bigrams by
+    ``(count desc, key asc)`` ship to the scorers, and a dropped bigram
+    backs off to the standard lower-order term
+    ``D·N1+(w1,·)/c(w1·) · P_cont(w2)`` (histories/continuations are
+    vocabulary-sized and always ship whole). ``top_b=None`` (default,
+    the oracle path) is exact: the DuckDB oracle (same tokenizer, same
+    expression order) matches bit-for-bit after 6-dp rounding; a cap
+    ≥ the true bigram-vocabulary size equals uncapped (pytest-pinned).
+
+    Returns a pandas DataFrame ``(doc_id, n_bigrams, kn_logprob_mean)``
+    sorted by id; documents with fewer than two tokens are excluded
+    (they have no bigram — matching the SQL oracle's inner join).
+    """
+    import ray
+
+    from ..stages.shuffle import bucketed_group_map
+
+    ds = ds.materialize()  # pass 2 must score exactly what pass 1 counted
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        w1, w2, _, _ = _batch_bigrams(t[text_col])
+        if len(w1):
+            keys = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+            items, counts = np.unique(keys, return_counts=True)
+        else:
+            items = np.empty(0, dtype="U1")
+            counts = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "bigram": pa.array(items, pa.string()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def sum_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bigram", sort=False)["cnt"].sum().reset_index()
+
+    bc = bucketed_group_map(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        bucket_on="bigram",
+        fn=sum_bucket,
+        n_buckets=n_buckets,
+    ).to_pandas()  # bigram-vocabulary-sized (see scale note)
+    empty = pd.DataFrame(
+        {
+            id_col: pd.Series([], dtype="int64"),
+            "n_bigrams": pd.Series([], dtype="int64"),
+            "kn_logprob_mean": pd.Series([], dtype="float64"),
+        }
+    )
+    if len(bc) == 0:
+        return empty
+    # split the composite key back into (w1, w2): tokens cannot contain a
+    # space, so the first space is the unambiguous separator
+    parts = bc["bigram"].str.split(" ", n=1, expand=True)
+    bc = pd.DataFrame(
+        {"w1": parts[0], "w2": parts[1], "cnt": bc["cnt"].to_numpy(np.int64)}
+    )
+    h = bc.groupby("w1", sort=True).agg(
+        ch=("cnt", "sum"), n1p_l=("cnt", "size")
+    )
+    r = bc.groupby("w2", sort=True).agg(n1p_r=("cnt", "size"))
+    nb = float(len(bc))
+    D = float(discount)
+    # per-bigram probability, SAME expression order as the SQL oracle:
+    #   (c - D)/ch + D*n1p_l/ch * (n1p_r/nb)   [all left-associative]
+    c = bc["cnt"].to_numpy(np.float64)
+    ch = h["ch"].to_numpy(np.float64)[h.index.get_indexer(bc["w1"])]
+    n1p_l = h["n1p_l"].to_numpy(np.float64)[h.index.get_indexer(bc["w1"])]
+    pcont = (
+        r["n1p_r"].to_numpy(np.float64)[r.index.get_indexer(bc["w2"])] / nb
+    )
+    prob = (c - D) / ch + D * n1p_l / ch * pcont
+    # U-dtype throughout so the scorer's np.char-built keys compare against
+    # the same dtype (code-point order either way, but keep it uniform)
+    keys = (bc["w1"] + " " + bc["w2"]).to_numpy().astype(str)
+    order = np.argsort(keys, kind="stable")  # searchsorted needs sorted keys
+    keys, logp, cnt_sorted = keys[order], np.log10(prob)[order], c[order]
+    backoff = None
+    if top_b is not None and top_b < len(keys):
+        # keep top-B by (count desc, key asc); full histories/continuations
+        # ship regardless — they are vocabulary-sized, not bigram-sized
+        sel = np.lexsort((keys, -cnt_sorted))[:top_b]
+        sel.sort()
+        keys, logp = keys[sel], logp[sel]
+        h_words = h.index.to_numpy().astype(str)
+        h_logw = np.log10(D * h["n1p_l"].to_numpy(np.float64) / h["ch"].to_numpy(np.float64))
+        c_words = r.index.to_numpy().astype(str)
+        c_logp = np.log10(r["n1p_r"].to_numpy(np.float64) / nb)
+        backoff = (h_words, h_logw, c_words, c_logp)
+    ref = ray.put((keys, logp, backoff))
+
+    out = ds.map_batches(
+        _KNBigramScorer,
+        fn_constructor_args=(ref, text_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()
+    if len(out) == 0:
+        return empty
     return out.sort_values(id_col).reset_index(drop=True)
 
 

@@ -23,6 +23,7 @@ REAL_SQL = [
     "docs_bm25_topk",
     "docs_frequent_words",
     "docs_unigram_logprob",
+    "docs_kn_bigram_logprob",
     "docs_dsir_sample",
     "docs_perplexity_buckets",
     "docs_temperature_sample",

@@ -1340,6 +1340,102 @@ def test_unigram_logprob_top_v_cap(ray_session):
     pd.testing.assert_frame_equal(got, pd.DataFrame(exp))
 
 
+def test_kn_bigram_logprob_reference_and_cap(ray_session):
+    """Interpolated Kneser-Ney bigram LM vs an independent pure-Python
+    restatement of the spec (P_KN = (c-D)/c(w1.) + D*N1+(w1,.)/c(w1.)
+    * N1+(.,w2)/N1+(.,.), D=0.75, adjacent space-split tokens per doc);
+    a cap >= |bigram vocab| equals uncapped; a small cap scores dropped
+    bigrams with the lower-order backoff term; degenerate inputs (no
+    doc with 2+ tokens) return the empty typed frame."""
+    import collections
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.textstats import kn_bigram_logprob
+
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the mat"},
+        {"doc_id": 2, "text": "the cat ate the fish"},
+        {"doc_id": 3, "text": "a dog sat on a log"},
+        {"doc_id": 4, "text": "solo"},
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": None},
+        {"doc_id": 7, "text": "the  cat   sat"},  # empties dropped, adjacency kept
+    ]
+    got = kn_bigram_logprob(rd.from_items(docs))
+
+    bc = collections.Counter()
+    doc_bgs = {}
+    for d in docs:
+        toks = [t for t in (d["text"] or "").split(" ") if t]
+        bgs = list(zip(toks, toks[1:]))
+        if bgs:
+            doc_bgs[d["doc_id"]] = bgs
+            bc.update(bgs)
+    ch = collections.defaultdict(float)
+    n1l = collections.defaultdict(int)
+    n1r = collections.defaultdict(int)
+    for (w1, w2), c in bc.items():
+        ch[w1] += c
+        n1l[w1] += 1
+        n1r[w2] += 1
+    nb, d_ = float(len(bc)), 0.75
+
+    def p_kn(w1, w2):
+        return (bc[(w1, w2)] - d_) / ch[w1] + d_ * n1l[w1] / ch[w1] * (
+            n1r[w2] / nb
+        )
+
+    rows = []
+    for did, bgs in sorted(doc_bgs.items()):
+        m = sum(math.log10(p_kn(*b)) for b in bgs) / len(bgs)
+        m = math.copysign(math.floor(abs(m) * 1e6 + 0.5) / 1e6, m)
+        rows.append((did, len(bgs), m))
+    ref = pd.DataFrame(
+        rows, columns=["doc_id", "n_bigrams", "kn_logprob_mean"]
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+
+    pd.testing.assert_frame_equal(
+        kn_bigram_logprob(rd.from_items(docs), top_b=10_000), got
+    )
+
+    # small cap: kept = top-3 bigrams by (count desc, key asc); dropped
+    # bigrams back off to log10(D*N1+(w1,.)/c(w1.)) + log10(P_cont(w2))
+    capped = kn_bigram_logprob(rd.from_items(docs), top_b=3)
+    kept = set(
+        k
+        for k, _ in sorted(
+            bc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[:3]
+    )
+
+    def p_capped_log(w1, w2):
+        if (w1, w2) in kept:
+            return math.log10(p_kn(w1, w2))
+        return math.log10(d_ * n1l[w1] / ch[w1]) + math.log10(n1r[w2] / nb)
+
+    rows = []
+    for did, bgs in sorted(doc_bgs.items()):
+        m = sum(p_capped_log(*b) for b in bgs) / len(bgs)
+        m = math.copysign(math.floor(abs(m) * 1e6 + 0.5) / 1e6, m)
+        rows.append((did, len(bgs), m))
+    ref_capped = pd.DataFrame(
+        rows, columns=["doc_id", "n_bigrams", "kn_logprob_mean"]
+    )
+    pd.testing.assert_frame_equal(
+        capped.reset_index(drop=True), ref_capped
+    )
+
+    empty = kn_bigram_logprob(
+        rd.from_items([{"doc_id": 1, "text": "one"}, {"doc_id": 2, "text": ""}])
+    )
+    assert list(empty.columns) == ["doc_id", "n_bigrams", "kn_logprob_mean"]
+    assert empty.empty
+
+
 def test_dsir_sample_top_v_cap(ray_session):
     """The DSIR vocabulary cap: cap >= |vocab| is exactly uncapped; a
     small cap matches a brute-force restatement (top-V by (combined count

@@ -1113,6 +1113,41 @@ def _docs_url_quality(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_host_stats(sf_dir: str) -> pd.DataFrame:
+    """FineWeb/RefinedWeb-style DOMAIN-level curation gate
+    (functions/hoststats.host_curation_stats): per-host doc count, total
+    and mean word count, short-doc fraction, and a kept flag computed
+    from the rounded columns. The sf* documents table carries no URL, so
+    the query synthesizes the host deterministically as
+    ``h{doc_id % 37}.example`` (the same augmentation docs_url_quality
+    uses, and the same expression in the SQL oracle). Thresholds
+    (mean >= 55 words, short<40 frac <= 0.45, >= 2 docs) split the 37
+    synthetic hosts both ways at sf0.001 (20 kept) and sf0.01 (18 kept).
+    Scale shape: per-batch combiner -> bucketed host exchange; the
+    result is host-cardinality (small side by contract)."""
+    from crawler_ray.functions.hoststats import host_curation_stats
+
+    def mkhost(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy() % 37
+        host = np.char.add(
+            np.char.add("h", ids.astype("U2")), ".example"
+        )
+        return pa.table(
+            {"host": pa.array(host, pa.string()), "text": t["text"]}
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        mkhost, batch_format="pyarrow"
+    )
+    return host_curation_stats(
+        ds,
+        min_docs=2,
+        min_mean_words=55.0,
+        short_words=40,
+        max_short_frac=0.45,
+    )
+
+
 def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     """Model-free text near-dup pairs END TO END from raw text:
     feature-hashing char-trigram embeddings
@@ -1746,6 +1781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_dedup": _docs_snapshot_dedup,
         "doc_tfidf_topk": R.doc_tfidf_topk,
         "doc_repetition_scores": _repetition_scores,
+        "docs_host_stats": _docs_host_stats,
     }
 
 
@@ -2287,6 +2323,33 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
+#: host-level curation gate — same synthesized host (doc_id % 37) and the
+#: shared space-split/drop-empties word count; mean/short_frac rounded
+#: half-up at 6 dp BEFORE the gate, exactly as the kernel computes kept
+DOCS_HOST_STATS_SQL = r"""
+WITH d AS (
+  SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS host,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+                         w -> w <> '')) AS n_words
+  FROM documents
+),
+g AS (
+  SELECT host,
+         count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS total_words,
+         CAST(sum((n_words < 40)::INT) AS BIGINT) AS n_short
+  FROM d GROUP BY host
+)
+SELECT host, n_docs, total_words,
+       round(total_words::DOUBLE / n_docs, 6) AS mean_words,
+       round(n_short::DOUBLE / n_docs, 6) AS short_frac,
+       (n_docs >= 2
+        AND round(total_words::DOUBLE / n_docs, 6) >= 55.0
+        AND round(n_short::DOUBLE / n_docs, 6) <= 0.45) AS kept
+FROM g
+ORDER BY host
+"""
+
 DOCS_GOPHER_QUALITY_SQL = r"""
 WITH norm AS (
   -- CRLF / bare-CR -> LF, mirroring the kernel's line-ending contract
@@ -2963,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_c4_filters": DOCS_C4_FILTERS_SQL,
         "docs_boilerplate_paras": DOCS_BOILERPLATE_SQL,
         "docs_url_quality": DOCS_URL_QUALITY_SQL,
+        "docs_host_stats": DOCS_HOST_STATS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

@@ -19,6 +19,7 @@ REAL_SQL = [
     "docs_c4_filters",
     "docs_boilerplate_paras",
     "docs_url_quality",
+    "docs_host_stats",
     "docs_gopher_quality",
     "docs_bm25_topk",
     "docs_frequent_words",

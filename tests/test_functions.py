@@ -2087,3 +2087,38 @@ def test_gopher_repetition_rechunk_invariant():
         ]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, parts)
+
+
+def test_host_curation_stats_edges(ray_session):
+    """Domain-level gate: empty text counts 0 words; a single-doc host
+    fails min_docs regardless of quality; kept is computed from the
+    ROUNDED mean/short_frac; batching must not change partials."""
+    import ray.data as rd
+
+    from crawler_ray.functions.hoststats import host_curation_stats
+
+    rows = [
+        # good.example: 3 docs, long, none short
+        {"host": "good.example", "text": "w " * 50},
+        {"host": "good.example", "text": "w " * 60},
+        {"host": "good.example", "text": "w " * 70},
+        # short.example: 2 docs, both short
+        {"host": "short.example", "text": "a b"},
+        {"host": "short.example", "text": ""},
+        # lone.example: 1 long doc -> fails min_docs
+        {"host": "lone.example", "text": "w " * 99},
+    ]
+    for par in (1, 3):
+        ds = rd.from_items(rows, override_num_blocks=par)
+        out = host_curation_stats(
+            ds, min_docs=2, min_mean_words=55.0, short_words=40,
+            max_short_frac=0.45,
+        )
+        assert list(out["host"]) == [
+            "good.example", "lone.example", "short.example"
+        ]
+        assert list(out["n_docs"]) == [3, 1, 2]
+        assert list(out["total_words"]) == [180, 99, 2]
+        assert list(out["kept"]) == [True, False, False]
+        assert out.loc[2, "short_frac"] == 1.0
+        assert out.loc[0, "mean_words"] == 60.0

@@ -1148,6 +1148,43 @@ def _docs_host_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_change_rate(sf_dir: str) -> pd.DataFrame:
+    """Adaptive recrawl priorities from snapshot change history
+    (functions/recrawl.change_rate_priorities — Cho & Garcia-Molina 2003
+    bias-reduced Poisson estimator over adjacent-snapshot content
+    changes). The sf* documents table has no snapshot axis, so the query
+    synthesizes one deterministically: url_id mixes 11 long-history URLs
+    (doc_id % 5 == 0 -> ~9 observations each) with 400 short-history ones
+    (1-2 observations), ts = doc_id, and the content version flips when
+    n_chars % 10 == 0 — chosen so all four priority classes (new/hot/
+    warm/cold) occur at BOTH sf0.001 and sf0.01 (same expressions in the
+    SQL oracle). Scale shape: one bucketed URL exchange, segment math in
+    the buckets, URL-cardinality result."""
+    from crawler_ray.functions.recrawl import change_rate_priorities
+
+    def mksnaps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        nch = t["n_chars"].to_numpy()
+        url_id = np.where(ids % 5 == 0, ids % 11, 11 + ids % 400)
+        return pa.table(
+            {
+                "url_id": pa.array(url_id.astype(np.int64), pa.int64()),
+                "ts": pa.array(ids.astype(np.int64), pa.int64()),
+                "ver": pa.array((nch % 10 == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        mksnaps, batch_format="pyarrow"
+    )
+    return (
+        change_rate_priorities(ds, hot=0.5, warm=0.125)
+        .to_pandas()
+        .sort_values("url_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     """Model-free text near-dup pairs END TO END from raw text:
     feature-hashing char-trigram embeddings
@@ -1782,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": R.doc_tfidf_topk,
         "doc_repetition_scores": _repetition_scores,
         "docs_host_stats": _docs_host_stats,
+        "corpus_change_rate": _corpus_change_rate,
     }
 
 
@@ -2323,6 +2361,44 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
+#: recrawl change-rate estimator — same synthesized snapshot axis; the
+#: lag() window restates the adjacent-compare, and ratio/lambda round
+#: half-up at 6 dp BEFORE the class gate, exactly as the kernel does
+CORPUS_CHANGE_RATE_SQL = r"""
+WITH snaps AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id % 11
+              ELSE 11 + doc_id % 400 END AS url_id,
+         doc_id AS ts,
+         (n_chars % 10 = 0)::BIGINT AS ver
+  FROM documents
+),
+seq AS (
+  SELECT url_id, ver,
+         lag(ver) OVER (PARTITION BY url_id ORDER BY ts) AS prev
+  FROM snaps
+),
+g AS (
+  SELECT url_id,
+         count(*) AS n_obs,
+         CAST(sum((prev IS NOT NULL AND ver <> prev)::INT) AS BIGINT)
+           AS n_changes
+  FROM seq GROUP BY url_id
+)
+SELECT url_id, n_obs, n_changes,
+       round(CASE WHEN n_obs >= 2
+                  THEN n_changes::DOUBLE / (n_obs - 1) ELSE 0.0 END, 6)
+         AS change_ratio,
+       round(CASE WHEN n_obs >= 2
+                  THEN -ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
+                  ELSE 0.0 END, 6) AS lambda_hat,
+       CASE WHEN n_obs = 1 THEN 'new'
+            WHEN round(n_changes::DOUBLE / (n_obs - 1), 6) >= 0.5 THEN 'hot'
+            WHEN round(n_changes::DOUBLE / (n_obs - 1), 6) >= 0.125 THEN 'warm'
+            ELSE 'cold' END AS priority
+FROM g
+ORDER BY url_id
+"""
+
 #: host-level curation gate — same synthesized host (doc_id % 37) and the
 #: shared space-split/drop-empties word count; mean/short_frac rounded
 #: half-up at 6 dp BEFORE the gate, exactly as the kernel computes kept
@@ -3027,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_boilerplate_paras": DOCS_BOILERPLATE_SQL,
         "docs_url_quality": DOCS_URL_QUALITY_SQL,
         "docs_host_stats": DOCS_HOST_STATS_SQL,
+        "corpus_change_rate": CORPUS_CHANGE_RATE_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

@@ -19,7 +19,6 @@ REAL_SQL = [
     "docs_c4_filters",
     "docs_boilerplate_paras",
     "docs_url_quality",
-    "docs_host_stats",
     "docs_gopher_quality",
     "docs_bm25_topk",
     "docs_frequent_words",
@@ -48,6 +47,8 @@ REAL_SQL = [
     "sitemap_roundtrip",
     "sitemap_recrawl_due",
     "audio_decode_features",
+    "docs_host_stats",
+    "corpus_change_rate",
 ]
 
 

@@ -2122,3 +2122,49 @@ def test_host_curation_stats_edges(ray_session):
         assert list(out["kept"]) == [True, False, False]
         assert out.loc[2, "short_frac"] == 1.0
         assert out.loc[0, "mean_words"] == 60.0
+
+
+def test_change_rate_priorities_kernel(ray_session):
+    """Recrawl estimator edges: single-obs -> 'new' with zeros;
+    all-change -> lambda_hat = -ln(0.5/(I+0.5)); no-change -> 0.0;
+    out-of-order input rows must be re-ordered by ts before the
+    adjacent compare; block count must not change the result."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_ray.functions.recrawl import change_rate_priorities
+
+    rows = [
+        # url 1: 3 obs, every interval changes (fed out of ts order)
+        {"url_id": 1, "ts": 30, "ver": 3},
+        {"url_id": 1, "ts": 10, "ver": 1},
+        {"url_id": 1, "ts": 20, "ver": 2},
+        # url 2: 3 obs, never changes
+        {"url_id": 2, "ts": 1, "ver": 7},
+        {"url_id": 2, "ts": 2, "ver": 7},
+        {"url_id": 2, "ts": 3, "ver": 7},
+        # url 3: single obs
+        {"url_id": 3, "ts": 5, "ver": 9},
+        # url 4: 5 obs, 1 change -> ratio 0.25 -> warm
+        {"url_id": 4, "ts": 1, "ver": 0},
+        {"url_id": 4, "ts": 2, "ver": 0},
+        {"url_id": 4, "ts": 3, "ver": 1},
+        {"url_id": 4, "ts": 4, "ver": 1},
+        {"url_id": 4, "ts": 5, "ver": 1},
+    ]
+    for par in (1, 4):
+        out = (
+            change_rate_priorities(rd.from_items(rows, override_num_blocks=par))
+            .to_pandas()
+            .sort_values("url_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_obs"]) == [3, 3, 1, 5]
+        assert list(out["n_changes"]) == [2, 0, 0, 1]
+        assert list(out["priority"]) == ["hot", "cold", "new", "warm"]
+        assert out.loc[2, "change_ratio"] == 0.0
+        assert out.loc[2, "lambda_hat"] == 0.0
+        want_lam = np.floor(-np.log(0.5 / 2.5) * 1e6 + 0.5) / 1e6
+        assert out.loc[0, "lambda_hat"] == want_lam
+        assert out.loc[1, "lambda_hat"] == 0.0
+        assert out.loc[3, "change_ratio"] == 0.25

@@ -1148,6 +1148,41 @@ def _docs_host_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _docs_quality_percentile(sf_dir: str) -> pd.DataFrame:
+    """Exact top-20% quality gate (functions/sketches.
+    exact_percentile_gate): the threshold is the ceil(0.8*n)-th smallest
+    rounded mean-word-length score, computed WITHOUT a global sort — an
+    exact (score -> count) histogram via per-batch combiner + bucketed
+    merge, cumulative count on the driver (histogram size bounded by the
+    6-dp score quantization, not the corpus) — then one elementwise flag
+    pass; ties at the threshold are kept in full. The SQL oracle restates
+    the k-th-smallest contract with row_number()."""
+    from crawler_ray.functions.sketches import exact_percentile_gate
+    from crawler_ray.functions.textstats import quality_scores
+
+    def score_of(t: pa.Table) -> pa.Table:
+        q = quality_scores(t)
+        s = np.floor(
+            q["mean_word_len"].to_numpy(zero_copy_only=False) * 1e6 + 0.5
+        ) / 1e6  # half-up, as DuckDB
+        return pa.table(
+            {
+                "doc_id": q["doc_id"].cast(pa.int64()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        score_of, batch_format="pyarrow"
+    )
+    _thr, flagged = exact_percentile_gate(ds, "score", quantile=0.8)
+    return (
+        flagged.to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _corpus_change_rate(sf_dir: str) -> pd.DataFrame:
     """Adaptive recrawl priorities from snapshot change history
     (functions/recrawl.change_rate_priorities — Cho & Garcia-Molina 2003
@@ -1820,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_scores": _repetition_scores,
         "docs_host_stats": _docs_host_stats,
         "corpus_change_rate": _corpus_change_rate,
+        "docs_quality_percentile": _docs_quality_percentile,
     }
 
 
@@ -2361,6 +2397,39 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
+#: exact percentile gate — the same mean-word-length expression as
+#: QUALITY_SCORES_SQL, rounded before ranking; k-th-smallest via
+#: row_number(), kept = score >= threshold (threshold ties kept in full)
+DOCS_QUALITY_PERCENTILE_SQL = r"""
+WITH feat AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(CASE WHEN len(words) > 0
+                    THEN list_aggregate(list_transform(words, w -> length(w)),
+                                        'avg')
+                    ELSE 0.0 END, 6) AS score
+  FROM feat
+),
+ranked AS (
+  SELECT score,
+         row_number() OVER (ORDER BY score) AS rn,
+         count(*) OVER () AS n
+  FROM scored
+),
+th AS (
+  SELECT min(score) AS t FROM ranked
+  WHERE rn >= greatest(1, ceil(0.8 * n))
+)
+SELECT doc_id, score, (score >= (SELECT t FROM th)) AS kept
+FROM scored
+ORDER BY doc_id
+"""
+
 #: recrawl change-rate estimator — same synthesized snapshot axis; the
 #: lag() window restates the adjacent-compare, and ratio/lambda round
 #: half-up at 6 dp BEFORE the class gate, exactly as the kernel does
@@ -3104,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_url_quality": DOCS_URL_QUALITY_SQL,
         "docs_host_stats": DOCS_HOST_STATS_SQL,
         "corpus_change_rate": CORPUS_CHANGE_RATE_SQL,
+        "docs_quality_percentile": DOCS_QUALITY_PERCENTILE_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

@@ -321,3 +321,65 @@ def frequent_words(
     out = exact[exact["cnt"] * phi_inv >= total].reset_index(drop=True)
     out["cnt"] = out["cnt"].astype(np.int64)
     return out
+
+
+def exact_percentile_gate(ds, score_col: str, quantile: float = 0.8):
+    """EXACT distributed percentile threshold + gate — the complement of
+    ``HistogramSketch``'s approximate quantiles, for when curation policy
+    needs a reproducible cut ("keep the top 20% by quality score") rather
+    than an estimate.
+
+    Semantics: with ``n`` rows and ``k = ceil(quantile * n)`` (clamped to
+    >= 1), the threshold is the k-th SMALLEST score (1-indexed); every
+    row with ``score >= threshold`` is kept — i.e. at least the top
+    ``1 - quantile`` fraction survives, with ties at the threshold kept
+    in full (deterministic, order-free). Returns ``(threshold, flagged)``
+    where ``flagged`` is a lazy Dataset with a ``kept`` bool column
+    appended; empty input returns ``(nan, ds-with-kept=False)``.
+
+    Scale shape: NO global sort. Pass 1 builds an exact (score -> count)
+    histogram — per-batch combiner + bucketed hash merge
+    (``shuffle.bucketed_group_agg``), so the exchange carries one row per
+    distinct score per batch. The histogram lands on the driver: its size
+    is bounded by the score's quantization, not the corpus (callers
+    should gate on a ROUNDED score — 6 dp over a unit-ish range is <=
+    ~1e7 distinct values; for an unbounded-domain score, pre-round
+    coarser or add a coarse-bucket refine level first). Pass 2 is one
+    elementwise flag over the original Dataset — note ``ds`` is executed
+    twice (lazy recompute), the normal trade at corpus scale where
+    caching the scored corpus would cost more than re-running the cheap
+    scoring map.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import bucketed_group_agg
+
+    hist = bucketed_group_agg(
+        ds, keys=[score_col], agg={"cnt": (score_col, "size")}
+    )
+
+    def flag_with(threshold: float):
+        def flag(t: pa.Table) -> pa.Table:
+            if np.isnan(threshold):
+                kept = pa.array(np.zeros(len(t), dtype=bool))
+            else:
+                kept = pc.greater_equal(t[score_col], pa.scalar(threshold))
+            return t.append_column("kept", kept)
+
+        return flag
+
+    if len(hist) == 0:
+        nan = float("nan")
+        return nan, ds.map_batches(flag_with(nan), batch_format="pyarrow")
+
+    hist = hist.sort_values(score_col).reset_index(drop=True)
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    k = max(1, math.ceil(quantile * n))
+    idx = int(np.searchsorted(np.cumsum(counts), k, side="left"))
+    threshold = float(hist[score_col].iloc[idx])
+    return threshold, ds.map_batches(
+        flag_with(threshold), batch_format="pyarrow"
+    )

@@ -49,6 +49,7 @@ REAL_SQL = [
     "audio_decode_features",
     "docs_host_stats",
     "corpus_change_rate",
+    "docs_quality_percentile",
 ]
 
 

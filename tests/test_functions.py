@@ -2168,3 +2168,34 @@ def test_change_rate_priorities_kernel(ray_session):
         assert out.loc[0, "lambda_hat"] == want_lam
         assert out.loc[1, "lambda_hat"] == 0.0
         assert out.loc[3, "change_ratio"] == 0.25
+
+
+def test_exact_percentile_gate(ray_session):
+    """k-th-smallest contract: with n=10 and quantile=0.8, k=8 -> the
+    8th smallest value is the threshold; threshold TIES are kept in
+    full; quantile=0 keeps everything; block count is irrelevant."""
+    import math
+
+    import ray.data as rd
+
+    from crawler_ray.functions.sketches import exact_percentile_gate
+
+    scores = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 8.0, 9.0]
+    rows = [{"doc_id": i, "score": s} for i, s in enumerate(scores)]
+    for par in (1, 4):
+        ds = rd.from_items(rows, override_num_blocks=par)
+        thr, flagged = exact_percentile_gate(ds, "score", quantile=0.8)
+        assert thr == 8.0
+        out = flagged.to_pandas().sort_values("doc_id")
+        # both 8.0 ties and 9.0 survive -> 3 kept, not 2
+        assert list(out[out.kept]["score"]) == [8.0, 8.0, 9.0]
+
+    thr0, flagged0 = exact_percentile_gate(
+        rd.from_items(rows), "score", quantile=0.0
+    )
+    assert thr0 == 1.0 and flagged0.to_pandas()["kept"].all()
+
+    thr_e, flagged_e = exact_percentile_gate(
+        rd.from_items(rows).filter(lambda r: False), "score"
+    )
+    assert math.isnan(thr_e) and len(flagged_e.to_pandas()) == 0

@@ -1148,6 +1148,52 @@ def _docs_host_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _images_phash_dups(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash image dedup END TO END
+    (functions/multimodal.PHashImage -> phash_dup_pairs): document text
+    bytes stand in as image payloads (img_id = doc_id for doc_id < 400,
+    plus PLANTED byte-identical copies at doc_id + 100000 for
+    doc_id < 40), hashed by the actor-pool DCT-pHash stage and paired by
+    8x8-bit banding + exact Hamming verify. Under this container's fake
+    codec, identical bytes give identical 64-bit hashes (hamming 0) and
+    distinct bytes give hash-random grids, so the TRUE pair set is
+    exactly the byte-equal pairs — which IS SQL-expressible (text
+    equality), making this a real oracle for the whole banding/verify
+    exchange, not a pinned table. With pillow installed the same stage
+    finds pixel-level near-dups (hamming <= 3); that branch is
+    skip-if-absent tested. Deterministic either way: text payloads are
+    not decodable images, so a present PIL falls back to the same fake
+    grid."""
+    from crawler_ray.functions.multimodal import PHashImage, phash_dup_pairs
+
+    def mkimgs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        out_ids, payloads = [], []
+        for i, s in zip(ids, texts):
+            if i < 400:
+                out_ids.append(int(i))
+                payloads.append((s or "").encode())
+            if i < 40:
+                out_ids.append(int(i) + 100000)
+                payloads.append((s or "").encode())
+        return pa.table(
+            {
+                "img_id": pa.array(out_ids, pa.int64()),
+                "data": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    hashed = (
+        _docs_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(mkimgs, batch_format="pyarrow")
+        .map_batches(
+            PHashImage, batch_format="pyarrow", concurrency=2, batch_size=256
+        )
+    )
+    return phash_dup_pairs(hashed, max_hamming=3)
+
+
 def _docs_quality_percentile(sf_dir: str) -> pd.DataFrame:
     """Exact top-20% quality gate (functions/sketches.
     exact_percentile_gate): the threshold is the ceil(0.8*n)-th smallest
@@ -1856,6 +1902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_host_stats": _docs_host_stats,
         "corpus_change_rate": _corpus_change_rate,
         "docs_quality_percentile": _docs_quality_percentile,
+        "images_phash_dups": _images_phash_dups,
     }
 
 
@@ -2397,6 +2444,23 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
+#: pHash dedup — under the deterministic fake codec the true pair set is
+#: exactly the byte-equal payload pairs (identical bytes -> identical
+#: hash; distinct bytes -> hash-random grids far beyond hamming 3), so
+#: text-equality SQL is a REAL oracle for the banding/verify exchange
+IMAGES_PHASH_DUPS_SQL = r"""
+WITH imgs AS (
+  SELECT doc_id AS img_id, coalesce(text, '') AS t
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id + 100000 AS img_id, coalesce(text, '') AS t
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.img_id AS a, b.img_id AS b, CAST(0 AS BIGINT) AS hamming
+FROM imgs a JOIN imgs b ON a.t = b.t AND a.img_id < b.img_id
+ORDER BY a, b
+"""
+
 #: exact percentile gate — the same mean-word-length expression as
 #: QUALITY_SCORES_SQL, rounded before ranking; k-th-smallest via
 #: row_number(), kept = score >= threshold (threshold ties kept in full)
@@ -3174,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_host_stats": DOCS_HOST_STATS_SQL,
         "corpus_change_rate": CORPUS_CHANGE_RATE_SQL,
         "docs_quality_percentile": DOCS_QUALITY_PERCENTILE_SQL,
+        "images_phash_dups": IMAGES_PHASH_DUPS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

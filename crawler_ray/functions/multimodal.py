@@ -428,3 +428,177 @@ class ResizeImage:
             .append_column("out_w", pa.array(ws, pa.int32()))
             .append_column("out_h", pa.array(hs, pa.int32()))
         )
+
+
+class PHashImage:
+    """Actor-pool perceptual-hash stage (pHash, the classic DCT variant:
+    Zauner 2010 "Implementation and Benchmarking of Perceptual Image Hash
+    Functions" §3.2): grayscale 32×32 → 2-D DCT-II → keep the top-left
+    8×8 low-frequency block → threshold each coefficient against the
+    MEDIAN of the 63 non-DC coefficients → 64-bit hash (bit i set iff
+    coefficient i > median; the DC term compares against the same
+    median). Near-duplicate images differ in a few low-frequency bits, so
+    Hamming distance on the hash is the dedup metric.
+
+    Codec contract mirrors ``DecodeImage``: PIL if importable (grayscale
+    + BILINEAR 32×32 resize), else a deterministic fake pixel grid
+    expanded from the payload's blake2b (identical bytes ⇒ identical
+    grid ⇒ identical hash — so EXACT duplicates are found even under the
+    fake codec, while pixel-level NEAR-dups need the real codec);
+    ``strict=True`` raises at the codec boundary instead of faking.
+
+    Determinism: coefficients are rounded half-up at 1e-4 BEFORE the
+    median/compare (engine and the independent pytest DCT reference round
+    identically), so summation-order float noise cannot flip a bit. The
+    DCT is one batched einsum per batch (D @ G @ Dᵀ over the stacked
+    grids); the basis matrix is built ONCE per actor in ``__init__``.
+    """
+
+    GRID = 32
+
+    def __init__(self, strict: bool = False, codec: str = "auto") -> None:
+        self.strict = strict
+        self.codec = None
+        if codec in ("auto", "pil"):
+            try:
+                import io as _io
+
+                from PIL import Image as _Image
+
+                self.codec = (_Image, _io)
+            except ImportError:
+                if codec == "pil":
+                    raise
+        n = self.GRID
+        # orthonormal DCT-II basis: D[k, x] = c(k) cos(pi (2x+1) k / 2n)
+        k = np.arange(n)[:, None].astype(np.float64)
+        x = np.arange(n)[None, :].astype(np.float64)
+        d = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+        d[0, :] *= np.sqrt(1.0 / n)
+        d[1:, :] *= np.sqrt(2.0 / n)
+        self._dct = d
+
+    def _grid(self, data: bytes) -> np.ndarray:
+        n = self.GRID
+        if self.codec is not None:
+            _Image, _io = self.codec
+            try:
+                img = _Image.open(_io.BytesIO(data or b""))
+                img = img.convert("L").resize((n, n), _Image.BILINEAR)
+                return np.asarray(img, dtype=np.float64) / 255.0
+            except NotImplementedError:
+                raise
+            except Exception:
+                if self.strict:
+                    raise
+        if self.strict:
+            raise NotImplementedError(
+                "image codec not available in this environment; "
+                "install pillow (PHashImage picks it up per actor)"
+            )
+        # deterministic fake pixels: blake2b XOF-style expansion of the
+        # payload into n*n bytes (identical bytes -> identical grid)
+        chunks = [
+            hashlib.blake2b(
+                (data or b"") + bytes([i]), digest_size=64
+            ).digest()
+            for i in range((n * n) // 64)
+        ]
+        raw = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        return raw.reshape(n, n).astype(np.float64) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grids = np.stack(
+            [self._grid(d) for d in batch["data"].to_pylist()]
+        ) if len(batch) else np.zeros((0, self.GRID, self.GRID))
+        d = self._dct
+        coef = np.einsum("ij,njk,lk->nil", d, grids, d)
+        block = coef[:, :8, :8].reshape(len(batch), 64)
+        block = np.floor(block * 1e4 + 0.5) / 1e4  # quantize pre-compare
+        med = np.median(block[:, 1:], axis=1, keepdims=True)
+        bits = (block > med).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        phash = (bits * weights).sum(axis=1, dtype=np.uint64)
+        return batch.drop_columns(["data"]).append_column(
+            "phash", pa.array(phash, pa.uint64())
+        )
+
+
+def phash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "img_id"):
+    """Near-duplicate image pairs by pHash banding: the 64-bit hash is
+    split into 8×8-bit bands; images sharing ANY band value are
+    candidates (pigeonhole guarantees recall for Hamming ≤ 7), then the
+    exact Hamming distance verifies. Returns ``(a, b, hamming)`` pairs
+    sorted by id — candidate-bounded, never all-pairs (same exchange
+    shape as dedup.simhash_pairs; the input Dataset must already carry
+    the ``phash`` column from the ``PHashImage`` stage).
+    """
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        ph = batch["phash"].to_numpy().astype(np.uint64)
+        shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
+        bvs = ((ph[:, None] >> shifts) & np.uint64(0xFF)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 8), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(8, dtype=np.int32), len(ids)), pa.int32()
+                ),
+                "band_val": pa.array(
+                    (bvs + 256 * np.arange(8, dtype=np.int32)).ravel(),
+                    pa.int32(),
+                ),
+                "phash": pa.array(np.repeat(ph, 8), pa.uint64()),
+            }
+        )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("band_val", sort=False):
+            rows = g.drop_duplicates(id_col).sort_values(id_col)
+            if len(rows) < 2:
+                continue
+            ids = rows[id_col].to_numpy()
+            ph = rows["phash"].to_numpy(dtype=np.uint64)
+            iu = np.triu_indices(len(ids), k=1)
+            x = ph[iu[0]] ^ ph[iu[1]]
+            dist = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
+            keep = dist <= max_hamming
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[iu[0]][keep],
+                            "b": ids[iu[1]][keep],
+                            "hamming": dist[keep],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"a": [], "b": [], "hamming": []}, dtype="int64"
+            )
+        return pd.concat(out, ignore_index=True)
+
+    refs = bucketed_group_map_refs(
+        ds.map_batches(bands, batch_format="pyarrow"),
+        bucket_on="band_val",
+        fn=pairs_in_bucket,
+    )
+    got = (
+        gather_refs_pd(refs)
+        if refs is not None
+        else pd.DataFrame({"a": [], "b": [], "hamming": []})
+    )
+    if len(got) == 0:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []}, dtype="int64")
+    return (
+        got.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64", "hamming": "int64"})
+    )

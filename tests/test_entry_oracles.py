@@ -50,6 +50,7 @@ REAL_SQL = [
     "docs_host_stats",
     "corpus_change_rate",
     "docs_quality_percentile",
+    "images_phash_dups",
 ]
 
 

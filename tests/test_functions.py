@@ -2199,3 +2199,138 @@ def test_exact_percentile_gate(ray_session):
         rd.from_items(rows).filter(lambda r: False), "score"
     )
     assert math.isnan(thr_e) and len(flagged_e.to_pandas()) == 0
+
+
+def test_phash_matches_independent_dct_reference():
+    """Bit-for-bit pHash parity against a from-scratch reference that
+    builds the fake pixel grid and the 2-D DCT-II with explicit
+    per-coefficient cosine sums (different summation order than the
+    stage's einsum; the shared 1e-4 quantization absorbs float noise)."""
+    import hashlib
+    import math
+
+    from crawler_ray.functions.multimodal import PHashImage
+
+    def ref_phash(data: bytes) -> int:
+        n = 32
+        chunks = [
+            hashlib.blake2b(data + bytes([i]), digest_size=64).digest()
+            for i in range((n * n) // 64)
+        ]
+        g = [b / 255.0 for b in b"".join(chunks)]
+        coef = []
+        for k in range(8):
+            for l in range(8):
+                ck = math.sqrt((1.0 if k == 0 else 2.0) / n)
+                cl = math.sqrt((1.0 if l == 0 else 2.0) / n)
+                s = 0.0
+                for xx in range(n):
+                    for yy in range(n):
+                        s += (
+                            g[xx * n + yy]
+                            * math.cos(math.pi * (2 * xx + 1) * k / (2 * n))
+                            * math.cos(math.pi * (2 * yy + 1) * l / (2 * n))
+                        )
+                coef.append(math.floor(ck * cl * s * 1e4 + 0.5) / 1e4)
+        med = sorted(coef[1:])[31]  # median of 63 values = 32nd smallest
+        return sum(1 << i for i, c in enumerate(coef) if c > med)
+
+    stage = PHashImage(codec="fake")
+    payloads = [b"", b"hello world", b"x" * 500, bytes(range(256))]
+    tbl = pa.table(
+        {
+            "img_id": pa.array(range(len(payloads)), pa.int64()),
+            "data": pa.array(payloads, pa.binary()),
+        }
+    )
+    got = stage(tbl)["phash"].to_pylist()
+    for data, g in zip(payloads, got):
+        assert g == ref_phash(data), data
+
+
+def test_phash_dup_pairs_banding_recall(ray_session):
+    """Pigeonhole recall: any pair within Hamming <= 7 shares at least
+    one 8-bit band, so the banded candidate search must find EVERY pair
+    <= max_hamming — checked against brute force over a synthetic hash
+    column with planted 1-, 3- and 8-bit flips (the 8-bit flip must be
+    excluded by the verify step even when bands collide)."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.multimodal import phash_dup_pairs
+
+    base = 0xDEADBEEFCAFEBABE
+    hashes = {
+        0: base,
+        1: base ^ 0x1,                      # hamming 1
+        2: base ^ 0b111,                    # hamming 3
+        3: base ^ 0xFF,                     # hamming 8 -> not a pair
+        4: 0x0123456789ABCDEF,              # far away
+        5: 0x0123456789ABCDEE,              # hamming 1 from 4
+    }
+    tbl = pa.table(
+        {
+            "img_id": pa.array(list(hashes), pa.int64()),
+            "phash": pa.array(list(hashes.values()), pa.uint64()),
+        }
+    )
+    got = phash_dup_pairs(rd.from_arrow(tbl), max_hamming=3)
+    want = []
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want.append((a, b, d))
+    assert list(map(tuple, got.to_numpy())) == want
+    assert (0, 3, 8) not in list(map(tuple, got.to_numpy()))
+
+
+def test_phash_strict_without_codec_raises():
+    from crawler_ray.functions.multimodal import PHashImage
+
+    stage = PHashImage(strict=True, codec="none")
+    tbl = pa.table(
+        {
+            "img_id": pa.array([1], pa.int64()),
+            "data": pa.array([b"zz"], pa.binary()),
+        }
+    )
+    try:
+        from PIL import Image  # noqa: F401
+
+        pytest.skip("PIL present: strict mode would use the real codec")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        stage(tbl)
+
+
+def test_phash_real_pil_near_dup():
+    """With a real codec, a one-pixel perturbation must stay within a
+    few low-frequency bits (skip-if-absent: no image library here)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from crawler_ray.functions.multimodal import PHashImage
+
+    def png_bytes(img):
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    img = Image.new("L", (64, 64))
+    img.putdata([(x * 4 + y) % 256 for x in range(64) for y in range(64)])
+    near = img.copy()
+    near.putpixel((3, 3), 255)
+    stage = PHashImage(codec="pil")
+    tbl = pa.table(
+        {
+            "img_id": pa.array([0, 1], pa.int64()),
+            "data": pa.array([png_bytes(img), png_bytes(near)], pa.binary()),
+        }
+    )
+    ph = stage(tbl)["phash"].to_pylist()
+    d = bin(ph[0] ^ ph[1]).count("1")
+    assert d <= 6, d

@@ -1740,7 +1740,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_curation_funnel": _docs_curation_funnel,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
-        "doc_quality_scores": _quality_scores,
+        # images_phash_dups took doc_quality_scores's checked slot in
+        # round 4 (quality-features family keeps docs_repetition_full,
+        # docs_gopher_quality and the percentile gate's identical
+        # mean_word_len expression in-window; doc_quality_scores keeps
+        # its green CORRECTNESS_r03 row and pytest oracle)
+        "images_phash_dups": _images_phash_dups,
         # round-4 swap: the complete Gopher repetition family (legacy
         # line/bigram signals JOINED with top-2/3/4-gram and duplicate
         # 5..10-gram char ratios — merged-query pattern) takes the slot
@@ -1757,7 +1762,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webtext_training_set": _webtext_training_set,
         "events_value_quantile_sketch": _events_value_quantile_sketch,
         # -- slots 24-50: one representative per previously-green family
-        "q1_pricing_summary": R.q1_pricing_summary,
+        # docs_host_stats took q1_pricing_summary's checked slot in
+        # round 4 (grouped-rollup family keeps green r03 rows of its
+        # own: q1, part_type_stats, events_by_type, events_hourly)
+        "docs_host_stats": _docs_host_stats,
         # round-4 swap: test-set decontamination (8-gram GPT-3/PaLM rule,
         # its OWN operator family) takes the slot of
         # q3_segment_top_orders, whose join+agg+top-k family keeps q1,
@@ -1805,7 +1813,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by pack_chunks/global_shuffle; green r01-r03 row of its own)
         "docs_text_near_dups": _docs_text_near_dups,
         "docs_global_shuffle": R.docs_global_shuffle,
-        "customers_without_orders": R.customers_without_orders,
+        # corpus_change_rate took customers_without_orders's checked
+        # slot in round 4 (anti-join family keeps corpus_url_dedup
+        # in-window and its own green r03 row)
+        "corpus_change_rate": _corpus_change_rate,
         # round-4 sitemap source takes the window slot of
         # order_status_with_lineitems, whose semi/anti-join family keeps
         # customers_without_orders in-window and a green r03 row of its own
@@ -1828,7 +1839,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # against the SAME pinned oracle; the broadcast form keeps its
         # green r03 row and the pytest parity test
         "crawl_host_pagerank_sharded": _crawl_host_pagerank_sharded,
-        "crawl_anchor_texts": _crawl_anchor_texts,
+        # docs_quality_percentile took crawl_anchor_texts's checked
+        # slot in round 4 (host-graph family keeps
+        # crawl_host_pagerank_sharded and crawl_host_hits in-window;
+        # anchor texts keep their green r03 row and pinned oracle)
+        "docs_quality_percentile": _docs_quality_percentile,
         "dedup_minhash_clusters": _dedup_minhash,
         # round-4 swap: jusText-style context-sensitive boilerplate
         # paragraph classification (first driver check, real SQL oracle)
@@ -1899,10 +1914,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snapshot_dedup": _docs_snapshot_dedup,
         "doc_tfidf_topk": R.doc_tfidf_topk,
         "doc_repetition_scores": _repetition_scores,
-        "docs_host_stats": _docs_host_stats,
-        "corpus_change_rate": _corpus_change_rate,
-        "docs_quality_percentile": _docs_quality_percentile,
-        "images_phash_dups": _images_phash_dups,
+        "doc_quality_scores": _quality_scores,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "customers_without_orders": R.customers_without_orders,
+        "crawl_anchor_texts": _crawl_anchor_texts,
     }
 
 

@@ -127,7 +127,11 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "docs_curation_funnel",
         "lang_id_counts",
         "doc_fingerprints",
-        "doc_quality_scores",
+        # quality-features family: images_phash_dups took
+        # doc_quality_scores's slot late in round 4; the family keeps
+        # docs_repetition_full + docs_gopher_quality in-window and
+        # docs_quality_percentile gates on the same mean_word_len
+        # expression (doc_quality_scores keeps its green r03 row)
         # repetition family: docs_repetition_full (merged query containing
         # doc_repetition_scores's columns verbatim) holds the slot
         "doc_normalized_redacted",  # join of doc_normalized + doc_redacted
@@ -174,6 +178,15 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # complete Gopher repetition family (merged query containing
         # doc_repetition_scores's columns verbatim, whose slot it took)
         "docs_repetition_full",
+        # final round-4 additions, each swapped in for a long-green row
+        # holder: host-level curation stats (took q1_pricing_summary's
+        # slot), recrawl change-rate (took customers_without_orders's),
+        # exact percentile gate (took crawl_anchor_texts's), and pHash
+        # image dedup (took doc_quality_scores's)
+        "docs_host_stats",
+        "corpus_change_rate",
+        "docs_quality_percentile",
+        "images_phash_dups",
     }
     assert round3 <= set(window), round3 - set(window)
 

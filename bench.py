@@ -435,6 +435,32 @@ def run_bench() -> dict:
                 "crawl_host_pagerank_sharded"
             ](SF_DIR),
         ),
+        # final round-4 additions: domain gate, recrawl estimator,
+        # exact percentile, pHash dedup
+        (
+            "host_stats",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_host_stats"
+            ](SF_DIR),
+        ),
+        (
+            "change_rate",
+            lambda: __import__("__ray_entry__").queries()[
+                "corpus_change_rate"
+            ](SF_DIR),
+        ),
+        (
+            "quality_percentile",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_quality_percentile"
+            ](SF_DIR),
+        ),
+        (
+            "phash_dups",
+            lambda: __import__("__ray_entry__").queries()[
+                "images_phash_dups"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

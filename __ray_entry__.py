@@ -1148,6 +1148,37 @@ def _docs_host_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _crawl_trap_hosts(sf_dir: str) -> pd.DataFrame:
+    """Crawler-trap host detection from URL shape
+    (functions/urlfilter.trap_host_stats — deep-path / query-explosion
+    heuristics per authority). The sf* documents table carries no URL,
+    so the query synthesizes one deterministically per doc:
+    ``http://h{doc_id % 23}.example/`` + ``p{doc_id % 7}/`` repeated
+    ``doc_id % 6`` times + ``?s={doc_id}`` iff ``n_chars % 4 == 0`` —
+    and BOTH sides then PARSE the URL string (regex authority/path
+    extraction, segment count, query detection), so the oracle checks
+    the parsing kernels, not the synthesis. Thresholds (mean depth
+    >= 2.5 OR query fraction >= 0.3, >= 5 URLs) flag 15/23 hosts at
+    sf0.001 and 17/23 at sf0.01."""
+    from crawler_ray.functions.urlfilter import trap_host_stats
+
+    def mkurls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        nch = t["n_chars"].to_numpy()
+        urls = [
+            f"http://h{i % 23}.example/"
+            + (f"p{i % 7}/" * (i % 6))
+            + (f"?s={i}" if c % 4 == 0 else "")
+            for i, c in zip(ids, nch)
+        ]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = _docs_ds(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        mkurls, batch_format="pyarrow"
+    )
+    return trap_host_stats(ds, min_urls=5, depth_hi=2.5, query_hi=0.3)
+
+
 def _images_phash_dups(sf_dir: str) -> pd.DataFrame:
     """Perceptual-hash image dedup END TO END
     (functions/multimodal.PHashImage -> phash_dup_pairs): document text
@@ -1918,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "customers_without_orders": R.customers_without_orders,
         "crawl_anchor_texts": _crawl_anchor_texts,
+        "crawl_trap_hosts": _crawl_trap_hosts,
     }
 
 
@@ -2459,6 +2491,41 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
+#: trap-host detection — same synthesized URLs; the oracle REPARSES the
+#: URL string (authority/path regex, non-empty segment count, '?'
+#: detection), so the check exercises the kernels, not the synthesis
+CRAWL_TRAP_HOSTS_SQL = r"""
+WITH d AS (
+  SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR) || '.example/' ||
+         repeat('p' || CAST(doc_id % 7 AS VARCHAR) || '/', doc_id % 6) ||
+         CASE WHEN n_chars % 4 = 0 THEN '?s=' || CAST(doc_id AS VARCHAR)
+              ELSE '' END AS url
+  FROM documents
+),
+parsed AS (
+  SELECT regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+           AS host,
+         len(list_filter(
+               string_split(
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+                 '/'),
+               s -> s <> '')) AS depth,
+         contains(url, '?')::INT AS has_q
+  FROM d
+),
+g AS (
+  SELECT host, count(*) AS n_urls,
+         round(avg(depth), 6) AS mean_depth,
+         round(avg(has_q), 6) AS query_frac
+  FROM parsed GROUP BY host
+)
+SELECT host, n_urls, mean_depth, query_frac,
+       (n_urls >= 5 AND (mean_depth >= 2.5 OR query_frac >= 0.3)) AS trap
+FROM g
+ORDER BY host
+"""
+
 #: pHash dedup — under the deterministic fake codec the true pair set is
 #: exactly the byte-equal payload pairs (identical bytes -> identical
 #: hash; distinct bytes -> hash-random grids far beyond hamming 3), so
@@ -3254,6 +3321,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_change_rate": CORPUS_CHANGE_RATE_SQL,
         "docs_quality_percentile": DOCS_QUALITY_PERCENTILE_SQL,
         "images_phash_dups": IMAGES_PHASH_DUPS_SQL,
+        "crawl_trap_hosts": CRAWL_TRAP_HOSTS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

@@ -461,6 +461,12 @@ def run_bench() -> dict:
                 "images_phash_dups"
             ](SF_DIR),
         ),
+        (
+            "trap_hosts",
+            lambda: __import__("__ray_entry__").queries()[
+                "crawl_trap_hosts"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

@@ -125,3 +125,100 @@ def url_filter(ds, **kwargs):
     with ``(host, soft_score, banned_host, kept)``; the surviving corpus
     is ``.filter(kept)``."""
     return ds.map_batches(url_quality, batch_format="pyarrow", fn_kwargs=kwargs)
+
+
+#: authority (incl. any port/userinfo — the raw trap key) and the path
+#: between authority and the first '?'/'#'
+_AUTH_PATH_PATTERN = (
+    r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
+)
+
+
+def trap_host_stats(
+    ds,
+    *,
+    url_col: str = "url",
+    min_urls: int = 5,
+    depth_hi: float = 2.5,
+    query_hi: float = 0.3,
+):
+    """Crawler-trap host detection from URL SHAPE alone — the classic
+    frontier-hygiene heuristic (Heydon & Najork's Mercator, 1999, and
+    every production crawler since): hosts whose discovered URLs are
+    systematically deep (calendar/pagination traps) or query-heavy
+    (session-id / faceted-search explosions) get flagged before they eat
+    the politeness budget. This inspects only the frontier table — no
+    fetch needed — so it runs BEFORE dispatch, complementing
+    ``url_filter`` (per-URL policy) and the per-host budget (hard cap).
+
+    Per URL (vectorized, one pass): ``host`` = the raw authority after
+    ``scheme://`` (incl. port — the trap key is the exact authority),
+    ``depth`` = count of non-empty '/'-separated path segments,
+    ``has_query`` = contains '?'. Per host: ``n_urls``, ``mean_depth``
+    and ``query_frac`` (each rounded half-up to 6 dp), and
+    ``trap = n_urls >= min_urls AND (mean_depth >= depth_hi OR
+    query_frac >= query_hi)`` — the flag computed FROM THE ROUNDED
+    values (same consumer-can-recompute contract as ``url_quality``).
+
+    Scale shape: identical to hoststats — per-batch feature derivation +
+    combiner, one bucketed host exchange, host-cardinality result (the
+    small side by contract; feed ``trap`` hosts back into the frontier
+    as a blocklist join). URLs that don't parse as absolute hierarchical
+    URLs are dropped from the stats (counted nowhere), matching the
+    crawl engine's warn-and-drop contract for malformed findings.
+    """
+    import pandas as pd
+
+    from ..stages.shuffle import bucketed_group_agg
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        urls = pc.fill_null(t[url_col], "").combine_chunks()
+        m = pc.extract_regex(urls, _AUTH_PATH_PATTERN)
+        ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        host = pc.struct_field(m, "auth").to_numpy(zero_copy_only=False)
+        path = pc.struct_field(m, "path")
+        # non-empty path-segment count: explode + mask + bincount
+        segs = pc.split_pattern(pc.fill_null(path, ""), pattern="/")
+        vals = segs.values.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        nonempty = vals != ""
+        depth = np.bincount(row_idx[nonempty], minlength=len(lens))
+        has_q = pc.match_substring(urls, "?").to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "host": host[ok],
+                "depth": depth[ok].astype(np.int64),
+                "has_q": has_q[ok].astype(np.int64),
+            }
+        )
+
+    derived = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    g = bucketed_group_agg(
+        derived,
+        keys=["host"],
+        agg={
+            "n_urls": ("depth", "size"),
+            "sum_depth": ("depth", "sum"),
+            "n_query": ("has_q", "sum"),
+        },
+    )
+    n = g["n_urls"].to_numpy(dtype=np.int64)
+    mean_depth = np.floor(
+        g["sum_depth"].to_numpy(dtype=np.float64) / n * 1e6 + 0.5
+    ) / 1e6
+    query_frac = np.floor(
+        g["n_query"].to_numpy(dtype=np.float64) / n * 1e6 + 0.5
+    ) / 1e6
+    out = pd.DataFrame(
+        {
+            "host": g["host"],
+            "n_urls": n,
+            "mean_depth": mean_depth,
+            "query_frac": query_frac,
+            "trap": (n >= min_urls)
+            & ((mean_depth >= depth_hi) | (query_frac >= query_hi)),
+        }
+    )
+    return out.sort_values("host").reset_index(drop=True)

@@ -51,6 +51,7 @@ REAL_SQL = [
     "corpus_change_rate",
     "docs_quality_percentile",
     "images_phash_dups",
+    "crawl_trap_hosts",
 ]
 
 

@@ -2334,3 +2334,35 @@ def test_phash_real_pil_near_dup():
     ph = stage(tbl)["phash"].to_pylist()
     d = bin(ph[0] ^ ph[1]).count("1")
     assert d <= 6, d
+
+
+def test_trap_host_stats_parsing_edges(ray_session):
+    """URL-shape kernels: ports kept in the authority key, empty path
+    segments not counted, '?' anywhere after authority counts as query,
+    malformed URLs dropped from the stats entirely, thresholds gate on
+    the ROUNDED values."""
+    import ray.data as rd
+
+    from crawler_ray.functions.urlfilter import trap_host_stats
+
+    rows = [
+        {"url": "http://deep.example/a/b/c/d"},
+        {"url": "http://deep.example/a//b/"},     # empty segs don't count
+        {"url": "http://deep.example:8080/x"},    # different authority
+        {"url": "http://q.example/?page=1"},
+        {"url": "http://q.example/cal?d=2026-01"},
+        {"url": "not a url"},                     # dropped
+        {"url": "relative/path"},                 # dropped
+        {"url": "http://plain.example/"},
+    ]
+    out = trap_host_stats(
+        rd.from_items(rows, override_num_blocks=2),
+        min_urls=2, depth_hi=3.0, query_hi=0.5,
+    )
+    assert list(out["host"]) == [
+        "deep.example", "deep.example:8080", "plain.example", "q.example"
+    ]
+    assert list(out["n_urls"]) == [2, 1, 1, 2]
+    assert out.loc[0, "mean_depth"] == 3.0      # (4 + 2) / 2
+    assert list(out["trap"]) == [True, False, False, True]
+    assert out.loc[3, "query_frac"] == 1.0

@@ -94,6 +94,7 @@ def simulate(
     priority: str = "canonical",
     respect_robots: bool = False,
     host_rank: "dict[str, float] | None" = None,
+    blocked_hosts: "set[str] | None" = None,
 ) -> CrawlResult:
     res = CrawlResult()
     robots: dict[str, list[str]] = {}
@@ -112,6 +113,18 @@ def simulate(
         wave = res.n_waves
         res.n_waves += 1
         current, queue = queue, []
+
+        # blocklist gate (extension — e.g. trap_host_stats output): first
+        # of the frontier gates, before robots/hostless/budget, uncounted
+        if blocked_hosts:
+            kept = []
+            for item in current:
+                u = un.parse(item[0])
+                if u.host is not None and u.host in blocked_hosts:
+                    res.metrics["dropped_blocked_host"] += 1
+                else:
+                    kept.append(item)
+            current = kept
 
         # robots gate (extension): before hostless/budget, uncounted
         if respect_robots:

@@ -53,6 +53,33 @@ def with_host(frontier: pa.Table) -> pa.Table:
     return frontier.append_column("host", host.cast(pa.string()))
 
 
+def filter_blocked_hosts(
+    frontier: pa.Table, blocked: "set[str] | frozenset[str]"
+) -> "tuple[pa.Table, int]":
+    """Host-blocklist frontier gate (extension) — the consumer of
+    ``urlfilter.trap_host_stats``'s trap flags and any operator-supplied
+    domain blocklist: findings whose host is in the blocklist are dropped
+    UNCOUNTED (like the robots gate — they never compete for the budget),
+    before the hostless drop and priority sort. One vectorized ``is_in``
+    over the already-attached ``host`` column; hostless (null-host) rows
+    pass through so the politeness gate can count them as
+    ``dropped_hostless`` exactly as without a blocklist. Returns
+    ``(kept_frontier, n_dropped)``."""
+    if not blocked or frontier.num_rows == 0:
+        return frontier, 0
+    hit = pc.fill_null(
+        pc.is_in(
+            frontier["host"],
+            value_set=pa.array(sorted(blocked), pa.string()),
+        ),
+        False,
+    )
+    n = int(pc.sum(pc.cast(hit, pa.int64())).as_py() or 0)
+    if n == 0:
+        return frontier, 0
+    return frontier.filter(pc.invert(hit)), n
+
+
 #: priority modes → (pandas sort columns, ascending flags). The priority
 #: frontier (north_rule) is realized as the wave's admission ORDER: which
 #: findings win the per-host budget and in what rank they dispatch.

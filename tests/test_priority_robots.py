@@ -526,3 +526,103 @@ def test_two_epoch_pagerank_ranked_recrawl(t1_corpus, tmp_path):
         ),
     )
     assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocked_hosts_gate_matches_oracle(t1_corpus, tmp_path):
+    """Host-blocklist frontier gate (the trap_host_stats consumer):
+    engine == oracle with two of the five hosts blocked; blocked hosts
+    consume NO budget, appear nowhere in the archive, and the drop
+    metric matches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    blocked = {"host1.test", "host3.test"}
+    res = oracle.simulate(corpus, seeds, blocked_hosts=blocked)
+    assert res.metrics["dropped_blocked_host"] > 0  # the gate must bind
+
+    bl_path = tmp_path / "blocklist.parquet"
+    pq.write_table(pa.table({"host": sorted(blocked)}), bl_path)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_blocked"),
+        CrawlConfig(num_seen_shards=4, blocked_hosts_path=str(bl_path)),
+    )
+    assert_run_matches_oracle(run, res, tbl)
+    hc = run.host_counts()
+    assert all(h not in hc or hc[h] == 0 for h in blocked)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocked_hosts_streaming_path_matches_oracle(t1_corpus, tmp_path):
+    """Same gate through the streaming wave machinery
+    (ray_state_threshold=0): the blocklist is a frontier-table gate, so
+    the driver re-reads the frontier — and still matches the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    blocked = {"host0.test"}
+    res = oracle.simulate(corpus, seeds, blocked_hosts=blocked)
+    bl_path = tmp_path / "blocklist_s.parquet"
+    pq.write_table(pa.table({"host": sorted(blocked)}), bl_path)
+    run = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "run_blocked_stream"),
+        CrawlConfig(
+            num_seen_shards=4,
+            blocked_hosts_path=str(bl_path),
+            ray_state_threshold=0,
+        ),
+    )
+    assert_run_matches_oracle(run, res, tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trap_stats_feed_blocklist_composition(t1_corpus, tmp_path):
+    """Epoch loop: crawl 1's dispatched URLs -> trap_host_stats -> trap
+    hosts become crawl 2's blocklist (the production hygiene cycle).
+    With thresholds chosen so the deep-path fixture host trips the trap
+    rule, crawl 2 must equal the oracle with exactly those hosts
+    blocked."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.functions.urlfilter import trap_host_stats
+
+    path, tbl = t1_corpus
+    seeds = fixtures.default_seeds(5)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+
+    run1 = run_crawl(
+        path, seeds, str(tmp_path / "epoch1"), CrawlConfig(num_seen_shards=4)
+    )
+    order = run1.order()  # (wave, rank, url, kind, depth)
+    stats = trap_host_stats(
+        rd.from_arrow(order.select(["url"])),
+        min_urls=3,
+        depth_hi=1.9,  # the img hosts' /imgs/x{k}.png URLs are all depth 2
+        query_hi=1.1,  # query rule off: this corpus has no query URLs
+    )
+    traps = set(stats[stats["trap"]]["host"])
+    # of the DISPATCHED hosts, only the deep /imgs/x{k}.png host trips
+    assert traps == {"img0.test"}
+
+    bl_path = tmp_path / "trap_blocklist.parquet"
+    pq.write_table(pa.table({"host": sorted(traps)}), bl_path)
+    res = oracle.simulate(corpus, seeds, blocked_hosts=traps)
+    run2 = run_crawl(
+        path,
+        seeds,
+        str(tmp_path / "epoch2"),
+        CrawlConfig(num_seen_shards=4, blocked_hosts_path=str(bl_path)),
+    )
+    assert_run_matches_oracle(run2, res, tbl)

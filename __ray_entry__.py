@@ -1148,6 +1148,42 @@ def _docs_host_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _crawl_mirror_hosts(sf_dir: str) -> pd.DataFrame:
+    """Mirror-host detection (functions/dedup.mirror_host_pairs — Bharat
+    & Broder 1999 overlap-coefficient over per-host content-fingerprint
+    sets). Host synthesized as ``h{doc_id % 13}``; a PLANTED mirror host
+    ``mirror3`` re-serves the text of every ``doc_id % 13 == 3`` doc with
+    ``doc_id < 200``, so its content is a strict subset of ``h3``'s and
+    the pair must surface with overlap exactly 1.0, while natural
+    cross-host duplicate texts stay far below the 0.5 gate. Content keys
+    are 64-bit text hashes in the engine and raw text equality in the
+    SQL oracle — identical pair sets absent a 64-bit collision (~1e-15
+    at this corpus size)."""
+    from crawler_ray.functions.dedup import mirror_host_pairs
+
+    def mkhosts(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        hosts, out_texts = [], []
+        for i, s in zip(ids, texts):
+            hosts.append(f"h{i % 13}")
+            out_texts.append(s or "")
+            if i % 13 == 3 and i < 200:
+                hosts.append("mirror3")
+                out_texts.append(s or "")
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        mkhosts, batch_format="pyarrow"
+    )
+    return mirror_host_pairs(ds, threshold=0.5, min_shared=2)
+
+
 def _crawl_trap_hosts(sf_dir: str) -> pd.DataFrame:
     """Crawler-trap host detection from URL shape
     (functions/urlfilter.trap_host_stats — deep-path / query-explosion
@@ -1950,6 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.customers_without_orders,
         "crawl_anchor_texts": _crawl_anchor_texts,
         "crawl_trap_hosts": _crawl_trap_hosts,
+        "crawl_mirror_hosts": _crawl_mirror_hosts,
     }
 
 
@@ -2491,6 +2528,36 @@ DOCS_REPETITION_FULL_SQL = _make_repetition_full_sql()
 #: greatest(n,1)) so the unrounded rule compares agree bit-for-bit; the
 #: '...'-count uses the replace-length arithmetic, which is the same
 #: non-overlapping count as Arrow's count_substring.
+#: mirror-host detection — same synthesized hosts + planted mirror; the
+#: oracle joins on raw TEXT equality where the engine joins on 64-bit
+#: text hashes (identical pair sets absent a hash collision)
+CRAWL_MIRROR_HOSTS_SQL = r"""
+WITH hk0 AS (
+  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+         coalesce(text, '') AS t
+  FROM documents
+  UNION ALL
+  SELECT 'mirror3' AS host, coalesce(text, '') AS t
+  FROM documents WHERE doc_id % 13 = 3 AND doc_id < 200
+),
+hk AS (SELECT DISTINCT host, t FROM hk0),
+nh AS (SELECT host, count(*) AS n FROM hk GROUP BY host),
+p AS (
+  SELECT x.host AS a, y.host AS b, count(*) AS shared
+  FROM hk x JOIN hk y ON x.t = y.t AND x.host < y.host
+  GROUP BY x.host, y.host
+)
+SELECT a, b, shared,
+       round(shared::DOUBLE / least(na.n, nb.n), 6) AS overlap,
+       round(shared::DOUBLE / (na.n + nb.n - shared), 6) AS jaccard
+FROM p
+JOIN nh na ON p.a = na.host
+JOIN nh nb ON p.b = nb.host
+WHERE shared >= 2
+  AND round(shared::DOUBLE / least(na.n, nb.n), 6) >= 0.5
+ORDER BY a, b
+"""
+
 #: trap-host detection — same synthesized URLs; the oracle REPARSES the
 #: URL string (authority/path regex, non-empty segment count, '?'
 #: detection), so the check exercises the kernels, not the synthesis
@@ -3322,6 +3389,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_percentile": DOCS_QUALITY_PERCENTILE_SQL,
         "images_phash_dups": IMAGES_PHASH_DUPS_SQL,
         "crawl_trap_hosts": CRAWL_TRAP_HOSTS_SQL,
+        "crawl_mirror_hosts": CRAWL_MIRROR_HOSTS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

@@ -467,6 +467,12 @@ def run_bench() -> dict:
                 "crawl_trap_hosts"
             ](SF_DIR),
         ),
+        (
+            "mirror_hosts",
+            lambda: __import__("__ray_entry__").queries()[
+                "crawl_mirror_hosts"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

@@ -1698,3 +1698,141 @@ def canonical_url_dedup(ds, url_col: str = "url", ts_col: str = "warc_ts"):
         bucket_on="canon_url",
         fn=keep_first,
     )
+
+
+# ------------------------------------------------------------- mirror hosts
+
+
+def mirror_host_pairs(
+    ds,
+    *,
+    host_col: str = "host",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    min_shared: int = 2,
+    max_hosts_per_key: "int | None" = None,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW 1999 "A comparison of
+    techniques to find mirrored hosts"): hosts serving largely the SAME
+    set of documents — www./m. aliases, CDN mirrors, scraped copies — are
+    found from per-host content-fingerprint sets, so one representative
+    host can be crawled and the rest dropped from the frontier.
+
+    Metrics per host pair (a < b lexicographically): ``shared`` = number
+    of distinct content keys both hosts serve; ``overlap`` = the overlap
+    coefficient ``shared / min(|A|, |B|)`` (1.0 when one host's content
+    is a subset of the other's — the mirror signature, robust to one
+    side having extra pages); ``jaccard`` for reference. A pair is
+    emitted iff ``shared >= min_shared`` and ``overlap >= threshold``
+    (gated on the 6-dp-rounded overlap, same consumer-can-recompute
+    contract as everywhere else).
+
+    Scale shape: the host-granularity sibling of ``jaccard_ngram_pairs``
+    — no all-pairs stage:
+
+      docs → batch-distinct (host, content-key) rows
+           → bucketed exchange on KEY: a (host, key) row can repeat only
+             inside its key bucket, so global dedup happens here; each
+             key's host group emits pair partials (self-merge) and one
+             per-host distinct-key partial
+           → bucketed exchange on host a: sum pair partials
+           → driver: host-cardinality |A| table + thresholded pair list
+             (both small sides by contract).
+
+    Hot keys (boilerplate served by every host) blow up the pair stage
+    quadratically; ``max_hosts_per_key`` drops keys above a host-frequency
+    cap (prefix filtering: dropping a key only lowers similarities).
+    Default None = exact.
+    """
+    import pyarrow.compute as pc
+
+    from ..keys import hash64
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    def host_key_rows(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "host": batch[host_col].to_pandas(),
+                "key": hash64(
+                    pc.fill_null(
+                        batch[text_col].combine_chunks()
+                        if isinstance(batch[text_col], pa.ChunkedArray)
+                        else batch[text_col],
+                        "",
+                    )
+                ).astype("uint64"),
+            }
+        )
+        return df.drop_duplicates()
+
+    def per_key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["host", "key"])
+        if max_hosts_per_key is not None:
+            freq = df.groupby("key", sort=False)["host"].transform("size")
+            df = df[freq <= max_hosts_per_key]
+        # per-host distinct-key partial from THIS bucket (keys are
+        # bucket-exclusive, so these partials sum to global |A|)
+        counts = (
+            df.groupby("host", sort=False).size().reset_index(name="c")
+        )
+        counts.insert(1, "b", "")
+        counts.columns = ["a", "b", "c"]
+        m = df.merge(df, on="key", suffixes=("_x", "_y"))
+        m = m[m["host_x"] < m["host_y"]]
+        pairs = (
+            m.groupby(["host_x", "host_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        pairs.columns = ["a", "b", "c"]
+        return pd.concat([counts, pairs], ignore_index=True)
+
+    def sum_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], sort=False)["c"].sum().reset_index()
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="object"),
+            "b": pd.Series([], dtype="object"),
+            "shared": pd.Series([], dtype="int64"),
+            "overlap": pd.Series([], dtype="float64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    p_refs = bucketed_group_map_refs(
+        ds.map_batches(host_key_rows, batch_format="pyarrow"),
+        bucket_on="key",
+        fn=per_key_bucket,
+        n_buckets=n_buckets,
+    )
+    if p_refs is None:
+        return empty
+    s_refs = bucketed_group_map_refs(
+        p_refs, bucket_on="a", fn=sum_partials, n_buckets=n_buckets
+    )
+    got = gather_refs_pd(s_refs) if s_refs is not None else pd.DataFrame()
+    if len(got) == 0:
+        return empty
+    nh = dict(
+        zip(got.loc[got["b"] == "", "a"], got.loc[got["b"] == "", "c"])
+    )
+    pairs = got[got["b"] != ""].copy()
+    if len(pairs) == 0:
+        return empty
+    c = pairs["c"].to_numpy(dtype=np.int64)
+    na = pairs["a"].map(nh).to_numpy(dtype=np.float64)
+    nb = pairs["b"].map(nh).to_numpy(dtype=np.float64)
+    overlap = np.floor(c / np.minimum(na, nb) * 1e6 + 0.5) / 1e6
+    jaccard = np.floor(c / (na + nb - c) * 1e6 + 0.5) / 1e6
+    out = pd.DataFrame(
+        {
+            "a": pairs["a"],
+            "b": pairs["b"],
+            "shared": c,
+            "overlap": overlap,
+            "jaccard": jaccard,
+        }
+    )
+    out = out[(out["shared"] >= min_shared) & (out["overlap"] >= threshold)]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

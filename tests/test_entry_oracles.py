@@ -52,6 +52,7 @@ REAL_SQL = [
     "docs_quality_percentile",
     "images_phash_dups",
     "crawl_trap_hosts",
+    "crawl_mirror_hosts",
 ]
 
 

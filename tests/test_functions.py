@@ -2366,3 +2366,57 @@ def test_trap_host_stats_parsing_edges(ray_session):
     assert out.loc[0, "mean_depth"] == 3.0      # (4 + 2) / 2
     assert list(out["trap"]) == [True, False, False, True]
     assert out.loc[3, "query_frac"] == 1.0
+
+
+def test_mirror_host_pairs_kernel(ray_session):
+    """Mirror detection edges: subset host -> overlap 1.0; partial
+    mirror computes exact overlap/jaccard on distinct-key sets
+    (duplicate pages within a host count once); min_shared and the
+    threshold both gate; max_hosts_per_key drops boilerplate keys
+    shared too widely; block count is irrelevant."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import mirror_host_pairs
+
+    rows = [
+        # big.example serves 4 distinct docs (one twice)
+        {"host": "big.example", "text": "alpha"},
+        {"host": "big.example", "text": "alpha"},
+        {"host": "big.example", "text": "beta"},
+        {"host": "big.example", "text": "gamma"},
+        {"host": "big.example", "text": "delta"},
+        # sub.example serves a strict subset -> overlap 1.0
+        {"host": "sub.example", "text": "alpha"},
+        {"host": "sub.example", "text": "beta"},
+        # half.example shares 2 of its 4 docs -> overlap 0.5
+        {"host": "half.example", "text": "alpha"},
+        {"host": "half.example", "text": "beta"},
+        {"host": "half.example", "text": "own1"},
+        {"host": "half.example", "text": "own2"},
+        # lone.example shares only 1 doc -> fails min_shared
+        {"host": "lone.example", "text": "alpha"},
+        {"host": "lone.example", "text": "solo"},
+    ]
+    for par in (1, 5):
+        out = mirror_host_pairs(
+            rd.from_items(rows, override_num_blocks=par),
+            threshold=0.5,
+            min_shared=2,
+        )
+        got = {
+            (r.a, r.b): (r.shared, r.overlap, r.jaccard)
+            for r in out.itertuples()
+        }
+        assert got == {
+            ("big.example", "sub.example"): (2, 1.0, 0.5),
+            ("big.example", "half.example"): (2, 0.5, 0.333333),  # 6-dp half-up
+            ("half.example", "sub.example"): (2, 1.0, 0.5),
+        }
+
+    # 'alpha' is served by 4 hosts; capping at 3 drops it everywhere,
+    # leaving only 'beta' shared -> every pair fails min_shared=2
+    capped = mirror_host_pairs(
+        rd.from_items(rows), threshold=0.1, min_shared=2,
+        max_hosts_per_key=3,
+    )
+    assert len(capped) == 0

@@ -1261,6 +1261,50 @@ def _images_phash_dups(sf_dir: str) -> pd.DataFrame:
     return phash_dup_pairs(hashed, max_hamming=3)
 
 
+def _images_phash_clusters(sf_dir: str) -> pd.DataFrame:
+    """Image dedup CLUSTERS: the pHash pair graph (same synthesis and
+    banding/verify exchange as images_phash_dups) fed through the
+    distributed min-label connected-components operator
+    (functions/dedup.cc_label_propagation), singletons labelling
+    themselves — the full image-dedup composition whose cluster
+    representatives survive curation. Oracle: identical-byte groups are
+    cliques, so components equal min-img_id-per-identical-text groups
+    (window SQL)."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import cc_label_propagation
+    from crawler_ray.pipelines.relational import bjoin
+
+    pairs = _images_phash_dups(sf_dir)
+
+    def mkids(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out = [int(i) for i in ids if i < 400]
+        out += [int(i) + 100000 for i in ids if i < 40]
+        return pa.table({"img_id": pa.array(out, pa.int64())})
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        mkids, batch_format="pyarrow"
+    )
+    if len(pairs):
+        lbl = cc_label_propagation(
+            rd.from_pandas(pairs[["a", "b"]].astype("int64")), n_buckets=8
+        ).rename(columns={"doc_id": "img_id", "rep_id": "cluster_id"})
+        out = bjoin(ds, lbl, on="img_id", how="left").to_pandas()
+        out["cluster_id"] = (
+            out["cluster_id"].fillna(out["img_id"]).astype("int64")
+        )
+    else:
+        out = ds.to_pandas()
+        out["cluster_id"] = out["img_id"].astype("int64")
+    out["img_id"] = out["img_id"].astype("int64")
+    return (
+        out[["img_id", "cluster_id"]]
+        .sort_values("img_id")
+        .reset_index(drop=True)
+    )
+
+
 def _docs_quality_percentile(sf_dir: str) -> pd.DataFrame:
     """Exact top-20% quality gate (functions/sketches.
     exact_percentile_gate): the threshold is the ceil(0.8*n)-th smallest
@@ -1987,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_anchor_texts": _crawl_anchor_texts,
         "crawl_trap_hosts": _crawl_trap_hosts,
         "crawl_mirror_hosts": _crawl_mirror_hosts,
+        "images_phash_clusters": _images_phash_clusters,
     }
 
 
@@ -2608,6 +2653,21 @@ WITH imgs AS (
 SELECT a.img_id AS a, b.img_id AS b, CAST(0 AS BIGINT) AS hamming
 FROM imgs a JOIN imgs b ON a.t = b.t AND a.img_id < b.img_id
 ORDER BY a, b
+"""
+
+#: pHash clusters — byte-identical groups are cliques, so the CC labels
+#: equal min-img_id per identical-text group
+IMAGES_PHASH_CLUSTERS_SQL = r"""
+WITH imgs AS (
+  SELECT doc_id AS img_id, coalesce(text, '') AS t
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id + 100000 AS img_id, coalesce(text, '') AS t
+  FROM documents WHERE doc_id < 40
+)
+SELECT img_id, min(img_id) OVER (PARTITION BY t) AS cluster_id
+FROM imgs
+ORDER BY img_id
 """
 
 #: exact percentile gate — the same mean-word-length expression as
@@ -3390,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "images_phash_dups": IMAGES_PHASH_DUPS_SQL,
         "crawl_trap_hosts": CRAWL_TRAP_HOSTS_SQL,
         "crawl_mirror_hosts": CRAWL_MIRROR_HOSTS_SQL,
+        "images_phash_clusters": IMAGES_PHASH_CLUSTERS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

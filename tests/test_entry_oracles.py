@@ -53,6 +53,7 @@ REAL_SQL = [
     "images_phash_dups",
     "crawl_trap_hosts",
     "crawl_mirror_hosts",
+    "images_phash_clusters",
 ]
 
 

@@ -2032,6 +2032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_trap_hosts": _crawl_trap_hosts,
         "crawl_mirror_hosts": _crawl_mirror_hosts,
         "images_phash_clusters": _images_phash_clusters,
+        "events_late_arrivals": R.events_late_arrivals,
     }
 
 
@@ -3451,6 +3452,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trap_hosts": CRAWL_TRAP_HOSTS_SQL,
         "crawl_mirror_hosts": CRAWL_MIRROR_HOSTS_SQL,
         "images_phash_clusters": IMAGES_PHASH_CLUSTERS_SQL,
+        "events_late_arrivals": R.LATE_ARRIVALS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,

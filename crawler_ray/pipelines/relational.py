@@ -1574,3 +1574,76 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY sim DESC, vec_id LIMIT 10
 """
+
+
+def events_late_arrivals(sf_dir: str, watermark_s: int = 300) -> pd.DataFrame:
+    """Streaming watermark semantics over an out-of-order arrival stream
+    (the Dataflow-model late-data rule, Akidau et al. VLDB 2015): an
+    event is LATE iff its event time is more than ``watermark_s`` behind
+    the high watermark — the max event time among all EARLIER ARRIVALS.
+    The sf events table arrives in timestamp order, so the query
+    synthesizes a deterministic out-of-order arrival sequence (each run
+    of 10 event_ids arrives reversed — the same expression in the SQL
+    oracle), then computes the exclusive prefix max of event time over
+    arrival order with the distributed two-phase scan
+    (``stages/shuffle.with_prefix_max``: per-block maxima to the driver,
+    one scalar per block, vectorized shifted cummax per block). The
+    globally first arrival has no watermark (NULL, never late)."""
+    from ..stages.shuffle import with_prefix_max
+
+    ds = _rp(sf_dir, "events", ["event_id", "ts"])
+
+    def arrival(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy()
+        seq = (ids // 10) * 10 + (9 - ids % 10)
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+                "arrival_seq": pa.array(seq.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scanned = with_prefix_max(
+        ds.map_batches(arrival, batch_format="pyarrow"),
+        order_col="arrival_seq",
+        value_col="ts_us",
+        out_col="watermark_us",
+    )
+    out = scanned.to_pandas()
+    wm = out["watermark_us"]
+    out["late"] = wm.notna() & (
+        out["ts_us"] < wm.fillna(0).astype("int64") - watermark_s * 1_000_000
+    )
+    # float64 with NaN for the no-predecessor row, matching DuckDB's
+    # nullable-BIGINT → pandas conversion (exact: us timestamps < 2^53)
+    out["watermark_us"] = wm.astype("float64")
+    return (
+        out[["event_id", "ts_us", "watermark_us", "late"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+#: late-arrival oracle — the same reversed-run arrival synthesis; the
+#: window max with a 1-PRECEDING frame restates the exclusive prefix max,
+#: NULL (never late) for the globally first arrival
+LATE_ARRIVALS_SQL = r"""
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         (event_id // 10) * 10 + (9 - event_id % 10) AS arrival_seq
+  FROM events
+),
+wm AS (
+  SELECT event_id, ts_us,
+         max(ts_us) OVER (ORDER BY arrival_seq
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS watermark_us
+  FROM arr
+)
+SELECT event_id, ts_us,
+       CAST(watermark_us AS DOUBLE) AS watermark_us,
+       coalesce(ts_us < watermark_us - 300000000, FALSE) AS late
+FROM wm
+ORDER BY event_id
+"""

@@ -708,6 +708,59 @@ def with_prefix_sum(ds, order_col: str, value_col: str, out_col: str):
     )
 
 
+def with_prefix_max(ds, order_col: str, value_col: str, out_col: str):
+    """Global ordered EXCLUSIVE prefix max — ``out_col[i]`` = max of
+    ``value_col`` over all rows strictly preceding row i in ``order_col``
+    order (NULL for the globally first row). The streaming-watermark
+    primitive: with ``value_col`` = event time and ``order_col`` = arrival
+    order, the result IS the high watermark each event observed on
+    arrival. Same two-phase parallel-scan shape as ``with_prefix_sum``:
+    range sort, one scalar per block to the driver (the block maxima),
+    exclusive max over B scalars, then a per-block vectorized shifted
+    ``maximum.accumulate``. Values are int64 (cast timestamps to their
+    us view first)."""
+    import ray
+    import ray.data as rd
+
+    refs = ds.sort(order_col).to_arrow_refs()
+
+    @ray.remote
+    def block_max(t: pa.Table):
+        t = _as_arrow(t)
+        if t.num_rows == 0:
+            return None
+        import pyarrow.compute as pc
+
+        return pc.max(t[value_col]).as_py()
+
+    maxes = ray.get([block_max.remote(r) for r in refs])
+    lo = np.iinfo(np.int64).min
+    offs, run = [], lo
+    for m in maxes:
+        offs.append(run)
+        if m is not None:
+            run = max(run, int(m))
+
+    @ray.remote
+    def add_prefix(t: pa.Table, off: int) -> pa.Table:
+        t = _as_arrow(t)
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        v = t[value_col].to_numpy().astype(np.int64)
+        cum = np.maximum.accumulate(v)
+        pre = np.empty_like(v)
+        pre[0] = off
+        pre[1:] = np.maximum(cum[:-1], off)
+        mask = pre != lo  # rows with no predecessor anywhere -> NULL
+        return t.append_column(
+            out_col, pa.array(pre, pa.int64(), mask=~mask)
+        )
+
+    return rd.from_arrow_refs(
+        [add_prefix.remote(r, int(o)) for r, o in zip(refs, offs)]
+    )
+
+
 def bucketed_group_agg(
     ds,
     keys: list[str],

@@ -53,6 +53,7 @@ CASES = [
     (R.docs_split_assign, R.DOCS_SPLIT_SQL),
     (R.docs_pack_chunks, R.PACK_CHUNKS_SQL),
     (R.docs_stratified_sample, R.STRATIFIED_SAMPLE_SQL),
+    (R.events_late_arrivals, R.LATE_ARRIVALS_SQL),
 ]
 
 

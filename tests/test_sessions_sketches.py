@@ -126,3 +126,27 @@ def test_histogram_sketch_quantiles_close_to_exact(ray_session):
     m21 = HistogramSketch.deserialize(h2.serialize()).merge(h1)
     assert (m12.counts == one.counts).all()
     assert (m21.counts == one.counts).all()
+
+
+def test_with_prefix_max_exclusive_scan(ray_session):
+    """Distributed exclusive prefix max: first row NULL, ties/decreases
+    carry the running max, block count must not matter."""
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.stages.shuffle import with_prefix_max
+
+    vals = [5, 3, 9, 9, 1, 12, 2]
+    rows = [{"seq": i, "v": v} for i, v in enumerate(vals)]
+    want = [None, 5, 5, 9, 9, 9, 12]
+    for par in (1, 3, 7):
+        out = (
+            with_prefix_max(
+                rd.from_items(rows, override_num_blocks=par),
+                order_col="seq", value_col="v", out_col="pm",
+            )
+            .to_pandas()
+            .sort_values("seq")
+        )
+        got = [None if pd.isna(x) else int(x) for x in out["pm"]]
+        assert got == want, (par, got)

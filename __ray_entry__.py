@@ -1888,9 +1888,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join+agg family keeps q1/q3 in-window and green r01-r03 rows of
         # its own
         "docs_bm25_topk": _docs_bm25_topk,
-        "events_sessions": R.events_sessions,
-        "purchases_asof_click": R.purchases_asof_click,
-        "events_error_click_window": R.events_error_click_window,
+        # round-4 swap: crawler-trap host detection (first driver check,
+        # real SQL oracle) takes the window slot of events_sessions, whose
+        # windowed-rollup family keeps error-click/as-of representatives'
+        # green r01-r03 rows and stays oracle-covered out of window
+        "crawl_trap_hosts": _crawl_trap_hosts,
+        # round-4 swap: Bharat-Broder mirror-host detection (first driver
+        # check, real SQL oracle) takes the slot of purchases_asof_click
+        # (as-of join family: green r01-r03 rows of its own)
+        "crawl_mirror_hosts": _crawl_mirror_hosts,
+        # round-4 swap: pHash-pairs + distributed-CC image dedup clusters
+        # (first driver check, real SQL oracle) takes the slot of
+        # events_error_click_window (range-join family: green r01-r03 rows)
+        "images_phash_clusters": _images_phash_clusters,
         # round-4 C4 structural cleaning takes the window slot of
         # events_hopping_window, whose windowed-rollup family keeps
         # error_click_window + sessions + running_total in-window and a
@@ -1923,7 +1933,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # of docs_stratified_sample (hash-sampler family repped in-window
         # by pack_chunks/global_shuffle; green r01-r03 row of its own)
         "docs_text_near_dups": _docs_text_near_dups,
-        "docs_global_shuffle": R.docs_global_shuffle,
+        # round-4 swap: streaming watermark late-arrival detection (first
+        # driver check, real SQL oracle) takes the slot of
+        # docs_global_shuffle (hash-sampler family repped in-window by
+        # pack_chunks; green r01-r03 row of its own)
+        "events_late_arrivals": R.events_late_arrivals,
         # corpus_change_rate took customers_without_orders's checked
         # slot in round 4 (anti-join family keeps corpus_url_dedup
         # in-window and its own green r03 row)
@@ -2029,10 +2043,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "customers_without_orders": R.customers_without_orders,
         "crawl_anchor_texts": _crawl_anchor_texts,
-        "crawl_trap_hosts": _crawl_trap_hosts,
-        "crawl_mirror_hosts": _crawl_mirror_hosts,
-        "images_phash_clusters": _images_phash_clusters,
-        "events_late_arrivals": R.events_late_arrivals,
+        "events_sessions": R.events_sessions,
+        "purchases_asof_click": R.purchases_asof_click,
+        "events_error_click_window": R.events_error_click_window,
+        "docs_global_shuffle": R.docs_global_shuffle,
     }
 
 
@@ -2731,9 +2745,13 @@ SELECT url_id, n_obs, n_changes,
        round(CASE WHEN n_obs >= 2
                   THEN n_changes::DOUBLE / (n_obs - 1) ELSE 0.0 END, 6)
          AS change_ratio,
+       -- + 0.0 canonicalizes IEEE -0.0 (n_changes=0 => -ln(1) = -0.0) to
+       -- +0.0: the engine's half-up rounding emits +0.0, and a -0.0 here
+       -- stringifies as '-0.0' in the harness's row-sort key, misaligning
+       -- every row after it even though the values compare equal
        round(CASE WHEN n_obs >= 2
                   THEN -ln((n_obs - 1 - n_changes + 0.5) / (n_obs - 1 + 0.5))
-                  ELSE 0.0 END, 6) AS lambda_hat,
+                  ELSE 0.0 END, 6) + 0.0 AS lambda_hat,
        CASE WHEN n_obs = 1 THEN 'new'
             WHEN round(n_changes::DOUBLE / (n_obs - 1), 6) >= 0.5 THEN 'hot'
             WHEN round(n_changes::DOUBLE / (n_obs - 1), 6) >= 0.125 THEN 'warm'

@@ -2420,3 +2420,94 @@ def test_mirror_host_pairs_kernel(ray_session):
         max_hosts_per_key=3,
     )
     assert len(capped) == 0
+
+
+# ----------------------------------------------------- phrase search
+
+
+def _brute_phrase(docs, phrases):
+    """Independent per-document reference: token-window scan."""
+    rows = []
+    for phrase in phrases:
+        ptoks = [t for t in phrase.split(" ") if t]
+        for doc_id, text in docs:
+            w = [t for t in (text or "").split(" ") if t]
+            hits = [
+                i
+                for i in range(len(w) - len(ptoks) + 1)
+                if w[i : i + len(ptoks)] == ptoks
+            ]
+            if hits:
+                rows.append((phrase, doc_id, len(hits), hits[0]))
+    return sorted(rows)
+
+
+def test_phrase_search_kernel(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.search import phrase_search
+
+    docs = [
+        (1, "batch batch batch stream"),  # overlap: "batch batch" x2
+        (2, "the table scan merge"),
+        (3, "  merge  slow join "),  # empty-token collapse
+        (4, None),  # null text
+        (5, "scan"),  # shorter than the trigram phrase
+        (6, "batch batch batch batch"),  # repeated-term phrase x3
+    ]
+    phrases = (
+        "batch batch",
+        "table scan",
+        "merge slow join",
+        "scan",  # single-term phrase
+        "never present",
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    for par in (1, 4):
+        out = phrase_search(
+            rd.from_arrow(t).repartition(par), phrases
+        )
+        got = [
+            (r.phrase, r.doc_id, r.n_occurrences, r.first_pos)
+            for r in out.itertuples()
+        ]
+        assert got == _brute_phrase(docs, phrases)
+    # overlap + repeated-term cases explicitly
+    asdict = {(p, d): (n, f) for p, d, n, f in got}
+    assert asdict[("batch batch", 1)] == (2, 0)
+    assert asdict[("batch batch", 6)] == (3, 0)
+    assert ("never present", 4) not in asdict
+
+    with pytest.raises(ValueError):
+        phrase_search(rd.from_arrow(t), ("ok", "   "))
+
+
+def test_phrase_search_matches_brute_force_random(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.search import phrase_search
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["a", "b", "c", "d"])
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=rng.integers(0, 30))))
+        for i in range(40)
+    ]
+    phrases = ("a b", "b b", "c a d", "a", "d c b a")
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([x for _, x in docs], pa.string()),
+        }
+    )
+    out = phrase_search(rd.from_arrow(t).repartition(6), phrases)
+    got = [
+        (r.phrase, r.doc_id, r.n_occurrences, r.first_pos)
+        for r in out.itertuples()
+    ]
+    assert got == _brute_phrase(docs, phrases)

@@ -74,15 +74,56 @@ class CrawlResult:
     n_waves: int = 0
 
 
-def _robots_rules(corpus: dict[str, bytes], host: str) -> list[str]:
-    from .stages.robots import parse_robots
+def _robots_rules(corpus: dict[str, bytes], host: str) -> "list[tuple[bool, str]]":
+    from .stages.robots import parse_robots_rules
 
-    rules: list[str] = []
+    rules: list[tuple[bool, str]] = []
     for scheme in ("http", "https"):
         body = corpus.get(f"{scheme}://{host}/robots.txt")
         if body is not None:
-            rules.extend(parse_robots(body))
+            rules.extend(parse_robots_rules(body))
     return rules
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """INDEPENDENT RFC 9309 rule match (no regex — greedy-with-backtrack
+    wildcard scan), differentially tested against the engine's compiled
+    form (stages/robots._rule_regex) in test_priority_robots.py. ``*``
+    matches any octet sequence; a trailing ``$`` anchors the end;
+    mid-pattern ``$`` is literal; match is anchored at path start."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    # first part must match at the very start
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:-1] if len(parts) > 1 else []:
+        i = path.find(part, pos)
+        if i < 0:
+            return False
+        pos = i + len(part)
+    if len(parts) > 1:
+        last = parts[-1]
+        if anchored:
+            return path.endswith(last) and len(path) - len(last) >= pos
+        i = path.find(last, pos)
+        return i >= 0
+    return not anchored or pos == len(path)
+
+
+def _robots_allows(rules: "list[tuple[bool, str]]", path: str) -> bool:
+    """Longest-pattern-wins precedence, Allow beats Disallow on ties
+    (RFC 9309 §2.2.2); no matching rule ⇒ allowed."""
+    best: "tuple[int, bool] | None" = None  # (pattern_len, allow)
+    for allow, pattern in rules:
+        if _pattern_matches(pattern, path):
+            plen = len(pattern)
+            if best is None or plen > best[0] or (plen == best[0] and allow):
+                best = (plen, allow)
+    return True if best is None else best[1]
 
 
 def simulate(
@@ -103,7 +144,7 @@ def simulate(
         if u.host not in robots:
             robots[u.host] = _robots_rules(corpus, u.host)
         path = u.path + (f"?{u.query}" if u.query is not None else "")
-        return any(path.startswith(p) for p in robots[u.host])
+        return not _robots_allows(robots[u.host], path)
 
     # CLI seed parse: invalid seed is a hard error (main.rs:301-307 unwrap)
     seed_urls = {str(un.parse(s)) for s in seeds}

@@ -362,7 +362,7 @@ def robots_sitemap_urls(body: bytes | str) -> list[str]:
     """``Sitemap:`` directive URLs from a robots.txt body. Per the
     protocol the directive is group-independent (applies regardless of
     User-agent sections), so this scans every line — unlike the
-    Disallow subset in stages/robots.parse_robots."""
+    group-scoped Allow/Disallow rules in stages/robots.parse_robots_rules."""
     if isinstance(body, bytes):
         body = body.decode("utf-8", errors="replace")
     out: list[str] = []

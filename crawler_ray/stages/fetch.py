@@ -85,7 +85,8 @@ class HttpFetcher:
         # a production deployment runs both. A robots-blocked URL emits
         # no row (indistinguishable from a miss at this seam).
         self.respect_robots = respect_robots
-        self._robots: "dict[str, list[str]]" = {}
+        #: host -> COMPILED precedence-ordered robots rules (robots.compile_rules)
+        self._robots: "dict[str, list]" = {}
 
     def fetch_one(self, url: str) -> "bytes | None":
         try:
@@ -99,7 +100,7 @@ class HttpFetcher:
         robots rules. New hosts' robots.txt bodies are fetched through the
         same thread pool (concurrently, once per host per actor)."""
         from .. import urlnorm as un
-        from .robots import parse_robots
+        from .robots import compile_rules, parse_robots_rules, rules_allow
 
         parsed = []
         for u in urls:
@@ -121,15 +122,18 @@ class HttpFetcher:
         if fetch_list:
             bodies = self._pool.map(self.fetch_one, [u for _, u in fetch_list])
             for (h, _), body in zip(fetch_list, bodies):
-                self._robots[h] = parse_robots(body) if body else []
+                # cache COMPILED precedence-ordered rules once per host per
+                # actor (RFC 9309 matching: wildcards/anchors/Allow wins)
+                self._robots[h] = compile_rules(
+                    parse_robots_rules(body) if body else []
+                )
         keep = []
         for i, p in enumerate(parsed):
             if p is None or p.host is None:
                 keep.append(i)
                 continue
-            prefixes = self._robots.get(p.host) or ()
             path = p.path + (f"?{p.query}" if p.query is not None else "")
-            if not any(path.startswith(x) for x in prefixes):
+            if rules_allow(self._robots.get(p.host) or [], path):
                 keep.append(i)
         return keep
 

@@ -626,3 +626,123 @@ def test_trap_stats_feed_blocklist_composition(t1_corpus, tmp_path):
         CrawlConfig(num_seen_shards=4, blocked_hosts_path=str(bl_path)),
     )
     assert_run_matches_oracle(run2, res, tbl)
+
+
+# ------------------------------------------------- RFC 9309 matching
+
+
+def test_parse_robots_rules_rfc_groups():
+    """Stacked user-agent lines share a group; a user-agent line AFTER
+    rules starts a new group; Allow rules are captured; multiple *
+    groups concatenate; empty values carry no rule."""
+    from crawler_ray.stages.robots import parse_robots_rules
+
+    body = b"""
+User-agent: googlebot
+User-agent: *
+Disallow: /a
+Allow: /a/ok
+User-agent: other
+Disallow: /other-only
+User-agent: *
+Allow:
+Disallow: /b$
+"""
+    assert parse_robots_rules(body) == [
+        (False, "/a"),
+        (True, "/a/ok"),
+        (False, "/b$"),
+    ]
+
+
+@pytest.mark.parametrize(
+    "rules,path,allowed",
+    [
+        # longest rule wins: Allow /a/ok (5) beats Disallow /a (2)
+        ([(False, "/a"), (True, "/a/ok")], "/a/ok/page", True),
+        ([(False, "/a"), (True, "/a/ok")], "/a/other", False),
+        # tie length: Allow wins (RFC 9309 §2.2.2 / Google tie-break)
+        ([(False, "/p"), (True, "/p")], "/page", True),
+        # * wildcard spans path segments
+        ([(False, "/*.pdf")], "/docs/x.pdf", False),
+        ([(False, "/*.pdf")], "/docs/x.pdfx", False),  # no anchor: prefix-ish
+        ([(False, "/*.pdf$")], "/docs/x.pdfx", True),  # $ anchors the end
+        ([(False, "/*.pdf$")], "/docs/x.pdf", False),
+        # mid-pattern $ is literal
+        ([(False, "/a$b")], "/a$b/c", False),
+        ([(False, "/a$b")], "/ab/c", True),
+        # query string participates in the match
+        ([(False, "/x?y=")], "/x?y=1", False),
+        ([(False, "/x?y=")], "/x?z=1", True),
+        # no matching rule => allowed
+        ([(False, "/blocked")], "/free", True),
+        # wildcard-only disallow blocks everything, but a longer Allow
+        # carves an exception
+        ([(False, "/*"), (True, "/public/")], "/public/a", True),
+        ([(False, "/*"), (True, "/public/")], "/private/a", False),
+    ],
+)
+def test_rules_allow_rfc_cases(rules, path, allowed):
+    from crawler_ray.stages.robots import compile_rules, rules_allow
+
+    assert rules_allow(compile_rules(rules), path) is allowed
+    # the oracle's independent regex-free matcher agrees case by case
+    assert oracle._robots_allows(rules, path) is allowed
+
+
+def test_engine_and_oracle_matchers_agree_fuzz():
+    """Differential fuzz: the engine's compiled-regex precedence matcher
+    and the oracle's independent wildcard scanner must agree on random
+    rule sets x random paths (the crawl-vs-simulator equality tests
+    inherit this invariant for every robots-gated crawl)."""
+    import random
+
+    from crawler_ray.stages.robots import compile_rules, rules_allow
+
+    rng = random.Random(93)
+    alphabet = ["/", "a", "b", ".", "?", "*", "$"]
+    for _ in range(300):
+        rules = []
+        for _ in range(rng.randint(0, 5)):
+            pat = "/" + "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(0, 6))
+            )
+            rules.append((rng.random() < 0.4, pat))
+        path = "/" + "".join(
+            rng.choice(["/", "a", "b", ".", "?"])
+            for _ in range(rng.randint(0, 8))
+        )
+        got = rules_allow(compile_rules(rules), path)
+        want = oracle._robots_allows(rules, path)
+        assert got == want, (rules, path, got, want)
+
+
+def test_filter_frontier_matches_scalar_disallowed_rfc():
+    """Vectorized gate == scalar matcher with wildcard/anchor/Allow rules
+    in play (the legacy-prefix form is covered by the test above)."""
+    import pyarrow as pa
+
+    from crawler_ray.stages.robots import RobotsCache
+
+    rc = RobotsCache(corpus_path=[])
+    rc.rules = {
+        "a.test": [(False, "/*.pdf$"), (True, "/pub/"), (False, "/pub/x")],
+        "b.test": [(False, "/*"), (True, "/ok")],
+    }
+    urls = [
+        "http://a.test/doc.pdf",
+        "http://a.test/doc.pdfx",
+        "http://a.test/pub/y",
+        "http://a.test/pub/x",  # Disallow /pub/x (6) beats Allow /pub/ (5)
+        "http://b.test/ok/page",
+        "http://b.test/nope",
+        "http://a.test/doc.pdf#frag",  # fragment excluded -> still blocked
+    ]
+    hosts = ["a.test"] * 4 + ["b.test"] * 2 + ["a.test"]
+    frontier = pa.table({"url": urls, "host": hosts})
+    rc.ensure_hosts = lambda hs: None
+    kept, n_dropped = rc.filter_frontier(frontier)
+    want_keep = [not rc.disallowed(u) for u in urls]
+    assert kept["url"].to_pylist() == [u for u, k in zip(urls, want_keep) if k]
+    assert want_keep == [False, True, True, False, True, False, False]
+    assert n_dropped == 4

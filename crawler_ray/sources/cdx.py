@@ -1,0 +1,227 @@
+"""CDX URL index: SURT key computation, index build, CDXJ source/sink.
+
+Web archives (Internet Archive, Common Crawl) publish a URL INDEX beside
+the WARC data: one record per capture, keyed by the SURT form of the URL
+("Sort-friendly URI Reordering Transform" — Heritrix's canonical key:
+host labels reversed and comma-joined so that all URLs of a registered
+domain sort together), serialized as CDXJ lines
+(``<urlkey> <timestamp> <json>`` — the pywb / Common-Crawl cdx-index
+format). The index is what lets a consumer answer "which captures exist
+for host/prefix X" without touching petabytes of WARC — the lookup
+artifact a crawl at the 10^10-URL design point must ship.
+
+SURT spec implemented here (mirrored by the DuckDB oracle, which
+re-parses the URL STRING with independent kernels):
+  * scheme dropped; userinfo (``user:pw@``) dropped; host lowercased;
+  * host labels reversed and comma-joined; an explicit port is kept,
+    appended ``:port`` after the reversed host;
+  * key = ``reversed_host[:port]`` + ``)`` + path+query (fragment
+    dropped; empty path+query becomes ``/``). Path/query case is
+    preserved (only the authority is case-insensitive per RFC 3986).
+  No www-stripping or percent-encoding normalization is performed
+  (Common Crawl's urlkey applies extra canonicalizations on top of
+  SURT; this key is the Heritrix base form, documented subset).
+
+Ray shape: ``surt_key`` is fully vectorized (polars list reverse/join —
+no per-row Python); ``build_cdx_index`` is map_batches(key) → ONE
+``Dataset.sort`` on (urlkey, ts) — the global range-partition sort IS
+the operator here (an index must be totally ordered to serve prefix
+scans), the one place this repo uses Ray Data's sort-based exchange on
+purpose. ``write_cdxj`` streams the sorted blocks to numbered shard
+files (block order = global order, so shard N's key range precedes
+shard N+1's — resumable, range-addressable output); at the design point
+the same shards come from per-block sink tasks with range-encoded file
+names. ``read_cdxj`` is ``read_binary_files`` (one block per shard,
+parallel across files) + per-line parse with malformed-line salvage,
+like the WARC/JSONL sources.
+
+Reference anchor: the reference keeps no index at all (its seen-set is
+an in-memory HashSet, main.rs:56); the CDX index is part of the
+beyond-reference crawl-operations extension set (SURVEY.md §2),
+downstream of the same canonical serializations urlnorm produces.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: CDXJ shard line budget — small enough that a shard is one scan unit,
+#: large enough that file count stays manageable at the design point
+DEFAULT_SHARD_ROWS = 100_000
+
+
+def surt_key(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Vectorized URL → SURT key (spec in the module docstring)."""
+    import polars as pl
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    no_frag = pc.replace_substring_regex(
+        pc.fill_null(urls, ""), pattern=r"#.*$", replacement=""
+    )
+    s = pl.from_arrow(no_frag)
+    # authority = between scheme:// and the first / ? or end
+    auth = s.str.extract(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1)
+    # userinfo dropped (strip through the LAST @, RFC 3986 authority)
+    hostport = auth.str.replace(r"^.*@", "")
+    port = hostport.str.extract(r":(\d+)$", 1)
+    host = hostport.str.replace(r":\d+$", "").str.to_lowercase()
+    rev = host.str.split(".").list.reverse().list.join(",")
+    pathq = s.str.replace(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+    out = (
+        pl.DataFrame({"rev": rev, "port": port, "pathq": pathq})
+        .select(
+            (
+                pl.col("rev")
+                + pl.when(pl.col("port").is_null())
+                .then(pl.lit(""))
+                .otherwise(pl.lit(":") + pl.col("port"))
+                + pl.lit(")")
+                + pl.when(pl.col("pathq") == "")
+                .then(pl.lit("/"))
+                .otherwise(pl.col("pathq"))
+            ).alias("urlkey")
+        )["urlkey"]
+        .to_arrow()
+    )
+    out = out.cast(pa.string())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def build_cdx_index(
+    ds,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+):
+    """Corpus captures → lazy SORTED Dataset ``(urlkey, ts, url, digest)``
+    (global order on (urlkey, ts) via Ray Data's range-partition sort)."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "urlkey": surt_key(batch[url_col]),
+                "ts": batch[ts_col].cast(pa.int64()),
+                "url": batch[url_col],
+                "digest": batch[digest_col],
+            }
+        )
+
+    return ds.map_batches(key, batch_format="pyarrow").sort(["urlkey", "ts"])
+
+
+def write_cdxj(
+    sorted_ds,
+    out_dir: str,
+    shard_rows: int = DEFAULT_SHARD_ROWS,
+) -> "list[str]":
+    """Sorted index Dataset → numbered ``cdx-NNNNN.cdxj`` shards (block
+    order = global order, so file order preserves it). Streams block by
+    block on the driver (nothing index-sized is materialized at once);
+    the design-point form is the same writer inside per-block sink tasks
+    with range-encoded names."""
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths: list[str] = []
+    buf: list[str] = []
+    n_shard = 0
+
+    def flush():
+        nonlocal n_shard
+        if not buf:
+            return
+        p = out / f"cdx-{n_shard:05d}.cdxj"
+        p.write_text("".join(buf), encoding="utf-8")
+        paths.append(str(p))
+        buf.clear()
+        n_shard += 1
+
+    for batch in sorted_ds.iter_batches(
+        batch_format="pyarrow", batch_size=shard_rows
+    ):
+        keys = batch["urlkey"].to_pylist()
+        tss = batch["ts"].to_pylist()
+        urls = batch["url"].to_pylist()
+        digs = batch["digest"].to_pylist()
+        for k, t, u, d in zip(keys, tss, urls, digs):
+            buf.append(
+                f"{k} {t} "
+                + json.dumps({"url": u, "digest": d}, separators=(",", ":"))
+                + "\n"
+            )
+            if len(buf) >= shard_rows:
+                flush()
+        flush()  # one shard per sorted batch keeps file order = key order
+    flush()
+    return paths
+
+
+def read_cdxj(paths: "str | list[str]"):
+    """CDXJ shards → lazy Dataset ``(urlkey, ts, url, digest)``; one input
+    block per file (parallel across shards). Malformed lines (fewer than
+    3 fields, non-integer timestamp, bad JSON) are SALVAGED — skipped,
+    parsing continues — same contract as the WARC resync / JSONL
+    bad-line handling."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        tss: list[int] = []
+        urls: list[str] = []
+        digs: list[str] = []
+        for payload in batch["bytes"].to_pylist():
+            for line in payload.decode("utf-8", errors="replace").splitlines():
+                if not line.strip():
+                    continue
+                parts = line.split(" ", 2)
+                if len(parts) != 3:
+                    continue
+                k, t, js = parts
+                try:
+                    ts = int(t)
+                    rec = json.loads(js)
+                except (ValueError, json.JSONDecodeError):
+                    continue
+                keys.append(k)
+                tss.append(ts)
+                urls.append(str(rec.get("url", "")))
+                digs.append(str(rec.get("digest", "")))
+        return pa.table(
+            {
+                "urlkey": pa.array(keys, pa.string()),
+                "ts": pa.array(tss, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "digest": pa.array(digs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def prefix_lookup(index_ds, prefix: str) -> pd.DataFrame:
+    """All captures whose urlkey starts with ``prefix`` (the index's
+    reason to exist: a host/domain/path-subtree scan). Pushdown-shaped:
+    one vectorized ``starts_with`` filter per block — on range-partitioned
+    shards only the files whose key range overlaps the prefix would be
+    read at all."""
+    out = (
+        index_ds.map_batches(
+            lambda t: t.filter(pc.starts_with(t["urlkey"], prefix)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["urlkey", "ts"]).reset_index(drop=True)
+        if len(out)
+        else out
+    )

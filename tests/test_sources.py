@@ -335,3 +335,88 @@ def test_recrawl_due_schedule(ray_session):
     # unknown + missing changefreq both got the weekly default
     assert out["next_due"][4].value // 1000 == base + 7 * day
     assert out["next_due"][5].value // 1000 == base + 7 * day
+
+
+# ------------------------------------------------------- CDX / SURT
+
+
+def test_surt_key_cases():
+    import pyarrow as pa
+
+    from crawler_ray.sources.cdx import surt_key
+
+    cases = {
+        # host lowercased, labels reversed, fragment dropped
+        "http://www.Example.COM/path/Page?q=1#frag":
+            "com,example,www)/path/Page?q=1",
+        # explicit port kept after the reversed host
+        "https://a.b.example.org:8080/": "org,example,b,a:8080)/",
+        # userinfo stripped; empty path becomes /
+        "http://user:pw@example.com": "com,example)/",
+        # path/query case preserved (only the authority folds)
+        "http://example.com/UPPER?Q=X": "com,example)/UPPER?Q=X",
+        # query with empty path: pathq starts at '?', kept as-is
+        "http://example.com?q=1": "com,example)?q=1",
+    }
+    got = surt_key(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_cdx_index_roundtrip_sorted_and_salvage(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.sources.cdx import (
+        build_cdx_index,
+        prefix_lookup,
+        read_cdxj,
+        write_cdxj,
+    )
+
+    urls = [
+        f"http://h{i % 3}.example/p{i}" + ("?q=1" if i % 2 else "")
+        for i in range(50)
+    ]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array(list(range(50)), pa.int64()),
+            "digest": pa.array([f"d{i}" for i in range(50)], pa.string()),
+        }
+    )
+    idx = build_cdx_index(rd.from_arrow(t).repartition(5))
+    paths = write_cdxj(idx, str(tmp_path / "cdx"), shard_rows=8)
+    assert len(paths) > 1
+    # shard files preserve the GLOBAL sort: file-order concat is sorted
+    lines = []
+    for p in paths:
+        lines.extend(open(p).read().splitlines())
+    keys = [(ln.split(" ", 2)[0], int(ln.split(" ", 2)[1])) for ln in lines]
+    assert keys == sorted(keys)
+    assert len(keys) == 50
+
+    back = (
+        read_cdxj(paths)
+        .to_pandas()
+        .sort_values(["urlkey", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(back) == 50
+    assert back["url"].tolist() != []
+    assert set(back["digest"]) == {f"d{i}" for i in range(50)}
+
+    # prefix lookup: exactly host h1's captures
+    hits = prefix_lookup(read_cdxj(paths), "example,h1)")
+    assert set(hits["url"]) == {u for u in urls if "//h1." in u}
+
+    # malformed-line salvage: junk lines and bad JSON skipped, rest kept
+    bad = tmp_path / "cdx" / "cdx-bad.cdxj"
+    bad.write_text(
+        "only-two fields\n"
+        "com,example)/x notanint {\"url\":\"u\"}\n"
+        "com,example)/y 5 {broken json\n"
+        "com,example)/z 6 {\"url\":\"http://example.com/z\",\"digest\":\"dz\"}\n"
+    )
+    sal = read_cdxj([str(bad)]).to_pandas()
+    assert len(sal) == 1
+    assert sal["urlkey"][0] == "com,example)/z" and sal["ts"][0] == 6

@@ -1377,6 +1377,33 @@ def _corpus_change_rate(sf_dir: str) -> pd.DataFrame:
     )
 
 
+#: phrase-query set for the driver check: word-salad corpus bigrams and a
+#: trigram chosen to hit at BOTH sf0.001 and sf0.01; "batch batch" also
+#: exercises OVERLAPPING occurrences ("batch batch batch" counts 2), the
+#: case substring replace-counting gets wrong and positional postings get
+#: right — which is why the oracle counts token windows, not substrings
+PHRASE_QUERIES: "tuple[str, ...]" = (
+    "batch batch",
+    "merge slow",
+    "table scan merge",
+)
+
+
+def _docs_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase search via distributed positional postings
+    (functions/search.phrase_search — positional inverted index, IR
+    textbook §2.4): build-pass emits (term, doc_id, pos) postings pruned
+    to the query vocabulary, ONE bucketed doc_id exchange co-locates each
+    document's postings, and vectorized key intersections count (possibly
+    overlapping) occurrences. Complements docs_bm25_topk (bag-of-words
+    ranking) with the words-in-order retrieval mode."""
+    from crawler_ray.functions.search import phrase_search
+
+    return phrase_search(
+        _docs_ds(sf_dir, ["doc_id", "text"]), PHRASE_QUERIES
+    )
+
+
 def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     """Model-free text near-dup pairs END TO END from raw text:
     feature-hashing char-trigram embeddings
@@ -1612,6 +1639,60 @@ def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     return (
         back[["doc_id", "nbytes", "sha"]]
         .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _corpus_cdx_index(sf_dir: str) -> pd.DataFrame:
+    """CDX URL-index build + CDXJ sink/source round trip
+    (sources/cdx.py): per-doc capture URLs are synthesized from doc_id
+    arithmetic exercising every SURT rule — multi-label mixed-case hosts
+    (%4), explicit ports (%5), userinfo (%7), empty paths (%6), query
+    strings (%2), fragments (%11) — keyed by the vectorized SURT kernel,
+    globally sorted by Ray Data's range-partition sort (the one
+    deliberate sort-based exchange in the repo: an index must be totally
+    ordered), streamed to CDXJ shards, and read back through the parallel
+    shard reader. The SQL oracle builds the SAME url strings and then
+    PARSES them with independent DuckDB kernels (regexp authority/port
+    split, list_reverse label reversal), so it checks the SURT/key
+    kernels and the sink/source round trip, not the synthesis."""
+    from crawler_ray.sources.cdx import build_cdx_index, read_cdxj, write_cdxj
+
+    def mkurls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        urls = []
+        for i in ids:
+            host = (
+                f"a.b.h{i % 13}.Example.COM"
+                if i % 4 == 0
+                else f"h{i % 13}.example"
+            )
+            auth = ("u:p@" if i % 7 == 0 else "") + host + (
+                ":8080" if i % 5 == 0 else ""
+            )
+            path = "" if i % 6 == 0 else f"/P{i % 9}"
+            q = f"?q={i}" if i % 2 == 0 else ""
+            frag = "#f" if i % 11 == 0 else ""
+            urls.append(f"http://{auth}{path}{q}{frag}")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts": pa.array(ids.astype(np.int64), pa.int64()),
+                "digest": pa.array([f"sha1:{i}" for i in ids], pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(mkurls, batch_format="pyarrow")
+    out_dir = Path(f"/tmp/crawler_ray/cdx_{Path(sf_dir).name}")
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
+    paths = write_cdxj(build_cdx_index(ds), str(out_dir), shard_rows=256)
+    return (
+        read_cdxj(paths)
+        .to_pandas()
+        .sort_values(["urlkey", "ts"])
         .reset_index(drop=True)
     )
 
@@ -1877,12 +1958,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round 4 (grouped-rollup family keeps green r03 rows of its
         # own: q1, part_type_stats, events_by_type, events_hourly)
         "docs_host_stats": _docs_host_stats,
-        # round-4 swap: test-set decontamination (8-gram GPT-3/PaLM rule,
-        # its OWN operator family) takes the slot of
-        # q3_segment_top_orders, whose join+agg+top-k family keeps q1,
-        # customers_without_orders, sessions, as-of and running-total
-        # in-window and green r01-r03 rows of its own
-        "docs_decontaminate": _docs_decontaminate,
+        # round-4 swap: the CDX/SURT URL-index build + CDXJ round trip
+        # (first driver check, real SQL oracle over independently parsed
+        # SURT keys) takes the slot docs_decontaminate held (green
+        # r01-r03 rows of its own), which q3_segment_top_orders vacated
+        # earlier in the round
+        "corpus_cdx_index": _corpus_cdx_index,
         # round-4 swap: Okapi BM25 ranking (first driver check, real SQL
         # oracle) takes the window slot of q5_region_nation_revenue, whose
         # join+agg family keeps q1/q3 in-window and green r01-r03 rows of
@@ -1927,7 +2008,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-sampler family keeps pack_chunks + global_shuffle in-window
         # and a green r01-r03 row of its own
         "docs_mixture_budget_sample": R.docs_mixture_budget_sample,
-        "docs_pack_chunks": R.docs_pack_chunks,
+        # round-4 swap: positional-postings exact phrase search (first
+        # driver check, real SQL oracle) takes the slot of
+        # docs_pack_chunks, whose packing/sampling family keeps
+        # mixture_budget_sample in-window and a green r03 row of its own
+        "docs_phrase_search": _docs_phrase_search,
         # round-4 swap: raw-text near-dedup via the model-free hashing-
         # trick embedder (first driver check, pinned oracle) takes the slot
         # of docs_stratified_sample (hash-sampler family repped in-window
@@ -2047,6 +2132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_asof_click": R.purchases_asof_click,
         "events_error_click_window": R.events_error_click_window,
         "docs_global_shuffle": R.docs_global_shuffle,
+        "docs_pack_chunks": R.docs_pack_chunks,
+        "docs_decontaminate": _docs_decontaminate,
     }
 
 
@@ -2721,6 +2808,52 @@ ORDER BY doc_id
 #: recrawl change-rate estimator — same synthesized snapshot axis; the
 #: lag() window restates the adjacent-compare, and ratio/lambda round
 #: half-up at 6 dp BEFORE the class gate, exactly as the kernel does
+#: SURT restated with independent DuckDB kernels over the SAME synthesized
+#: url strings the engine keys (regexp authority split, userinfo strip,
+#: port split, list_reverse label reversal; empty path+query -> '/')
+CORPUS_CDX_INDEX_SQL = r"""
+WITH caps AS (
+  SELECT doc_id,
+    'http://'
+    || CASE WHEN doc_id % 7 = 0 THEN 'u:p@' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN 'a.b.h' || CAST(doc_id % 13 AS VARCHAR) || '.Example.COM'
+            ELSE 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example' END
+    || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN '' ELSE '/P' || CAST(doc_id % 9 AS VARCHAR) END
+    || CASE WHEN doc_id % 2 = 0 THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN '#f' ELSE '' END AS url
+  FROM documents
+),
+p1 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM caps
+),
+p2 AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)', 1),
+      '^.*@', '') AS hostport,
+    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*', '') AS pathq
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, url, pathq,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host
+  FROM p2
+)
+SELECT
+  array_to_string(list_reverse(string_split(host, '.')), ',')
+    || CASE WHEN port = '' THEN '' ELSE ':' || port END
+    || ')'
+    || CASE WHEN pathq = '' THEN '/' ELSE pathq END AS urlkey,
+  doc_id AS ts,
+  url,
+  'sha1:' || CAST(doc_id AS VARCHAR) AS digest
+FROM p3
+ORDER BY urlkey, ts
+"""
+
 CORPUS_CHANGE_RATE_SQL = r"""
 WITH snaps AS (
   SELECT CASE WHEN doc_id % 5 = 0 THEN doc_id % 11
@@ -2963,6 +3096,36 @@ ORDER BY a, b
 #: Okapi BM25 for the fixed term bag ('spark','merge','slow') — same
 #: formula as functions/textstats.bm25_topk: idf = ln((N-df+0.5)/(df+0.5)+1),
 #: k1=1.2, b=0.75, score>0 docs only, 6-dp half-up, (score desc, id) top-10.
+#: token-window phrase matching: same space-split/drop-empties tokenizer
+#: as the engine (one convention repo-wide), occurrences counted per
+#: START POSITION so overlapping hits count separately — list slices are
+#: 1-based inclusive, so w[i : i+K-1] is the K-token window at 0-based
+#: position i-1
+DOCS_PHRASE_SEARCH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+  FROM documents
+),
+pt AS (
+  SELECT phrase, string_split(phrase, ' ') AS ptoks
+  FROM (SELECT unnest(['batch batch', 'merge slow', 'table scan merge'])
+          AS phrase)
+),
+hits AS (
+  SELECT p.phrase, t.doc_id, s.i - 1 AS pos0
+  FROM toks t, pt p,
+       unnest(generate_series(1, len(t.w) - len(p.ptoks) + 1)) AS s(i)
+  WHERE t.w[s.i : s.i + len(p.ptoks) - 1] = p.ptoks
+)
+SELECT phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(pos0) AS BIGINT) AS first_pos
+FROM hits
+GROUP BY phrase, doc_id
+ORDER BY phrase, doc_id
+"""
+
 DOCS_BM25_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -3473,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
         "events_late_arrivals": R.LATE_ARRIVALS_SQL,
         "docs_gopher_quality": DOCS_GOPHER_QUALITY_SQL,
         "docs_bm25_topk": DOCS_BM25_SQL,
+        "docs_phrase_search": DOCS_PHRASE_SEARCH_SQL,
         "docs_text_near_dups": DOCS_TEXT_NEAR_DUPS_SQL,
         "docs_frequent_words": DOCS_FREQUENT_WORDS_SQL,
         "docs_unigram_logprob": DOCS_UNIGRAM_LOGPROB_SQL,
@@ -3518,6 +3682,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
+        "corpus_cdx_index": CORPUS_CDX_INDEX_SQL,
         "sitemap_recrawl_due": SITEMAP_RECRAWL_DUE_SQL,
         "corpus_url_dedup": CORPUS_URL_DEDUP_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:

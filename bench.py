@@ -473,6 +473,18 @@ def run_bench() -> dict:
                 "crawl_mirror_hosts"
             ](SF_DIR),
         ),
+        (
+            "phrase_search",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_phrase_search"
+            ](SF_DIR),
+        ),
+        (
+            "cdx_index",
+            lambda: __import__("__ray_entry__").queries()[
+                "corpus_cdx_index"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

@@ -21,6 +21,7 @@ REAL_SQL = [
     "docs_url_quality",
     "docs_gopher_quality",
     "docs_bm25_topk",
+    "docs_phrase_search",
     "docs_frequent_words",
     "docs_unigram_logprob",
     "docs_kn_bigram_logprob",
@@ -46,6 +47,7 @@ REAL_SQL = [
     "jsonl_roundtrip",
     "sitemap_roundtrip",
     "sitemap_recrawl_due",
+    "corpus_cdx_index",
     "audio_decode_features",
     "docs_host_stats",
     "corpus_change_rate",
@@ -190,6 +192,18 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "corpus_change_rate",
         "docs_quality_percentile",
         "images_phash_dups",
+        # the final round-4 window swaps: the four crawl/image/streaming
+        # operators (for events_sessions / purchases_asof_click /
+        # events_error_click_window / docs_global_shuffle, all r03-green)
+        # and positional phrase search (for docs_pack_chunks, r03-green)
+        "crawl_trap_hosts",
+        "crawl_mirror_hosts",
+        "images_phash_clusters",
+        "events_late_arrivals",
+        "docs_phrase_search",
+        # CDX/SURT index build (took docs_decontaminate's slot, green
+        # r01-r03 rows of its own)
+        "corpus_cdx_index",
     }
     assert round3 <= set(window), round3 - set(window)
 

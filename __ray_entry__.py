@@ -2067,7 +2067,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # closure over the same pairs) in-window and a green r01-r03 row
         # of its own
         "docs_url_quality": _docs_url_quality,
-        "docs_jaccard_clusters": _docs_jaccard_clusters,
+        # round-4 swap: UniMax language-budget allocation (first driver
+        # check, recursive-CTE SQL oracle mirrored operation-for-operation)
+        # takes the slot of docs_jaccard_clusters (green r03 row of its
+        # own; distributed connected components stays driver-checked
+        # in-window via images_phash_clusters, which runs the same CC)
+        "docs_unimax_budget": R.docs_unimax_budget,
         "docs_quality_classifier": _docs_quality_classifier,
         # round-4 swap: HITS hubs/authorities (first driver check, pinned
         # oracle + independent dense reference) takes the slot of
@@ -2134,6 +2139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_global_shuffle": R.docs_global_shuffle,
         "docs_pack_chunks": R.docs_pack_chunks,
         "docs_decontaminate": _docs_decontaminate,
+        "docs_jaccard_clusters": _docs_jaccard_clusters,
     }
 
 
@@ -3602,6 +3608,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": R.STRATIFIED_SAMPLE_SQL,
         "docs_temperature_sample": R.TEMPERATURE_SAMPLE_SQL,
         "docs_mixture_budget_sample": R.MIXTURE_BUDGET_SQL,
+        "docs_unimax_budget": R.UNIMAX_BUDGET_SQL,
         "docs_global_shuffle": R.GLOBAL_SHUFFLE_SQL,
         "customers_without_orders": R.ANTI_JOIN_SQL,
         "order_status_with_lineitems": R.SEMI_JOIN_SQL,

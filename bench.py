@@ -485,6 +485,12 @@ def run_bench() -> dict:
                 "corpus_cdx_index"
             ](SF_DIR),
         ),
+        (
+            "unimax_budget",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_unimax_budget"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

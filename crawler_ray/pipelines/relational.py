@@ -708,6 +708,106 @@ def docs_mixture_budget_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_unimax_budget(
+    sf_dir: str, budget_factor: float = 1.5, max_epochs: float = 2.0
+) -> pd.DataFrame:
+    """UniMax language-budget allocation (Chung et al., ICLR 2023) — the
+    published successor to temperature sampling for multilingual mixing:
+    languages are visited in ASCENDING corpus-size order and each gets
+    ``min(max_epochs · size, remaining_budget / languages_left)`` tokens,
+    so no language repeats more than ``max_epochs`` times and leftover
+    budget flows to the bigger languages (waterfilling). With budget =
+    1.5× total tokens and cap 2, the sf* language mix exercises BOTH
+    branches: small languages hit the epoch cap, large ones the budget
+    split.
+
+    Ray shape: ONE per-batch (lang → n_docs, Σtokens) combiner folds to
+    the language-cardinality table on the driver (langs ≪ corpus); the
+    sequential fold is language-scale driver math, mirrored operation-
+    for-operation by the SQL oracle's recursive CTE so the doubles agree
+    bit-for-bit (``max_epochs·c`` vs ``rem/(k-i)`` in the same order).
+    Outputs (lang, n_docs, n_tokens, quota_tokens, epochs) sorted by
+    lang, quota/epochs rounded half-up at 6 dp. The realized per-doc
+    sample for a fractional epoch would reuse the shared multiplicative
+    hash (stratified/temperature/mixture samplers above); the allocation
+    IS UniMax's contribution, so that is what this query states."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split().str.len().astype("int64")
+        return (
+            pd.DataFrame({"lang": df["lang"], "t": toks})
+            .groupby("lang", sort=False)
+            .agg(n_docs=("t", "size"), n_tokens=("t", "sum"))
+            .reset_index()
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", sort=True)
+        .sum()
+        .reset_index()
+    )
+    # ascending size, ties by lang — the paper's visit order
+    agg = agg.sort_values(["n_tokens", "lang"]).reset_index(drop=True)
+    rem = float(agg["n_tokens"].sum()) * budget_factor
+    k = len(agg)
+    quotas: list[float] = []
+    for i in range(k):
+        c = float(agg["n_tokens"].iloc[i])
+        q = min(max_epochs * c, rem / (k - i))
+        quotas.append(q)
+        rem -= q
+    qa = np.asarray(quotas, np.float64)
+    tok = agg["n_tokens"].to_numpy(np.float64)
+    agg["quota_tokens"] = np.floor(qa * 1e6 + 0.5) / 1e6
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ep = np.where(tok > 0, qa / tok, 0.0)
+    agg["epochs"] = np.floor(ep * 1e6 + 0.5) / 1e6
+    return (
+        agg[["lang", "n_docs", "n_tokens", "quota_tokens", "epochs"]]
+        .astype({"n_docs": "int64", "n_tokens": "int64"})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+UNIMAX_BUDGET_SQL = r"""
+WITH RECURSIVE counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(
+             regexp_split_to_array(coalesce(text, ''), '\s+'),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+ordered AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST(sum(n_tokens) OVER () AS DOUBLE) * 1.5 AS budget
+  FROM counts
+),
+alloc(rn, rem, lang, n_docs, n_tokens, quota) AS (
+  SELECT CAST(0 AS BIGINT), (SELECT any_value(budget) FROM ordered),
+         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+  UNION ALL
+  SELECT o.rn,
+         a.rem - least(2.0 * o.n_tokens, a.rem / (o.k - o.rn + 1)),
+         o.lang, o.n_docs, o.n_tokens,
+         least(2.0 * o.n_tokens, a.rem / (o.k - o.rn + 1))
+  FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+)
+SELECT lang, n_docs, n_tokens,
+       floor(quota * 1e6 + 0.5) / 1e6 AS quota_tokens,
+       floor(CASE WHEN n_tokens > 0 THEN quota / n_tokens ELSE 0.0 END
+             * 1e6 + 0.5) / 1e6 AS epochs
+FROM alloc WHERE rn > 0
+ORDER BY lang
+"""
+
+
 def docs_global_shuffle(sf_dir: str) -> pd.DataFrame:
     """Deterministic GLOBAL training-order shuffle: every doc gets a
     reproducible position = its rank under the mod-2^64 multiplicative

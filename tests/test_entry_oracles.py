@@ -29,6 +29,7 @@ REAL_SQL = [
     "docs_perplexity_buckets",
     "docs_temperature_sample",
     "docs_mixture_budget_sample",
+    "docs_unimax_budget",
     "corpus_url_dedup",
     "docs_window_dup_pairs",
     "docs_dedup_spans",
@@ -204,6 +205,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # CDX/SURT index build (took docs_decontaminate's slot, green
         # r01-r03 rows of its own)
         "corpus_cdx_index",
+        # UniMax allocation (took docs_jaccard_clusters's slot; CC stays
+        # driver-checked via images_phash_clusters)
+        "docs_unimax_budget",
     }
     assert round3 <= set(window), round3 - set(window)
 

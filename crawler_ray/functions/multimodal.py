@@ -524,35 +524,69 @@ class PHashImage:
         )
 
 
+#: band-value groups above this size switch from all-pairs to a hub star
+#: (min-id member vs the rest) — same clip MinHash's ``_bucket_pairs_vec``
+#: applies at ``_STAR_CLIP``. A group only grows this large when hundreds
+#: of images share 16 identical hash bits; in practice that is an
+#: exact-duplicate flood (all 64 bits equal), where the hub star yields
+#: the SAME connected components as the full clique at linear cost. For a
+#: mixed giant group the star may miss a non-hub pair in THIS band, but
+#: any pair within ``max_hamming`` still has ≥1 identical band out of
+#: ``max_hamming+1`` by pigeonhole, so it gets ``max_hamming+1`` chances
+#: across bands — only pairs whose every identical band is a clipped
+#: giant group can be lost, and those live inside near-duplicate floods
+#: already connected through the hubs.
+_PHASH_CLIP = 200
+
+
 def phash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "img_id"):
     """Near-duplicate image pairs by pHash banding: the 64-bit hash is
-    split into 8×8-bit bands; images sharing ANY band value are
-    candidates (pigeonhole guarantees recall for Hamming ≤ 7), then the
-    exact Hamming distance verifies. Returns ``(a, b, hamming)`` pairs
-    sorted by id — candidate-bounded, never all-pairs (same exchange
-    shape as dedup.simhash_pairs; the input Dataset must already carry
-    the ``phash`` column from the ``PHashImage`` stage).
+    split into ``max_hamming + 1`` contiguous bands (4 bands × 16 bits at
+    the default ``max_hamming=3``); images sharing ANY band value are
+    candidates — pigeonhole is exact, a pair with ≤ ``max_hamming``
+    differing bits cannot differ in all ``max_hamming + 1`` bands — then
+    the exact Hamming distance verifies. Wider bands keep buckets small
+    at scale: 16-bit bands give 65 536 values/band, so at 10⁹ images an
+    average band-value group is ~15 k rows, vs ~4 M for the old 8-bit
+    bands whose unclipped all-pairs went quadratic on hot values; groups
+    above ``_PHASH_CLIP`` are additionally clipped to a min-id hub star
+    (see the clip note above). Returns ``(a, b, hamming)`` pairs sorted
+    by id — candidate-bounded, never all-pairs (same exchange shape as
+    dedup.simhash_pairs; the input Dataset must already carry the
+    ``phash`` column from the ``PHashImage`` stage). Band count caps at 8
+    (8-bit bands) for ``max_hamming > 7``, where banding recall is no
+    longer exhaustive — same contract as before.
     """
     import pandas as pd
 
     from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
 
+    nb = min(8, max(1, int(max_hamming) + 1))
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    offs = np.cumsum([0] + widths[:-1])
+    shifts = np.array(offs, dtype=np.uint64)
+    masks = np.array(
+        [(1 << w) - 1 if w < 64 else ~0 & 0xFFFFFFFFFFFFFFFF for w in widths],
+        dtype=np.uint64,
+    )
+
     def bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
         ph = batch["phash"].to_numpy().astype(np.uint64)
-        shifts = np.uint64(8) * np.arange(8, dtype=np.uint64)
-        bvs = ((ph[:, None] >> shifts) & np.uint64(0xFF)).astype(np.int32)
+        chunks = (ph[:, None] >> shifts) & masks
+        # mix the band index in so equal chunk values in different bands
+        # never share a bucket; uint64 wraparound mixing is a pure
+        # function of (chunk, band) so recall is unaffected and any hash
+        # collision only ADDS candidates for the verify step to discard
+        with np.errstate(over="ignore"):
+            bvs = chunks * np.uint64(0x9E3779B97F4A7C15) + np.arange(
+                nb, dtype=np.uint64
+            )
         return pa.table(
             {
-                id_col: pa.array(np.repeat(ids, 8), pa.int64()),
-                "band": pa.array(
-                    np.tile(np.arange(8, dtype=np.int32), len(ids)), pa.int32()
-                ),
-                "band_val": pa.array(
-                    (bvs + 256 * np.arange(8, dtype=np.int32)).ravel(),
-                    pa.int32(),
-                ),
-                "phash": pa.array(np.repeat(ph, 8), pa.uint64()),
+                id_col: pa.array(np.repeat(ids, nb), pa.int64()),
+                "band_val": pa.array(bvs.ravel(), pa.uint64()),
+                "phash": pa.array(np.repeat(ph, nb), pa.uint64()),
             }
         )
 
@@ -564,16 +598,29 @@ def phash_dup_pairs(ds, max_hamming: int = 3, id_col: str = "img_id"):
                 continue
             ids = rows[id_col].to_numpy()
             ph = rows["phash"].to_numpy(dtype=np.uint64)
-            iu = np.triu_indices(len(ids), k=1)
-            x = ph[iu[0]] ^ ph[iu[1]]
-            dist = np.unpackbits(x[:, None].view(np.uint8), axis=1).sum(axis=1)
-            keep = dist <= max_hamming
-            if keep.any():
+            if len(ids) > _PHASH_CLIP:
+                # hub star: min id vs the rest, linear in group size
+                x = ph[0] ^ ph[1:]
+                dist = np.unpackbits(
+                    x[:, None].view(np.uint8), axis=1
+                ).sum(axis=1)
+                keep = dist <= max_hamming
+                ia = np.zeros(int(keep.sum()), dtype=np.intp)
+                ib = np.nonzero(keep)[0] + 1
+            else:
+                iu = np.triu_indices(len(ids), k=1)
+                x = ph[iu[0]] ^ ph[iu[1]]
+                dist = np.unpackbits(
+                    x[:, None].view(np.uint8), axis=1
+                ).sum(axis=1)
+                keep = dist <= max_hamming
+                ia, ib = iu[0][keep], iu[1][keep]
+            if len(ia):
                 out.append(
                     pd.DataFrame(
                         {
-                            "a": ids[iu[0]][keep],
-                            "b": ids[iu[1]][keep],
+                            "a": ids[ia],
+                            "b": ids[ib],
                             "hamming": dist[keep],
                         }
                     )

@@ -2249,11 +2249,12 @@ def test_phash_matches_independent_dct_reference():
 
 
 def test_phash_dup_pairs_banding_recall(ray_session):
-    """Pigeonhole recall: any pair within Hamming <= 7 shares at least
-    one 8-bit band, so the banded candidate search must find EVERY pair
-    <= max_hamming — checked against brute force over a synthetic hash
-    column with planted 1-, 3- and 8-bit flips (the 8-bit flip must be
-    excluded by the verify step even when bands collide)."""
+    """Pigeonhole recall: with max_hamming+1 = 4 bands of 16 bits, any
+    pair within Hamming <= 3 shares at least one band (3 flips cannot
+    touch all 4 bands), so the banded candidate search must find EVERY
+    pair <= max_hamming — checked against brute force over a synthetic
+    hash column with planted 1-, 3- and 8-bit flips (the 8-bit flip must
+    be excluded by the verify step even when bands collide)."""
     import itertools
 
     import ray.data as rd
@@ -2283,6 +2284,67 @@ def test_phash_dup_pairs_banding_recall(ray_session):
             want.append((a, b, d))
     assert list(map(tuple, got.to_numpy())) == want
     assert (0, 3, 8) not in list(map(tuple, got.to_numpy()))
+
+
+def test_phash_dup_pairs_exhaustive_recall_random_flips(ray_session):
+    """Property sweep for the 4x16-bit banding: 64 hashes derived from a
+    base by flipping every possible 0..3-subset pattern across band
+    boundaries (flips chosen to straddle the 16-bit band edges, the case
+    a banding bug would miss) — the banded search must equal brute
+    force exactly."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.multimodal import phash_dup_pairs
+
+    base = 0xA5A5_5A5A_C3C3_3C3C
+    # flip positions straddling each 16-bit band edge plus interiors
+    positions = [0, 15, 16, 31, 32, 47, 48, 63]
+    hashes = [base]
+    for k in (1, 2, 3):
+        for combo in itertools.combinations(positions, k):
+            h = base
+            for p in combo:
+                h ^= 1 << p
+            hashes.append(h)
+    tbl = pa.table(
+        {
+            "img_id": pa.array(range(len(hashes)), pa.int64()),
+            "phash": pa.array(hashes, pa.uint64()),
+        }
+    )
+    got = phash_dup_pairs(rd.from_arrow(tbl), max_hamming=3)
+    want = []
+    for a, b in itertools.combinations(range(len(hashes)), 2):
+        d = bin(hashes[a] ^ hashes[b]).count("1")
+        if d <= 3:
+            want.append((a, b, d))
+    assert sorted(map(tuple, got.to_numpy())) == sorted(want)
+
+
+def test_phash_dup_pairs_hub_star_clip(ray_session):
+    """A band-value group above _PHASH_CLIP (an exact-duplicate flood:
+    every hash identical) must be clipped to a min-id hub star — pair
+    count linear in the flood size, every member connected to the hub,
+    so connected components match the full clique's."""
+    import ray.data as rd
+
+    from crawler_ray.functions import multimodal as mm
+
+    n = mm._PHASH_CLIP + 50
+    tbl = pa.table(
+        {
+            "img_id": pa.array(range(n), pa.int64()),
+            "phash": pa.array([0x1234_5678_9ABC_DEF0] * n, pa.uint64()),
+        }
+    )
+    got = mm.phash_dup_pairs(rd.from_arrow(tbl), max_hamming=3)
+    # hub star: exactly n-1 pairs (0, i), not n*(n-1)/2 clique pairs
+    assert len(got) == n - 1
+    assert (got["a"] == 0).all()
+    assert sorted(got["b"]) == list(range(1, n))
+    assert (got["hamming"] == 0).all()
 
 
 def test_phash_strict_without_codec_raises():

@@ -27,11 +27,11 @@ no per-row Python); ``build_cdx_index`` is map_batches(key) → ONE
 ``Dataset.sort`` on (urlkey, ts) — the global range-partition sort IS
 the operator here (an index must be totally ordered to serve prefix
 scans), the one place this repo uses Ray Data's sort-based exchange on
-purpose. ``write_cdxj`` streams the sorted blocks to numbered shard
-files (block order = global order, so shard N's key range precedes
-shard N+1's — resumable, range-addressable output); at the design point
-the same shards come from per-block sink tasks with range-encoded file
-names. ``read_cdxj`` is ``read_binary_files`` (one block per shard,
+purpose. ``write_cdxj`` writes the sorted blocks through one SINK TASK
+per block to numbered shard files (block order = global order, so shard
+N's key range precedes shard N+1's — resumable, range-addressable
+output) plus a ``cluster.idx`` secondary index mapping each shard to its
+first key. ``read_cdxj`` is ``read_binary_files`` (one block per shard,
 parallel across files) + per-line parse with malformed-line salvage,
 like the WARC/JSONL sources.
 
@@ -115,52 +115,102 @@ def build_cdx_index(
     return ds.map_batches(key, batch_format="pyarrow").sort(["urlkey", "ts"])
 
 
+def _serialize_cdxj_block(t: pa.Table):
+    """One sorted block → one serialized CDXJ line per row (polars
+    Series of strings, ``\\n``-terminated). Fully vectorized: polars
+    struct → JSON plus string concat, no per-row ``json.dumps``. urlkeys
+    containing a literal space are REJECTED loudly: the CDXJ line format
+    is space-delimited, so such a key would be silently mangled into a
+    salvage-dropped line on read — canonical SURT keys percent-encode
+    spaces, so this only fires on malformed input."""
+    import polars as pl
+
+    keys = t["urlkey"]
+    bad = pc.match_substring(keys, " ")
+    if pc.any(bad).as_py():
+        example = t.filter(bad)["urlkey"][0].as_py()
+        raise ValueError(
+            f"urlkey contains a space (CDXJ is space-delimited): {example!r}"
+        )
+    df = pl.from_arrow(t)
+    lines = df.select(
+        (
+            pl.col("urlkey")
+            + pl.lit(" ")
+            + pl.col("ts").cast(pl.String)
+            + pl.lit(" ")
+            + pl.struct(["url", "digest"]).struct.json_encode()
+            + pl.lit("\n")
+        ).alias("line")
+    )["line"]
+    return lines
+
+
 def write_cdxj(
     sorted_ds,
     out_dir: str,
     shard_rows: int = DEFAULT_SHARD_ROWS,
 ) -> "list[str]":
-    """Sorted index Dataset → numbered ``cdx-NNNNN.cdxj`` shards (block
-    order = global order, so file order preserves it). Streams block by
-    block on the driver (nothing index-sized is materialized at once);
-    the design-point form is the same writer inside per-block sink tasks
-    with range-encoded names."""
+    """Sorted index Dataset → ``cdx-BBBBB-SSSS.cdxj`` shards written by
+    ONE SINK TASK PER SORTED BLOCK (block order = global order after the
+    range-partition sort, and the block/sub-shard numbers are zero-padded,
+    so lexicographic file order = global key order). The driver never
+    touches row data — each task serializes its own block (vectorized, see
+    ``_serialize_cdxj_block``) and returns only shard metadata; the driver
+    folds that into a pywb-ZipNum-style ``cluster.idx`` secondary index
+    (``first_urlkey first_ts filename nrows`` per shard) so a consumer can
+    binary-search the key range to the right shard without opening it.
+    Writers at the design point land on shared storage; single-box tests
+    land on the local filesystem — same dataflow.
+
+    Returns the shard paths in global key order (``cluster.idx`` sits
+    beside them but is not in the returned list)."""
     from pathlib import Path
+
+    import ray
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    paths: list[str] = []
-    buf: list[str] = []
-    n_shard = 0
 
-    def flush():
-        nonlocal n_shard
-        if not buf:
-            return
-        p = out / f"cdx-{n_shard:05d}.cdxj"
-        p.write_text("".join(buf), encoding="utf-8")
-        paths.append(str(p))
-        buf.clear()
-        n_shard += 1
-
-    for batch in sorted_ds.iter_batches(
-        batch_format="pyarrow", batch_size=shard_rows
-    ):
-        keys = batch["urlkey"].to_pylist()
-        tss = batch["ts"].to_pylist()
-        urls = batch["url"].to_pylist()
-        digs = batch["digest"].to_pylist()
-        for k, t, u, d in zip(keys, tss, urls, digs):
-            buf.append(
-                f"{k} {t} "
-                + json.dumps({"url": u, "digest": d}, separators=(",", ":"))
-                + "\n"
+    @ray.remote
+    def write_block(block_idx: int, t) -> "list[tuple[str, str, int, int]]":
+        if isinstance(t, pa.RecordBatch):
+            t = pa.Table.from_batches([t])
+        if t.num_rows == 0:
+            return []
+        lines = _serialize_cdxj_block(t)
+        metas: list[tuple[str, str, int, int]] = []
+        for sub, lo in enumerate(range(0, t.num_rows, shard_rows)):
+            hi = min(lo + shard_rows, t.num_rows)
+            p = out / f"cdx-{block_idx:05d}-{sub:04d}.cdxj"
+            with open(p, "w", encoding="utf-8") as f:
+                f.write("".join(lines.slice(lo, hi - lo).to_list()))
+            metas.append(
+                (
+                    str(p),
+                    t["urlkey"][lo].as_py(),
+                    int(t["ts"][lo].as_py()),
+                    hi - lo,
+                )
             )
-            if len(buf) >= shard_rows:
-                flush()
-        flush()  # one shard per sorted batch keeps file order = key order
-    flush()
-    return paths
+        return metas
+
+    refs = sorted_ds.to_arrow_refs()
+    metas = [
+        m
+        for part in ray.get(
+            [write_block.remote(i, r) for i, r in enumerate(refs)]
+        )
+        for m in part
+    ]
+    (out / "cluster.idx").write_text(
+        "".join(
+            f"{first_key} {first_ts} {Path(p).name} {n}\n"
+            for p, first_key, first_ts, n in metas
+        ),
+        encoding="utf-8",
+    )
+    return [p for p, _, _, _ in metas]
 
 
 def read_cdxj(paths: "str | list[str]"):
@@ -205,6 +255,58 @@ def read_cdxj(paths: "str | list[str]"):
         )
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def cdxj_salvage_counts(paths: "str | list[str]") -> pd.DataFrame:
+    """Per-shard salvage metric for ``read_cdxj``: ``(path, total_lines,
+    salvaged)`` where ``salvaged`` counts the malformed lines the reader
+    skipped. Round-trip loss is silent inside ``read_cdxj`` by design
+    (the salvage contract keeps bulk reads flowing); this companion scan
+    makes it observable — a monitoring pipeline joins it to write-side
+    row counts (``cluster.idx``) and alarms on any nonzero delta. Same
+    parallel per-file shape as the reader."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def count(batch: pa.Table) -> pa.Table:
+        out_paths: list[str] = []
+        totals: list[int] = []
+        salvaged: list[int] = []
+        for path, payload in zip(
+            batch["path"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            total = bad = 0
+            for line in payload.decode("utf-8", errors="replace").splitlines():
+                if not line.strip():
+                    continue
+                total += 1
+                parts = line.split(" ", 2)
+                if len(parts) != 3:
+                    bad += 1
+                    continue
+                try:
+                    int(parts[1])
+                    json.loads(parts[2])
+                except (ValueError, json.JSONDecodeError):
+                    bad += 1
+            out_paths.append(path)
+            totals.append(total)
+            salvaged.append(bad)
+        return pa.table(
+            {
+                "path": pa.array(out_paths, pa.string()),
+                "total_lines": pa.array(totals, pa.int64()),
+                "salvaged": pa.array(salvaged, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(count, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
 
 
 def prefix_lookup(index_ds, prefix: str) -> pd.DataFrame:

@@ -420,3 +420,76 @@ def test_cdx_index_roundtrip_sorted_and_salvage(ray_session, tmp_path):
     sal = read_cdxj([str(bad)]).to_pandas()
     assert len(sal) == 1
     assert sal["urlkey"][0] == "com,example)/z" and sal["ts"][0] == 6
+
+
+def test_cdxj_sink_tasks_cluster_idx_and_guards(ray_session, tmp_path):
+    """The distributed sink: per-block tasks write shards whose
+    lexicographic NAME order equals global key order, cluster.idx maps
+    each shard to its first key and row count, space-bearing urlkeys are
+    rejected loudly, and cdxj_salvage_counts surfaces read-side drops."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.sources.cdx import (
+        build_cdx_index,
+        cdxj_salvage_counts,
+        write_cdxj,
+    )
+
+    urls = [f"http://h{i % 7}.example/p{i}" for i in range(60)]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array(list(range(60)), pa.int64()),
+            "digest": pa.array([f"d{i}" for i in range(60)], pa.string()),
+        }
+    )
+    out = tmp_path / "cdx2"
+    paths = write_cdxj(
+        build_cdx_index(rd.from_arrow(t).repartition(6)), str(out), shard_rows=7
+    )
+    # returned order == lexicographic name order == global key order
+    assert paths == sorted(paths)
+    keys = []
+    for p in paths:
+        keys.extend(
+            (ln.split(" ", 2)[0], int(ln.split(" ", 2)[1]))
+            for ln in open(p).read().splitlines()
+        )
+    assert keys == sorted(keys) and len(keys) == 60
+
+    # cluster.idx: one line per shard, first key + row count per shard
+    idx_lines = (out / "cluster.idx").read_text().splitlines()
+    assert len(idx_lines) == len(paths)
+    total = 0
+    for ln, p in zip(idx_lines, paths):
+        first_key, first_ts, name, n = ln.rsplit(" ", 3)
+        assert name == p.rsplit("/", 1)[-1]
+        first_line = open(p).readline()
+        assert first_line.startswith(f"{first_key} {first_ts} ")
+        total += int(n)
+    assert total == 60
+
+    # space-bearing urlkey -> loud ValueError from the sink task
+    bad = rd.from_arrow(
+        pa.table(
+            {
+                "urlkey": pa.array(["com,ex) /sp ace"], pa.string()),
+                "ts": pa.array([1], pa.int64()),
+                "url": pa.array(["u"], pa.string()),
+                "digest": pa.array(["d"], pa.string()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="space"):
+        write_cdxj(bad, str(tmp_path / "cdx3"))
+
+    # salvage metric: clean shards report zero drops; a junk shard reports
+    sal = cdxj_salvage_counts(paths)
+    assert (sal["salvaged"] == 0).all()
+    assert int(sal["total_lines"].sum()) == 60
+    junk = out / "cdx-junk.cdxj"
+    junk.write_text("no\ncom,x)/y 3 {\"url\":\"u\",\"digest\":\"d\"}\n")
+    salj = cdxj_salvage_counts([str(junk)])
+    assert salj["total_lines"].tolist() == [2]
+    assert salj["salvaged"].tolist() == [1]

@@ -1406,23 +1406,27 @@ def _docs_phrase_search(sf_dir: str) -> pd.DataFrame:
 
 def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     """Model-free text near-dup pairs END TO END from raw text:
-    feature-hashing char-trigram embeddings
-    (functions/similarity.hashing_embed — the hashing trick, Weinberger
-    2009; identical texts embed identically) → LSH-bucketed cosine pair
-    search (cosine_near_dup_pairs). Pinned oracle (seeded planes, exact
-    verify ⇒ deterministic); the embedder spec is restated per-gram by an
-    independent pytest reference, and planted-duplicate tests pin the
+    feature-hashing char-trigram embeddings run through the EmbedText
+    ACTOR-POOL MODEL SEAM (functions/similarity.EmbedText — model loaded
+    once per actor in __init__, the slot a production pipeline drops a
+    transformer into; the hashing trick, Weinberger 2009, is the
+    deterministic test double, and identical texts embed identically) →
+    LSH-bucketed cosine pair search (cosine_near_dup_pairs). Pinned
+    oracle (seeded planes, exact verify ⇒ deterministic); the embedder
+    spec is restated per-gram by an independent pytest reference,
+    seam-vs-direct bit parity is pinned by
+    test_embed_text_seam_bit_parity, and planted-duplicate tests pin the
     cos=1-for-identical-text property the composition relies on."""
     from crawler_ray.functions.similarity import (
         cosine_near_dup_pairs,
-        hashing_embed,
+        embed_dataset,
     )
 
-    def embed_vec(t: pa.Table) -> pa.Table:
-        return hashing_embed(t).rename_columns(["vec_id", "embedding"])
-
-    emb = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
-        embed_vec, batch_format="pyarrow"
+    emb = embed_dataset(
+        _docs_ds(sf_dir, ["doc_id", "text"]), id_col="doc_id"
+    ).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]),
+        batch_format="pyarrow",
     )
     out = cosine_near_dup_pairs(emb, threshold=0.995)
     out["sim"] = out["sim"].round(4)

@@ -1071,3 +1071,115 @@ def hashing_embed(
             ),
         }
     )
+
+
+# --------------------------------------------------- embedding-model seam
+
+
+class EmbedText:
+    """Actor-pool text-embedding stage — the pluggable MODEL SEAM: the
+    model is loaded ONCE per actor in ``__init__`` (the treatment
+    ``stages.fetch.HttpFetcher`` gives its HTTP session), inference runs
+    per batch in ``__call__``. A production pipeline drops a transformer
+    in via ``loader``; this repo's deterministic test double is the
+    hashing-trick embedder above (``model="hashing"``), so every
+    downstream similarity op (semantic_dedup, cosine_near_dup_pairs, ANN)
+    is exercised through the exact seam a real model would use.
+
+    ``model="hashing"``  → in-repo feature-hashing embedder (no deps).
+    ``loader=callable``  → called once per actor, must return an object
+        with ``encode(list[str]) -> ndarray[n, dim] (float32-able)`` —
+        the sentence-transformers convention. Import errors surface at
+        actor construction (loudly, once), not per batch.
+
+    Use through ``embed_dataset`` (which sets the actor-pool
+    ``concurrency`` / ``batch_size``), or directly:
+    ``ds.map_batches(EmbedText, fn_constructor_kwargs={...},
+    concurrency=N, batch_format="pyarrow")``.
+
+    Output schema: ``(id_col int64, out_col list<float32>)`` — rows whose
+    vector is all-zero (empty/short text under the hashing double) are
+    KEPT; downstream cosine ops already exclude zero vectors.
+    """
+
+    def __init__(
+        self,
+        model: str = "hashing",
+        loader=None,
+        dim: int = 64,
+        n: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "embedding",
+    ) -> None:
+        self.text_col = text_col
+        self.id_col = id_col
+        self.out_col = out_col
+        if loader is not None:
+            m = loader()  # once per actor — the expensive part
+            if not hasattr(m, "encode"):
+                raise TypeError(
+                    "loader() must return an object with encode(list[str])"
+                )
+            self._encode = m.encode
+        elif model == "hashing":
+            self._dim, self._n = dim, n
+            self._encode = self._hashing_encode
+        else:
+            raise ValueError(
+                f"unknown model {model!r}: pass model='hashing' or loader="
+            )
+
+    def _hashing_encode(self, texts: "list[str]") -> np.ndarray:
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), pa.int64()
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        emb = hashing_embed(t, dim=self._dim, n=self._n)
+        return np.asarray(
+            emb["embedding"].to_pylist(), dtype=np.float32
+        ).reshape(len(texts), self._dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [x or "" for x in batch[self.text_col].to_pylist()]
+        vecs = np.asarray(self._encode(texts), dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[0] != len(texts):
+            raise ValueError(
+                f"encode() returned shape {vecs.shape}, want ({len(texts)}, dim)"
+            )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].cast(pa.int64()),
+                self.out_col: pa.array(
+                    [row.tolist() for row in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def embed_dataset(
+    ds,
+    model: str = "hashing",
+    loader=None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    **kwargs,
+):
+    """Dataset(text) → Dataset(id, embedding) through the ``EmbedText``
+    actor pool. ``concurrency`` actors each pay the model load once;
+    ``batch_size`` bounds per-inference memory (a transformer's
+    activation footprint scales with batch tokens — size it to the
+    model, not the default). Model-free ``"hashing"`` double by default,
+    so tests and the driver contract run the identical dataflow a real
+    model would."""
+    return ds.map_batches(
+        EmbedText,
+        fn_constructor_kwargs={"model": model, "loader": loader, **kwargs},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

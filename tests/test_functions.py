@@ -1671,6 +1671,77 @@ def test_hashing_embed_duplicate_and_similarity_properties(ray_session):
     assert pairs["sim"].iloc[0] > 1.0 - 1e-6  # f32 self-cosine
 
 
+def test_embed_text_seam_bit_parity(ray_session):
+    """The EmbedText actor-pool seam with the hashing double must be
+    BIT-IDENTICAL to calling hashing_embed directly per batch — the seam
+    adds the model-loading actor shape, never arithmetic."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.functions.similarity import embed_dataset, hashing_embed
+
+    texts = [f"doc {i} " + "tok " * (i % 17) for i in range(200)]
+    rows = [{"doc_id": i, "text": s} for i, s in enumerate(texts)]
+    direct = hashing_embed(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    via_seam = (
+        embed_dataset(rd.from_items(rows), concurrency=2, batch_size=32)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = np.asarray(direct["embedding"].to_pylist(), dtype=np.float32)
+    b = np.asarray(via_seam["embedding"].to_list(), dtype=np.float32)
+    assert np.array_equal(a, b)
+
+
+def test_embed_text_seam_custom_loader_and_errors(ray_session):
+    """A custom loader() runs once per actor and its encode() drives the
+    batch path; a loader returning the wrong surface fails loudly at
+    actor construction, and a bad encode() shape fails loudly per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from crawler_ray.functions.similarity import EmbedText
+
+    class TinyModel:
+        def encode(self, texts):
+            return np.stack(
+                [[float(len(t)), 1.0, 0.0] for t in texts]
+            ).astype(np.float32)
+
+    stage = EmbedText(loader=TinyModel)
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["ab", "abcd"], pa.string()),
+        }
+    )
+    out = stage(t)
+    assert out["doc_id"].to_pylist() == [7, 8]
+    assert out["embedding"].to_pylist() == [[2.0, 1.0, 0.0], [4.0, 1.0, 0.0]]
+
+    with pytest.raises(TypeError, match="encode"):
+        EmbedText(loader=lambda: object())
+
+    class BadShape:
+        def encode(self, texts):
+            return np.zeros((1, 3), dtype=np.float32)  # wrong row count
+
+    with pytest.raises(ValueError, match="shape"):
+        EmbedText(loader=BadShape)(t)
+
+    with pytest.raises(ValueError, match="unknown model"):
+        EmbedText(model="transformer-v9000")
+
+
 # ---------------------------------------------------------------------------
 # jusText-style boilerplate paragraph classification (functions/boilerplate)
 # ---------------------------------------------------------------------------

@@ -144,9 +144,23 @@ def phrase_search(
     def match_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # keys per term: sorted doc*2^32+pos arrays (one groupby, no loop
         # over docs; the loop below is over the QUERY's phrases/terms only)
-        key = (
-            df["doc_id"].to_numpy().astype(np.int64) << _POS_BITS
-        ) | df["pos"].to_numpy().astype(np.int64)
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        pos = df["pos"].to_numpy().astype(np.int64)
+        # the packed key is only collision-free for 0 <= doc_id < 2^31 and
+        # 0 <= pos < 2^32 — out-of-range values would silently corrupt
+        # keys and return WRONG matches, so fail loudly instead
+        if len(ids) and (
+            ids.min() < 0
+            or ids.max() >= (1 << 31)
+            or pos.max() >= (1 << _POS_BITS)
+        ):
+            raise ValueError(
+                "phrase_search packs doc_id<<32|pos into int64: doc_id must "
+                f"be in [0, 2^31) and pos in [0, 2^32); got doc_id range "
+                f"[{ids.min()}, {ids.max()}], max pos {pos.max()} — use a "
+                "(doc_id, pos) structured key for larger id spaces"
+            )
+        key = (ids << _POS_BITS) | pos
         term_keys = {
             t: np.sort(key[idx])
             for t, idx in df.groupby("term", sort=False).indices.items()

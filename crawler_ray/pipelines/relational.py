@@ -736,8 +736,12 @@ def docs_unimax_budget(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.split().str.len().astype("int64")
         return (
+            # dropna=False: a NULL lang is a GROUP (the SQL oracle's
+            # GROUP BY keeps it and its tokens count against the budget);
+            # pandas' default would silently drop those rows and the
+            # allocation would diverge on a corpus with untagged docs
             pd.DataFrame({"lang": df["lang"], "t": toks})
-            .groupby("lang", sort=False)
+            .groupby("lang", sort=False, dropna=False)
             .agg(n_docs=("t", "size"), n_tokens=("t", "sum"))
             .reset_index()
         )
@@ -745,10 +749,13 @@ def docs_unimax_budget(
     agg = (
         ds.map_batches(partial, batch_format="pandas")
         .to_pandas()
-        .groupby("lang", sort=True)
+        .groupby("lang", sort=True, dropna=False)
         .sum()
         .reset_index()
     )
+    # pandas carries the null group key as NaN; surface it as None so the
+    # output column matches the oracle's NULL (and stays a string column)
+    agg["lang"] = agg["lang"].astype(object).where(agg["lang"].notna(), None)
     # ascending size, ties by lang — the paper's visit order
     agg = agg.sort_values(["n_tokens", "lang"]).reset_index(drop=True)
     rem = float(agg["n_tokens"].sum()) * budget_factor

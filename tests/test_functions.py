@@ -2620,6 +2620,25 @@ def test_phrase_search_kernel(ray_session):
         phrase_search(rd.from_arrow(t), ("ok", "   "))
 
 
+def test_phrase_search_out_of_range_doc_id_fails_loudly(ray_session):
+    """The int64 doc<<32|pos packing is only collision-free for doc ids in
+    [0, 2^31): a negative or >= 2^31 id must raise, not silently return
+    wrong matches."""
+    import ray.data as rd
+
+    from crawler_ray.functions.search import phrase_search
+
+    for bad_id in (-1, 1 << 31):
+        t = pa.table(
+            {
+                "doc_id": pa.array([bad_id, 3], pa.int64()),
+                "text": pa.array(["spark merge", "spark merge"], pa.string()),
+            }
+        )
+        with pytest.raises(Exception, match="doc_id"):
+            phrase_search(rd.from_arrow(t), ("spark merge",))
+
+
 def test_phrase_search_matches_brute_force_random(ray_session):
     import ray.data as rd
 

@@ -174,3 +174,43 @@ def test_hopping_window_boundary(tmp_path):
     starts = (got["window_start"].astype("int64") // HOP).tolist()
     assert starts == [5, 6, 7, 8] and (got["n"] == 1).all()
     assert (got["total_value"] == 2.5).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unimax_budget_null_lang_group(tmp_path):
+    """A corpus with NULL-lang docs: SQL's GROUP BY keeps the NULL group
+    and its tokens count against the 1.5x budget, so the engine must too
+    (pandas groupby dropna=False). Engine vs the recursive-CTE oracle on
+    the same table, bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    texts = [
+        "one two three",          # lang en
+        "uno dos",                # lang es
+        None,                     # NULL lang, NULL text -> 0 tokens
+        "a b c d e f g h",        # NULL lang, 8 tokens
+        "x y",                    # lang en
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "lang": pa.array(["en", "es", None, None, "en"], pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = R.docs_unimax_budget(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(e.oracle_sql()["docs_unimax_budget"]).df()
+    assert len(got) == 3  # en, es, and the NULL group
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

@@ -146,6 +146,56 @@ def _serialize_cdxj_block(t: pa.Table):
     return lines
 
 
+#: cached sink-task remote fn — a fresh ``@ray.remote`` per write_cdxj
+#: call would export a new function definition to every worker each
+#: call (same GCS-traffic reason stages/shuffle caches _SPLIT_TASKS)
+_WRITE_BLOCK_TASK = None
+
+
+def _write_block_task():
+    global _WRITE_BLOCK_TASK
+    if _WRITE_BLOCK_TASK is None:
+        import ray
+
+        @ray.remote
+        def write_blocks(
+            chunk_idx: int, out_dir: str, shard_rows: int, *tables
+        ) -> "list[tuple[str, str, int, int]]":
+            from pathlib import Path
+
+            live = [
+                pa.Table.from_batches([t])
+                if isinstance(t, pa.RecordBatch)
+                else t
+                for t in tables
+            ]
+            live = [t for t in live if t.num_rows]
+            if not live:
+                return []
+            # consecutive sorted blocks concat to a sorted run
+            t = pa.concat_tables(live) if len(live) > 1 else live[0]
+            out = Path(out_dir)
+            lines = _serialize_cdxj_block(t)
+            metas: list[tuple[str, str, int, int]] = []
+            for sub, lo in enumerate(range(0, t.num_rows, shard_rows)):
+                hi = min(lo + shard_rows, t.num_rows)
+                p = out / f"cdx-{chunk_idx:05d}-{sub:04d}.cdxj"
+                with open(p, "w", encoding="utf-8") as f:
+                    f.write("".join(lines.slice(lo, hi - lo).to_list()))
+                metas.append(
+                    (
+                        str(p),
+                        t["urlkey"][lo].as_py(),
+                        int(t["ts"][lo].as_py()),
+                        hi - lo,
+                    )
+                )
+            return metas
+
+        _WRITE_BLOCK_TASK = write_blocks
+    return _WRITE_BLOCK_TASK
+
+
 def write_cdxj(
     sorted_ds,
     out_dir: str,
@@ -172,34 +222,22 @@ def write_cdxj(
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
-    @ray.remote
-    def write_block(block_idx: int, t) -> "list[tuple[str, str, int, int]]":
-        if isinstance(t, pa.RecordBatch):
-            t = pa.Table.from_batches([t])
-        if t.num_rows == 0:
-            return []
-        lines = _serialize_cdxj_block(t)
-        metas: list[tuple[str, str, int, int]] = []
-        for sub, lo in enumerate(range(0, t.num_rows, shard_rows)):
-            hi = min(lo + shard_rows, t.num_rows)
-            p = out / f"cdx-{block_idx:05d}-{sub:04d}.cdxj"
-            with open(p, "w", encoding="utf-8") as f:
-                f.write("".join(lines.slice(lo, hi - lo).to_list()))
-            metas.append(
-                (
-                    str(p),
-                    t["urlkey"][lo].as_py(),
-                    int(t["ts"][lo].as_py()),
-                    hi - lo,
-                )
-            )
-        return metas
+    from ..stages.shuffle import _chunk_refs
 
+    task = _write_block_task()
     refs = sorted_ds.to_arrow_refs()
+    # group CONSECUTIVE blocks per sink task (order preserved): at test
+    # scale the sort emits dozens of tiny blocks and per-task overhead
+    # would dominate; at the design point blocks are fat and the grouping
+    # converges to ~one block per task
+    chunks = _chunk_refs(refs)
     metas = [
         m
         for part in ray.get(
-            [write_block.remote(i, r) for i, r in enumerate(refs)]
+            [
+                task.remote(i, str(out), shard_rows, *chunk)
+                for i, chunk in enumerate(chunks)
+            ]
         )
         for m in part
     ]

@@ -1701,6 +1701,117 @@ def _corpus_cdx_index(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_cdx_revisits(sf_dir: str) -> pd.DataFrame:
+    """WARC revisit resolution over a CDX index (sources/cdx.cdx_revisits):
+    each doc synthesizes THREE captures of its URL (ts = doc_id·3 + j,
+    digest = pure ts arithmetic mod 5, so consecutive captures of a key
+    collide often); a capture whose digest equals the PREVIOUS capture of
+    the same urlkey is a revisit (WARC 1.1 §6.7.2 — the archive stores a
+    pointer, not the payload). LAG-equality semantics, NOT distinct-digest:
+    A,B,A stores three payloads. Engine: one urlkey-bucketed exchange +
+    vectorized shift-compare (no global sort, no driver history). The SQL
+    oracle rebuilds the captures from the same arithmetic and applies a
+    LAG window — URLs here are single-label hosts whose SURT form is
+    direct string algebra, so the oracle states the key inline (the SURT
+    KERNEL itself is independently oracled by corpus_cdx_index's
+    re-parsing SQL)."""
+    from crawler_ray.sources.cdx import cdx_revisits, surt_key
+
+    def mkcaps(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        rep = np.repeat(ids, 3)
+        j = np.tile(np.arange(3, dtype=np.int64), len(ids))
+        ts = rep * 3 + j
+        urls = [f"http://h{i % 13}.example/p{i % 7}" for i in rep]
+        return pa.table(
+            {
+                "urlkey": surt_key(pa.array(urls, pa.string())),
+                "ts": pa.array(ts, pa.int64()),
+                "digest": pa.array(
+                    [f"sha1:{(t_ * 7 + 3) % 5}" for t_ in ts], pa.string()
+                ),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        mkcaps, batch_format="pyarrow"
+    )
+    return cdx_revisits(ds)
+
+
+def _corpus_url_param_dedup(sf_dir: str) -> pd.DataFrame:
+    """Tracking-parameter URL canonicalization + frontier dedup
+    (functions/urlfilter.canonical_url_strip_tracking / url_param_dedup):
+    per-doc URLs carry arithmetic-planted utm_/gclid/ref params and
+    fragments on top of a shared (host, path, id=) core, so docs sharing
+    the core collapse to one canonical form; keep-min-id per canonical.
+    The SQL oracle builds the SAME raw url strings and strips them with
+    INDEPENDENT kernels (string_split + list_filter + regexp_matches), so
+    the vectorized polars canonicalization is genuinely cross-checked."""
+    from crawler_ray.functions.urlfilter import url_param_dedup
+
+    def mkurls(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        urls = []
+        for i in ids:
+            u = f"http://h{i % 11}.example/p{i % 23}?id={i % 23}"
+            if i % 2 == 0:
+                u += f"&utm_source=s{i}"
+            if i % 3 == 0:
+                u += f"&gclid=g{i}"
+            if i % 5 == 0:
+                u += "&ref=feed"
+            if i % 7 == 0:
+                u += f"#frag{i}"
+            urls.append(u)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        mkurls, batch_format="pyarrow"
+    )
+    return url_param_dedup(ds)
+
+
+def _crawl_host_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-host triangle counts + local clustering coefficient
+    (functions/graph.triangle_counts — the degree-ordered MapReduce
+    triangle enumeration of Suri & Vassilvitskii, WWW'11: canonical-edge
+    exchange → degree combiner fold → low→high orientation under the
+    (degree, node) total order → wedge exchange → closure exchange; a
+    node's out-degree is O(√m) so no reducer sees a hot host's full
+    neighborhood). Host→host edges are doc_id arithmetic over 29 string
+    hosts. The SQL oracle recomputes from the same edges with an
+    independent plan: DISTINCT least/greatest canonicalization and a
+    3-way self-join for triangle closure."""
+    from crawler_ray.functions.graph import triangle_counts
+
+    def mkedges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        u = ids % 29
+        v = (ids * 7 + ids % 13) % 29
+        return pa.table(
+            {
+                "src": pa.array(
+                    [f"h{x:02d}.example" for x in u], pa.string()
+                ),
+                "dst": pa.array(
+                    [f"h{x:02d}.example" for x in v], pa.string()
+                ),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        mkedges, batch_format="pyarrow"
+    )
+    out = triangle_counts(ds)
+    return out.rename(columns={"node": "host"})
+
+
 def _sitemap_roundtrip(sf_dir: str) -> pd.DataFrame:
     """Sitemap sink → source round trip (sources/sitemap.py): documents
     become <urlset> XML shards (alternating plain / gzip) whose
@@ -1921,17 +2032,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    tables otherwise — pins cross-checked by independent second
         #    implementations in tests/test_independent_truths.py)
         "embeddings_kmeans": _embeddings_kmeans,
-        "embeddings_pca": _embeddings_pca,
+        # round-5 swap: WARC revisit resolution over the CDX index (first
+        # driver check, real LAG-window SQL oracle) takes the slot of
+        # embeddings_pca (green r01-r04 rows; embeddings family keeps
+        # kmeans + semantic_dedup in-window)
+        "corpus_cdx_revisits": _corpus_cdx_revisits,
         "embeddings_semantic_dedup": _embeddings_semantic_dedup,
         "docs_dsir_sample": _docs_dsir_sample,
         "docs_bpe_subwords": _docs_bpe_subwords,
         "docs_line_dedup": _docs_line_dedup,
-        "docs_window_dup_pairs": _docs_window_dups,
+        # round-5 swap: tracking-param URL canonicalization + frontier
+        # dedup (first driver check, independent-kernel SQL oracle) takes
+        # the slot of docs_window_dup_pairs (green r01-r04 rows; near-dup
+        # family keeps minhash/line_dedup/spans/text_near_dups in-window)
+        "corpus_url_param_dedup": _corpus_url_param_dedup,
         "docs_perplexity_buckets": _docs_perplexity_buckets,
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_frequent_words": _docs_frequent_words,
         "ann_lsh_ivf_topk": _ann_lsh_ivf,
-        "cosine_near_dups": _cosine_near_dups,
+        # round-5 swap: degree-ordered distributed triangle counting +
+        # clustering coefficients over the host graph (first driver check,
+        # independent 3-way-join SQL oracle) takes the slot of
+        # cosine_near_dups (green r01-r04 rows; cosine family keeps
+        # semantic_dedup + text_near_dups + the ANN trio in-window)
+        "crawl_host_triangles": _crawl_host_triangles,
         "warc_roundtrip": _warc_roundtrip,
         "docs_curation_funnel": _docs_curation_funnel,
         "lang_id_counts": _lang_id_counts,
@@ -2095,6 +2219,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _extract_links,
         # -- same-family variants, green in CORRECTNESS_r01-r03 and still
         #    pytest-oracled every session
+        # swapped out of the 50-slot window in round 5 for the three new
+        # crawl operators (green r01-r04 rows of their own; families
+        # repped in-window — see the slot comments above)
+        "embeddings_pca": _embeddings_pca,
+        "docs_window_dup_pairs": _docs_window_dups,
+        "cosine_near_dups": _cosine_near_dups,
         "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -2862,6 +2992,122 @@ SELECT
   'sha1:' || CAST(doc_id AS VARCHAR) AS digest
 FROM p3
 ORDER BY urlkey, ts
+"""
+
+#: WARC revisit resolution: same capture synthesis (3 captures per doc,
+#: digest = ts arithmetic mod 5), LAG-equality per urlkey history — the
+#: urlkey is stated inline (single-label hosts ⇒ SURT is direct string
+#: algebra; the SURT kernel itself is oracled by CORPUS_CDX_INDEX_SQL's
+#: independent re-parse)
+CORPUS_CDX_REVISITS_SQL = r"""
+WITH caps AS (
+  SELECT 'example,h' || (doc_id % 13) || ')/p' || (doc_id % 7) AS urlkey,
+         CAST(doc_id * 3 + j AS BIGINT) AS ts,
+         'sha1:' || ((doc_id * 3 + j) * 7 + 3) % 5 AS digest
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+)
+SELECT urlkey, ts, digest,
+       coalesce(
+         digest = lag(digest) OVER (PARTITION BY urlkey ORDER BY ts),
+         FALSE
+       ) AS is_revisit
+FROM caps
+ORDER BY urlkey, ts
+"""
+
+#: tracking-param canonical dedup: the oracle rebuilds the SAME raw url
+#: strings and strips them with INDEPENDENT kernels (regexp fragment/query
+#: split + string_split + list_filter) — cross-checks the engine's polars
+#: list pipeline, then the keep-min-per-canonical group
+CORPUS_URL_PARAM_DEDUP_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 11) || '.example/p' || (doc_id % 23)
+         || '?id=' || (doc_id % 23)
+         || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=s' || doc_id ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '&gclid=g' || doc_id ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '&ref=feed' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#frag' || doc_id ELSE '' END AS url
+  FROM documents
+),
+nofrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+),
+parts AS (
+  SELECT doc_id,
+         CASE WHEN strpos(u, '?') > 0
+              THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+         CASE WHEN strpos(u, '?') > 0
+              THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS q
+  FROM nofrag
+),
+canon AS (
+  SELECT doc_id,
+         base || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+           AS canonical_url
+  FROM (
+    SELECT doc_id, base,
+           array_to_string(
+             list_filter(
+               string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(
+                 x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=')
+             ), '&') AS kept
+    FROM parts
+  )
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+#: per-host triangles + clustering coefficient: same arithmetic edges,
+#: INDEPENDENT plan — DISTINCT least/greatest canonical edges, degree
+#: fold, and a 3-way self-join for triangle closure (the engine uses the
+#: degree-ordered wedge exchanges instead); clustering rounded half-up 6dp
+CRAWL_HOST_TRIANGLES_SQL = r"""
+WITH e0 AS (
+  SELECT 'h' || lpad(CAST(doc_id % 29 AS VARCHAR), 2, '0') || '.example' AS s,
+         'h' || lpad(CAST((doc_id * 7 + doc_id % 13) % 29 AS VARCHAR), 2, '0')
+             || '.example' AS d
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+  FROM e0 WHERE s <> d
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+  FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  )
+  GROUP BY node
+)
+SELECT deg.node AS host, deg.degree,
+       CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+       floor(
+         CASE WHEN deg.degree > 1
+              THEN 2.0 * coalesce(pn.triangles, 0)
+                   / (deg.degree * (deg.degree - 1))
+              ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS clustering
+FROM deg LEFT JOIN pn USING (node)
+ORDER BY host
 """
 
 CORPUS_CHANGE_RATE_SQL = r"""
@@ -3696,6 +3942,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cdx_index": CORPUS_CDX_INDEX_SQL,
         "sitemap_recrawl_due": SITEMAP_RECRAWL_DUE_SQL,
         "corpus_url_dedup": CORPUS_URL_DEDUP_SQL,
+        "corpus_cdx_revisits": CORPUS_CDX_REVISITS_SQL,
+        "corpus_url_param_dedup": CORPUS_URL_PARAM_DEDUP_SQL,
+        "crawl_host_triangles": CRAWL_HOST_TRIANGLES_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:
         # header fields and whole-cycle sine RMS are pure doc_id arithmetic
         "audio_decode_features": (

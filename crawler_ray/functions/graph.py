@@ -675,3 +675,249 @@ def pagerank_sharded(
     scale = 10.0**round_dp
     out["pr"] = np.floor(out["pr"].to_numpy() * scale + 0.5) / scale
     return out.sort_values("node").reset_index(drop=True)
+
+
+# ------------------------------------------------------ triangle counting
+
+
+_ORIENT_TASK = None
+
+
+def _orient_task():
+    """Cached remote fn (same GCS-traffic reason as shuffle._SPLIT_TASKS):
+    one canonical-edge block + the broadcast degree table → degree-ordered
+    oriented edges (src = the endpoint earlier in the (degree, node) total
+    order)."""
+    global _ORIENT_TASK
+    if _ORIENT_TASK is None:
+        import ray
+
+        @ray.remote
+        def orient(ord_tbl, t) -> pa.Table:
+            # node labels → ORDINALS in the (degree, node) total order, so
+            # every downstream comparison (wedge-pair sort, closure merge)
+            # is a plain integer compare under the SAME order the edges
+            # are oriented by — mixing value order into wedge pairs would
+            # silently miss the triangles whose closing edge points the
+            # other way
+            nodes, ords = ord_tbl
+            if isinstance(t, pa.RecordBatch):
+                t = pa.Table.from_batches([t])
+            u = t["src"].to_numpy(zero_copy_only=False)
+            v = t["dst"].to_numpy(zero_copy_only=False)
+            ou = ords[np.searchsorted(nodes, u)]
+            ov = ords[np.searchsorted(nodes, v)]
+            return pa.table(
+                {
+                    "a": pa.array(np.minimum(ou, ov), pa.int64()),
+                    "b": pa.array(np.maximum(ou, ov), pa.int64()),
+                }
+            )
+
+        _ORIENT_TASK = orient
+    return _ORIENT_TASK
+
+
+def triangle_counts(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 64,
+    round_dp: int = 6,
+) -> pd.DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    UNDIRECTED graph given as an edge Dataset (direction/duplicates/self-
+    loops ignored) — the classic MapReduce triangle enumeration of Suri &
+    Vassilvitskii 2011 ("Counting Triangles and the Curse of the Last
+    Reducer", WWW'11), degree-ordered so no reducer sees a hot node's full
+    neighborhood:
+
+      1. canonical distinct edges (min, max) via one hash-bucketed
+         exchange (reusing ``_dedup_edges``'s shape);
+      2. degrees: per-block (node, count) combiners folded on the driver
+         — node-scale, same gate as ``hits`` (at 10^8+ nodes this fold
+         and the broadcast below become one more bucketed exchange);
+      3. orientation by the (degree, node) total order, broadcast degree
+         table + ``searchsorted`` lookup per block: every edge points
+         low → high, so a node's OUT-degree is O(√m) regardless of its
+         true degree — the skew bound that kills the "last reducer";
+      4. wedges (b, c) around each low node a (all pairs of a's
+         out-neighbors, one bucketed exchange on a);
+      5. triangle closure: wedges meet oriented edges keyed by THEIR low
+         endpoint in a second bucketed exchange (tagged union, one
+         ``pd.merge`` per bucket); each match (a, b, c) increments all
+         three nodes' counts — emitted as per-bucket partial counts,
+         folded with degrees on the driver.
+
+    Output ``(node, degree, triangles, clustering)`` sorted by node,
+    where clustering = 2·triangles / (degree·(degree−1)) (0 for degree
+    ≤ 1), rounded half-up at ``round_dp``. Node dtype follows the input
+    (int hosts and string hosts both work — every kernel is order-based).
+    """
+    import ray
+
+    from ..stages.shuffle import (
+        apply_refs,
+        bucketed_group_map_refs,
+        gather_refs_pd,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col])),
+            pc.not_equal(t[src_col], t[dst_col]),
+        )
+        t = t.filter(keep)
+        u = pc.min_element_wise(t[src_col], t[dst_col])
+        v = pc.max_element_wise(t[src_col], t[dst_col])
+        return pa.table({"src": u, "dst": v})
+
+    edge_refs = bucketed_group_map_refs(
+        edges_ds.map_batches(prep, batch_format="pyarrow"),
+        bucket_on="src",
+        fn=lambda df: df.drop_duplicates(["src", "dst"]),
+        n_buckets=n_buckets,
+    )
+    if edge_refs is None:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="object"),
+                "degree": pd.Series([], dtype="int64"),
+                "triangles": pd.Series([], dtype="int64"),
+                "clustering": pd.Series([], dtype="float64"),
+            }
+        )
+
+    # 2. degrees (node-scale driver fold; see gate note in the docstring)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = pd.concat(
+            [t["src"].to_pandas(), t["dst"].to_pandas()], ignore_index=True
+        )
+        vc = s.value_counts()
+        return pa.table(
+            {"node": pa.array(vc.index), "cnt": pa.array(vc.to_numpy())}
+        )
+
+    degs = (
+        apply_refs(deg_partial, edge_refs)
+        .groupby("node", sort=True)["cnt"]
+        .sum()
+    )
+    nodes_arr = degs.index.to_numpy()
+    degs_arr = degs.to_numpy().astype(np.int64)
+    # ordinal of each node in the (degree, node) total order; labels are
+    # swapped for ordinals during orientation and mapped back at the end
+    order = np.lexsort((nodes_arr, degs_arr))
+    ord_of = np.empty(len(order), dtype=np.int64)
+    ord_of[order] = np.arange(len(order), dtype=np.int64)
+    nodes_by_ord = nodes_arr[order]
+    ord_ref = ray.put((nodes_arr, ord_of))
+
+    # 3. orient each deduped block (low → high in (degree, node) order)
+    orient = _orient_task()
+    oriented = [orient.remote(ord_ref, r) for r in edge_refs]
+
+    # 4. wedges around each low endpoint
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for a, g in df.groupby("a", sort=False):
+            nb = np.sort(g["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            iu = np.triu_indices(len(nb), k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "jkey": nb[iu[0]],
+                        "x": nb[iu[1]],
+                        "apex": a,
+                        "kind": "w",
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"jkey": [], "x": [], "apex": [], "kind": []}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_refs = bucketed_group_map_refs(
+        oriented, bucket_on="a", fn=wedges, n_buckets=n_buckets
+    )
+
+    # oriented edges re-tagged for the closure join (jkey = their low end)
+    retag = _retag_task()
+    edge_tagged = [retag.remote(r) for r in oriented]
+
+    # 5. closure: wedge (jkey, x) matches an oriented edge (jkey, x)
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["kind"] == "w"]
+        e = df[df["kind"] == "e"][["jkey", "x"]].drop_duplicates()
+        if not len(w) or not len(e):
+            return pd.DataFrame({"node": [], "tris": []})
+        hit = w.merge(e, on=["jkey", "x"])
+        if not len(hit):
+            return pd.DataFrame({"node": [], "tris": []})
+        s = pd.concat(
+            [hit["apex"], hit["jkey"], hit["x"]], ignore_index=True
+        ).value_counts()
+        return pd.DataFrame({"node": s.index, "tris": s.to_numpy()})
+
+    refs_all = (wedge_refs or []) + edge_tagged
+    tri_refs = bucketed_group_map_refs(
+        refs_all, bucket_on="jkey", fn=close, n_buckets=n_buckets
+    )
+    tri = (
+        gather_refs_pd(tri_refs)
+        if tri_refs is not None
+        else pd.DataFrame({"node": [], "tris": []})
+    )
+    # fold ordinal-keyed partials, then map ordinals back to labels
+    per_ord = (
+        tri.groupby("node", sort=True)["tris"].sum()
+        if len(tri)
+        else pd.Series(dtype="int64")
+    )
+    tris_full = np.zeros(len(nodes_arr), dtype=np.int64)
+    if len(per_ord):
+        tris_full[per_ord.index.to_numpy().astype(np.int64)] = (
+            per_ord.to_numpy()
+        )
+    out = pd.DataFrame(
+        {"node": nodes_by_ord, "degree": degs_arr[order]}
+    )
+    out["triangles"] = tris_full
+    d = out["degree"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = np.where(
+            d > 1, 2.0 * out["triangles"].to_numpy(np.float64) / (d * (d - 1)), 0.0
+        )
+    scale = 10.0**round_dp
+    out["clustering"] = np.floor(cc * scale + 0.5) / scale
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_RETAG_TASK = None
+
+
+def _retag_task():
+    global _RETAG_TASK
+    if _RETAG_TASK is None:
+        import ray
+
+        @ray.remote
+        def retag(t) -> pa.Table:
+            if isinstance(t, pa.RecordBatch):
+                t = pa.Table.from_batches([t])
+            n = t.num_rows
+            return pa.table(
+                {
+                    "jkey": t["a"],
+                    "x": t["b"],
+                    "apex": t["a"],  # unused for edges; keeps one schema
+                    "kind": pa.array(["e"] * n, pa.string()),
+                }
+            )
+
+        _RETAG_TASK = retag
+    return _RETAG_TASK

@@ -38,6 +38,7 @@ beyond-reference training-data extension set (SURVEY.md §2
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -222,3 +223,114 @@ def trap_host_stats(
         }
     )
     return out.sort_values("host").reset_index(drop=True)
+
+
+# -------------------------------------------- tracking-param canonical dedup
+
+#: query parameters that never change the served content — the published
+#: click-tracking families (Google Analytics utm_*, Google Ads gclid,
+#: Facebook fbclid, Microsoft msclkid, generic ref) every production
+#: crawler strips before frontier dedup (cf. the parameter blocklists
+#: shipped by Heritrix's canonicalization rules and brave/adblock
+#: "tracking parameter" lists; the pattern set here is the documented
+#: subset both the engine and the SQL oracle state verbatim)
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_strip_tracking(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Vectorized URL canonicalization for frontier/storage dedup: drop
+    the fragment, then remove query parameters matching
+    ``TRACKING_PARAM_RE`` (param ORDER among survivors is preserved — the
+    conservative choice: reordering can change served content on sloppy
+    servers, so only provably-inert params are touched). A query left
+    empty loses its ``?``. Pure string algebra (polars split / list
+    filter / join) — no per-row Python."""
+    import polars as pl
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    s = pl.from_arrow(pc.fill_null(urls, ""))
+    no_frag = s.str.replace(r"#.*$", "")
+    base = no_frag.str.replace(r"\?.*$", "")
+    q = no_frag.str.extract(r"\?(.*)$", 1).fill_null("")
+    kept = (
+        q.str.split("&")
+        .list.eval(
+            pl.element().filter(
+                (pl.element() != "")
+                & ~pl.element().str.contains(TRACKING_PARAM_RE)
+            )
+        )
+        .list.join("&")
+    )
+    out = (
+        pl.DataFrame({"base": base, "kept": kept})
+        .select(
+            (
+                pl.col("base")
+                + pl.when(pl.col("kept") == "")
+                .then(pl.lit(""))
+                .otherwise(pl.lit("?") + pl.col("kept"))
+            ).alias("canonical")
+        )["canonical"]
+        .to_arrow()
+    )
+    out = out.cast(pa.string())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def url_param_dedup(
+    ds,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Tracking-parameter URL dedup: canonicalize every URL with
+    ``canonical_url_strip_tracking``, then keep ONE representative (min
+    id) per canonical form — the frontier-side dedup that stops a crawler
+    fetching the same page once per utm-tagged inbound link. One
+    map_batches + one hash-bucketed exchange on the canonical key (all
+    ids of a canonical URL land in one bucket), per-bucket count/min —
+    same keep-min-per-key shape as ``dedup.exact_dedup_ids``. Output
+    ``(canonical_url, n_urls, keep_id)`` sorted by canonical_url."""
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canonical_url": canonical_url_strip_tracking(t[url_col]),
+                "id": t[id_col].cast(pa.int64()),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("canonical_url", sort=False)["id"].agg(
+            ["size", "min"]
+        )
+        return pd.DataFrame(
+            {
+                "canonical_url": g.index,
+                "n_urls": g["size"].to_numpy().astype(np.int64),
+                "keep_id": g["min"].to_numpy().astype(np.int64),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "canonical_url": pa.array([], pa.string()),
+            "n_urls": pa.array([], pa.int64()),
+            "keep_id": pa.array([], pa.int64()),
+        }
+    )
+    refs = bucketed_group_map_refs(
+        ds.map_batches(canon, batch_format="pyarrow"),
+        bucket_on="canonical_url",
+        fn=fold,
+        n_buckets=n_buckets,
+    )
+    got = gather_refs_pd(refs, empty=empty) if refs is not None else empty.to_pandas()
+    return (
+        got.sort_values("canonical_url")
+        .reset_index(drop=True)
+        .astype({"n_urls": "int64", "keep_id": "int64"})
+    )

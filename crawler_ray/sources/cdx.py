@@ -295,6 +295,56 @@ def read_cdxj(paths: "str | list[str]"):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def cdx_revisits(index_ds, n_buckets: int = 64) -> pd.DataFrame:
+    """WARC ``revisit`` resolution over a CDX index: within each urlkey's
+    capture history (ordered by ts), a capture whose payload digest
+    equals the PREVIOUS capture's digest is a revisit — the archive
+    stores a pointer record instead of the payload (WARC 1.1 §6.7.2
+    'revisit'; the Wayback Machine and Common Crawl both dedup storage
+    this way, keyed by exactly this (urlkey, ts, digest) triple). Note
+    the semantics are LAG-equality, not distinct-digest: A,B,A is THREE
+    stored payloads (the return to A is a fresh fetch of content no
+    longer deduplicable against the adjacent capture) — which is why the
+    operator can stream per-key and needs no per-host digest set.
+
+    Ray shape: one hash-bucketed exchange on urlkey (all captures of a
+    key land in one bucket — stages/shuffle.bucketed_group_map_refs),
+    then a vectorized sort + shift-compare per bucket; no global sort,
+    no driver-side history. Output ``(urlkey, ts, digest, is_revisit)``
+    sorted by (urlkey, ts) — corpus-sized, so real consumers write it
+    back as index shards; the driver gather here serves the
+    query-contract form at test scale.
+    """
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["urlkey", "ts"]).reset_index(drop=True)
+        prev_key = df["urlkey"].shift(1)
+        prev_dig = df["digest"].shift(1)
+        df["is_revisit"] = (df["urlkey"] == prev_key) & (
+            df["digest"] == prev_dig
+        )
+        return df[["urlkey", "ts", "digest", "is_revisit"]]
+
+    empty = pa.table(
+        {
+            "urlkey": pa.array([], pa.string()),
+            "ts": pa.array([], pa.int64()),
+            "digest": pa.array([], pa.string()),
+            "is_revisit": pa.array([], pa.bool_()),
+        }
+    )
+    refs = bucketed_group_map_refs(
+        index_ds, bucket_on="urlkey", fn=mark, n_buckets=n_buckets
+    )
+    got = gather_refs_pd(refs, empty=empty) if refs is not None else empty.to_pandas()
+    return (
+        got.sort_values(["urlkey", "ts"])
+        .reset_index(drop=True)
+        .astype({"ts": "int64", "is_revisit": "bool"})
+    )
+
+
 def cdxj_salvage_counts(paths: "str | list[str]") -> pd.DataFrame:
     """Per-shard salvage metric for ``read_cdxj``: ``(path, total_lines,
     salvaged)`` where ``salvaged`` counts the malformed lines the reader

@@ -57,6 +57,9 @@ REAL_SQL = [
     "crawl_trap_hosts",
     "crawl_mirror_hosts",
     "images_phash_clusters",
+    "corpus_cdx_revisits",
+    "corpus_url_param_dedup",
+    "crawl_host_triangles",
 ]
 
 
@@ -118,17 +121,20 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
     assert not missing, missing
     round3 = {
         "embeddings_kmeans",
-        "embeddings_pca",
+        # round-5 swaps: embeddings_pca / docs_window_dup_pairs /
+        # cosine_near_dups (green r01-r04 rows, families repped in-window)
+        # vacated their slots for the three round-5 crawl operators
+        "corpus_cdx_revisits",
+        "corpus_url_param_dedup",
+        "crawl_host_triangles",
         "embeddings_semantic_dedup",
         "docs_dsir_sample",
         "docs_bpe_subwords",
         "docs_line_dedup",
-        "docs_window_dup_pairs",
         "docs_perplexity_buckets",
         "docs_unigram_logprob",
         "docs_frequent_words",
         "ann_lsh_ivf_topk",  # tagged union of ann_lsh_topk + ann_ivf_topk
-        "cosine_near_dups",
         "warc_roundtrip",
         "docs_curation_funnel",
         "lang_id_counts",

@@ -2663,3 +2663,182 @@ def test_phrase_search_matches_brute_force_random(ray_session):
         for r in out.itertuples()
     ]
     assert got == _brute_phrase(docs, phrases)
+
+
+# ---------------------------------------------------------------------------
+# round-5 crawl operators: CDX revisits, URL param dedup, host triangles
+# ---------------------------------------------------------------------------
+
+
+def test_cdx_revisits_lag_semantics(ray_session):
+    """WARC revisit resolution is LAG-equality per urlkey history: A,B,A
+    stores THREE payloads (the return to A is not adjacent-deduplicable);
+    interleaved keys don't leak digests into each other's histories; the
+    first capture of a key is never a revisit."""
+    import ray.data as rd
+
+    from crawler_ray.sources.cdx import cdx_revisits
+
+    rows = [
+        # key k1: A A B A  -> revisits at ts 1 only (A,B,A pattern)
+        ("k1", 0, "A"), ("k1", 1, "A"), ("k1", 2, "B"), ("k1", 3, "A"),
+        # key k2 interleaved, same digests: A A -> revisit at ts 5
+        ("k2", 4, "A"), ("k2", 5, "A"),
+        # key k3 single capture: never a revisit
+        ("k3", 6, "B"),
+    ]
+    t = pa.table(
+        {
+            "urlkey": pa.array([r[0] for r in rows], pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "digest": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = cdx_revisits(rd.from_arrow(t).repartition(3))
+    assert got["is_revisit"].tolist() == [
+        False, True, False, False,  # k1: A A* B A
+        False, True,                # k2: A A*
+        False,                      # k3
+    ]
+    assert got["urlkey"].tolist() == sorted(got["urlkey"].tolist())
+
+
+def test_canonical_url_strip_tracking_cases():
+    from crawler_ray.functions.urlfilter import canonical_url_strip_tracking
+
+    cases = {
+        # tracking params stripped wherever they sit; order preserved
+        "http://h/p?utm_source=x&id=3&fbclid=y": "http://h/p?id=3",
+        "http://h/p?a=1&ref=tw&b=2": "http://h/p?a=1&b=2",
+        # query left empty loses its '?'
+        "http://h/p?utm_campaign=z": "http://h/p",
+        # fragment always dropped
+        "http://h/p?id=1#sec": "http://h/p?id=1",
+        "http://h/p#only-frag": "http://h/p",
+        # utm prefix is anchored to the param NAME (value untouched;
+        # a non-tracking name containing 'ref' survives)
+        "http://h/p?query=utm_source&refresh=1": (
+            "http://h/p?query=utm_source&refresh=1"
+        ),
+        # no query at all
+        "http://h/p": "http://h/p",
+    }
+    got = canonical_url_strip_tracking(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_url_param_dedup_keep_min(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.urlfilter import url_param_dedup
+
+    urls = [
+        (10, "http://h/p?utm_source=a&id=1"),
+        (3, "http://h/p?id=1&gclid=zz"),
+        (7, "http://h/p?id=1"),
+        (5, "http://h/q"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in urls], pa.int64()),
+            "url": pa.array([u for _, u in urls], pa.string()),
+        }
+    )
+    got = url_param_dedup(rd.from_arrow(t).repartition(2))
+    assert got.to_dict("records") == [
+        {"canonical_url": "http://h/p?id=1", "n_urls": 3, "keep_id": 3},
+        {"canonical_url": "http://h/q", "n_urls": 1, "keep_id": 5},
+    ]
+
+
+def test_triangle_counts_matches_brute_force(ray_session):
+    """Random multigraph with self-loops and duplicate/reversed edges:
+    per-node triangle counts and clustering must equal itertools brute
+    force — for both int and string node labels (the orientation order is
+    (degree, node), so label dtype must not change counts)."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 30, size=(400, 2))
+    E = set((min(u, v), max(u, v)) for u, v in edges if u != v)
+    adj: dict = {}
+    for u, v in E:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = {k: 0 for k in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tris[a] += 1
+            tris[b] += 1
+            tris[c] += 1
+    import pandas as pd
+
+    want = pd.DataFrame(
+        {
+            "node": sorted(adj),
+            "degree": [len(adj[k]) for k in sorted(adj)],
+            "triangles": [tris[k] for k in sorted(adj)],
+        }
+    ).astype({"degree": "int64", "triangles": "int64"})
+    d = want["degree"].to_numpy(float)
+    want["clustering"] = (
+        np.floor(
+            np.where(d > 1, 2.0 * want["triangles"] / (d * (d - 1)), 0.0)
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+
+    tbl = pa.table(
+        {
+            "src": pa.array(edges[:, 0], pa.int64()),
+            "dst": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    got = triangle_counts(rd.from_arrow(tbl).repartition(5))
+    got["node"] = got["node"].astype(int)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+    tbl2 = pa.table(
+        {
+            "src": pa.array([f"h{u:02d}.example" for u in edges[:, 0]]),
+            "dst": pa.array([f"h{v:02d}.example" for v in edges[:, 1]]),
+        }
+    )
+    got2 = triangle_counts(rd.from_arrow(tbl2).repartition(3))
+    want2 = want.copy()
+    want2["node"] = [f"h{k:02d}.example" for k in want["node"]]
+    pd.testing.assert_frame_equal(
+        got2.reset_index(drop=True), want2.reset_index(drop=True)
+    )
+
+
+def test_triangle_counts_empty_and_triangle_free(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import triangle_counts
+
+    # pure path graph: zero triangles everywhere, clustering 0
+    t = pa.table(
+        {
+            "src": pa.array([0, 1, 2], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    got = triangle_counts(rd.from_arrow(t))
+    assert (got["triangles"] == 0).all() and (got["clustering"] == 0).all()
+    assert got["degree"].tolist() == [1, 2, 2, 1]
+
+    # self-loops only -> empty output
+    t2 = pa.table(
+        {"src": pa.array([5, 6], pa.int64()), "dst": pa.array([5, 6], pa.int64())}
+    )
+    got2 = triangle_counts(rd.from_arrow(t2))
+    assert len(got2) == 0

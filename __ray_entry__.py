@@ -1433,6 +1433,22 @@ def _docs_text_near_dups(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _docs_containment_pairs(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (functions/dedup.
+    containment_ngram_pairs — Broder 1997's directional companion to
+    resemblance): the quote/subset detector Jaccard misses (a short doc
+    fully quoted in a long one has containment ≈ 1, Jaccard ≈ 0). Same
+    two linear shingle-co-occurrence exchanges as the exact-Jaccard
+    operator; only the finalize arithmetic differs (c/nA and c/nB instead
+    of c/(nA+nB−c)). Real SQL oracle: same inverted-index identity as
+    JACCARD_PAIRS_SQL with the directional ratios."""
+    from crawler_ray.functions.dedup import containment_ngram_pairs
+
+    return containment_ngram_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), n=3, threshold=0.7
+    )
+
+
 def _docs_bm25_topk(sf_dir: str) -> pd.DataFrame:
     """Okapi BM25 ranking for a fixed query-term bag
     (functions/textstats.bm25_topk): one integer-exact combiner pass for
@@ -2040,7 +2056,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semantic_dedup": _embeddings_semantic_dedup,
         "docs_dsir_sample": _docs_dsir_sample,
         "docs_bpe_subwords": _docs_bpe_subwords,
-        "docs_line_dedup": _docs_line_dedup,
+        # round-5 swap: asymmetric n-gram containment pairs (first driver
+        # check, real SQL oracle) take the slot of docs_line_dedup (green
+        # r01-r04 rows; near-dup family keeps minhash/spans/text_near_dups
+        # in-window)
+        "docs_containment_pairs": _docs_containment_pairs,
         # round-5 swap: tracking-param URL canonicalization + frontier
         # dedup (first driver check, independent-kernel SQL oracle) takes
         # the slot of docs_window_dup_pairs (green r01-r04 rows; near-dup
@@ -2225,6 +2245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca": _embeddings_pca,
         "docs_window_dup_pairs": _docs_window_dups,
         "cosine_near_dups": _cosine_near_dups,
+        "docs_line_dedup": _docs_line_dedup,
         "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -3544,6 +3565,41 @@ WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
 ORDER BY common.a, common.b
 """
 
+#: asymmetric containment pairs: SAME inverted-index identity as the
+#: Jaccard oracle above (distinct trigram co-occurrence counts), with the
+#: DIRECTIONAL ratios c/nA and c/nB and an either-direction threshold
+DOCS_CONTAINMENT_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, array_length(w) - 2)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT common.a, common.b,
+       round(CAST(c AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
+       round(CAST(c AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+FROM common
+JOIN sizes sa ON sa.doc_id = common.a
+JOIN sizes sb ON sb.doc_id = common.b
+WHERE greatest(CAST(c AS DOUBLE) / sa.n_sh, CAST(c AS DOUBLE) / sb.n_sh)
+      >= 0.7
+ORDER BY common.a, common.b
+"""
+
 #: Connected components over the trigram-Jaccard pair graph. The oracle
 #: re-derives the SAME pair set as JACCARD_PAIRS_SQL, then labels each
 #: node with the min id reachable through the symmetrized edge set via a
@@ -3872,6 +3928,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": R.ANN_TOPK_SQL,
         "doc_quality_scores": QUALITY_SCORES_SQL,
         "dedup_jaccard_pairs": JACCARD_PAIRS_SQL,
+        "docs_containment_pairs": DOCS_CONTAINMENT_PAIRS_SQL,
         "docs_jaccard_clusters": JACCARD_CLUSTERS_SQL,
         "docs_perplexity_buckets": DOCS_PERPLEXITY_BUCKETS_SQL,
         "docs_quality_classifier": PIN.DOCS_QUALITY_CLASSIFIER_SQL,

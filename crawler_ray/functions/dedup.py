@@ -859,6 +859,115 @@ def jaccard_ngram_pairs(
     )
 
 
+def containment_ngram_pairs(
+    ds,
+    n: int = 3,
+    threshold: float = 0.7,
+    n_buckets: int = 64,
+    max_doc_freq: int | None = None,
+):
+    """Asymmetric n-gram CONTAINMENT pairs — the quote/subset detector
+    Jaccard can't be (Broder 1997's 'containment' companion to resemblance:
+    a short doc fully quoted inside a long one has containment ≈ 1 while
+    Jaccard ≈ |A|/|B| ≈ 0, so near-dup passes miss it; decontamination and
+    quote-tracing need this directional score). Same inverted-index
+    identity as ``jaccard_ngram_pairs`` — with c = |A∩B| distinct-shingle
+    co-occurrences, containment(A→B) = c/nA and (B→A) = c/nB — so the
+    SAME two linear bucketed exchanges compute it; only the finalize
+    arithmetic differs. Keeps pairs where EITHER direction ≥ threshold;
+    returns ``(a, b, cont_a_in_b, cont_b_in_a)`` sorted by (a, b), scores
+    rounded half-up at 6 dp after thresholding on the unrounded values.
+    ``max_doc_freq`` is the same exactness trade documented on the
+    Jaccard form."""
+    from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        shs: list[str] = []
+        ns: list[int] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            w = (text or "").split()
+            if len(w) < n:
+                continue
+            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            ids.extend([doc_id] * len(sh))
+            shs.extend(sh)
+            ns.extend([len(sh)] * len(sh))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shingle": pa.array(shs, pa.string()),
+                "n_sh": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if max_doc_freq is not None:
+            freq = df.groupby("shingle", sort=False)["doc_id"].transform("size")
+            df = df[freq <= max_doc_freq]
+        m = df.merge(df, on="shingle", suffixes=("_x", "_y"))
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y", "n_sh_x", "n_sh_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return out.rename(
+            columns={"doc_id_x": "a", "doc_id_y": "b", "n_sh_x": "na", "n_sh_y": "nb"}
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["a", "b", "na", "nb"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        c = g["c"].to_numpy(dtype=np.float64)
+        ca = c / g["na"].to_numpy()
+        cb = c / g["nb"].to_numpy()
+        keep = np.maximum(ca, cb) >= threshold
+        out = g.loc[keep, ["a", "b"]].copy()
+        out["cont_a_in_b"] = ca[keep]
+        out["cont_b_in_a"] = cb[keep]
+        return out
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "cont_a_in_b": pd.Series([], dtype="float64"),
+            "cont_b_in_a": pd.Series([], dtype="float64"),
+        }
+    )
+    p_refs = bucketed_group_map_refs(
+        ds.map_batches(shingle_rows, batch_format="pyarrow"),
+        bucket_on="shingle",
+        fn=partial_counts,
+        n_buckets=n_buckets,
+    )
+    o_refs = (
+        None
+        if p_refs is None
+        else bucketed_group_map_refs(
+            p_refs, bucket_on="a", fn=finalize, n_buckets=n_buckets
+        )
+    )
+    if o_refs is None:
+        return empty
+    out = gather_refs_pd(o_refs)
+    if len(out) == 0:
+        return empty
+    for col in ("cont_a_in_b", "cont_b_in_a"):
+        out[col] = np.floor(out[col] * 1e6 + 0.5) / 1e6
+    return (
+        out.astype({"a": "int64", "b": "int64"})
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 

@@ -60,6 +60,7 @@ REAL_SQL = [
     "corpus_cdx_revisits",
     "corpus_url_param_dedup",
     "crawl_host_triangles",
+    "docs_containment_pairs",
 ]
 
 
@@ -127,10 +128,12 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "corpus_cdx_revisits",
         "corpus_url_param_dedup",
         "crawl_host_triangles",
+        # round-5 swap: containment pairs took docs_line_dedup's slot
+        # (same near-dup family, green r01-r04 rows of its own)
+        "docs_containment_pairs",
         "embeddings_semantic_dedup",
         "docs_dsir_sample",
         "docs_bpe_subwords",
-        "docs_line_dedup",
         "docs_perplexity_buckets",
         "docs_unigram_logprob",
         "docs_frequent_words",

@@ -2842,3 +2842,49 @@ def test_triangle_counts_empty_and_triangle_free(ray_session):
     )
     got2 = triangle_counts(rd.from_arrow(t2))
     assert len(got2) == 0
+
+
+def test_containment_pairs_quote_detection(ray_session):
+    """The case Jaccard misses by construction: a short doc fully quoted
+    inside a long one has containment(short→long) = 1 but Jaccard ≪
+    threshold; an unrelated doc pairs with nothing. Checked against
+    per-pair set arithmetic."""
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup import containment_ngram_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "intro words here " + quote + " and then a very long tail "
+        + "filler token stream " * 20
+    )
+    texts = {
+        0: long_doc,
+        1: quote,                       # fully contained in 0
+        2: "totally different words with no overlap at all whatsoever",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+        }
+    )
+    got = containment_ngram_pairs(rd.from_arrow(t).repartition(2), n=3, threshold=0.9)
+    assert got[["a", "b"]].to_numpy().tolist() == [[0, 1]]
+    # every trigram of doc 1 appears in doc 0
+    assert got["cont_b_in_a"].iloc[0] == 1.0
+    # the reverse direction is well below 1 (doc 0 is much longer; its
+    # repeated filler keeps the DISTINCT-shingle count modest, hence 0.5
+    # not 0.2 as the bound)
+    assert got["cont_a_in_b"].iloc[0] < 0.5
+
+    # sanity: exact jaccard on the same pair is small, so a jaccard pass
+    # at 0.5 would NOT have surfaced this pair
+    w0 = set(
+        " ".join(long_doc.split()[i : i + 3])
+        for i in range(len(long_doc.split()) - 2)
+    )
+    w1 = set(
+        " ".join(quote.split()[i : i + 3]) for i in range(len(quote.split()) - 2)
+    )
+    assert len(w0 & w1) / len(w0 | w1) < 0.5

@@ -1663,6 +1663,76 @@ def _warc_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _warc_revisit_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WARC 1.1 revisit-record storage dedup, write → resolve round trip
+    (sources/warc.write_warc_file(dedup_digests=True) /
+    read_warc_resolving): docs are written in doc_id order, bodies shared
+    within doc_id//3 groups (body = the group anchor's text), sharded 120
+    records/file — so a record whose body bytes already appeared EARLIER
+    IN ITS FILE becomes a zero-payload revisit record pointing at the
+    first occurrence. The resolving reader restores every revisit's
+    payload through one digest-bucketed exchange. Output per doc:
+    resolved byte count, sha256, and whether the stored record was a
+    revisit. The SQL oracle restates the file-local first-occurrence rule
+    as a window over (shard, body) — digest equality IS body-byte
+    equality — so it independently predicts exactly which records the
+    writer deduplicates (including cross-group collisions, e.g. docs
+    whose texts are exact duplicates of another group's anchor)."""
+    import pyarrow.parquet as _pq
+
+    from crawler_ray.sources.warc import read_warc_resolving, write_warc_file
+
+    docs = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = sorted(docs["doc_id"].to_pylist())
+    textmap = dict(
+        zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    )
+    rows = [
+        (i, (textmap.get(i - i % 3) or "").encode())
+        for i in ids
+        if (i - i % 3) in textmap
+    ]
+    tbl = pa.table(
+        {
+            "url": pa.array(
+                [f"http://docs.example/{i}" for i, _ in rows], pa.string()
+            ),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000 + i * 1_000_000 for i, _ in rows],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "html": pa.array([b for _, b in rows], pa.binary()),
+        }
+    )
+    out_dir = Path(f"/tmp/crawler_ray/warc_rev_{Path(sf_dir).name}")
+    if out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
+    out_dir.mkdir(parents=True)
+    SHARD = 120
+    for s in range(0, tbl.num_rows, SHARD):
+        write_warc_file(
+            tbl.slice(s, SHARD),
+            str(out_dir / f"docs-{s // SHARD:03d}.warc"),
+            dedup_digests=True,
+        )
+    back = read_warc_resolving(str(out_dir))
+    back["doc_id"] = back["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+    back["nbytes"] = back["html"].map(len).astype("int64")
+    back["sha"] = back["html"].map(
+        lambda b: hashlib.sha256(b).hexdigest()
+    )
+    return (
+        back[["doc_id", "nbytes", "sha", "was_revisit"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"was_revisit": "bool"})
+    )
+
+
 def _corpus_cdx_index(sf_dir: str) -> pd.DataFrame:
     """CDX URL-index build + CDXJ sink/source round trip
     (sources/cdx.py): per-doc capture URLs are synthesized from doc_id
@@ -2076,7 +2146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cosine_near_dups (green r01-r04 rows; cosine family keeps
         # semantic_dedup + text_near_dups + the ANN trio in-window)
         "crawl_host_triangles": _crawl_host_triangles,
-        "warc_roundtrip": _warc_roundtrip,
+        # round-5 swap: the WARC revisit storage-dedup round trip (write
+        # with identical-payload-digest dedup → digest-bucketed resolve)
+        # takes plain warc_roundtrip's slot — same family, and the revisit
+        # form SUBSUMES the plain sink/source coverage (every body still
+        # byte-checked end to end); warc_roundtrip keeps its green
+        # r01-r04 rows below
+        "warc_revisit_roundtrip": _warc_revisit_roundtrip,
         "docs_curation_funnel": _docs_curation_funnel,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
@@ -2246,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_window_dup_pairs": _docs_window_dups,
         "cosine_near_dups": _cosine_near_dups,
         "docs_line_dedup": _docs_line_dedup,
+        "warc_roundtrip": _warc_roundtrip,
         "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -3809,6 +3886,35 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: WARC revisit storage dedup: the writer turns a record whose body bytes
+#: already appeared EARLIER IN ITS FILE into a revisit; digest equality is
+#: body equality, files are 120 records in doc_id-rank order, bodies are
+#: the doc_id//3 group anchor's text — so was_revisit is exactly "not the
+#: first (shard, body) occurrence", a window predicate
+WARC_REVISIT_ROUNDTRIP_SQL = """
+WITH ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rnk
+  FROM documents
+),
+withbody AS (
+  SELECT b.doc_id, b.rnk // 120 AS shard, coalesce(r.text, '') AS body
+  FROM ranked b
+  JOIN documents r ON r.doc_id = b.doc_id - b.doc_id % 3
+),
+marked AS (
+  SELECT doc_id, body,
+         row_number() OVER (PARTITION BY shard, body ORDER BY doc_id) > 1
+           AS was_revisit
+  FROM withbody
+)
+SELECT doc_id,
+       CAST(octet_length(encode(body)) AS BIGINT) AS nbytes,
+       sha256(body) AS sha,
+       was_revisit
+FROM marked ORDER BY doc_id
+"""
+
 JSONL_ROUNDTRIP_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(coalesce(text,''))) AS BIGINT) AS nbytes,
@@ -3994,6 +4100,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_redacted": DOC_REDACTED_SQL,
         "events_value_quantile_sketch": QUANTILE_SKETCH_SQL,
         "warc_roundtrip": WARC_ROUNDTRIP_SQL,
+        "warc_revisit_roundtrip": WARC_REVISIT_ROUNDTRIP_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "sitemap_roundtrip": SITEMAP_ROUNDTRIP_SQL,
         "corpus_cdx_index": CORPUS_CDX_INDEX_SQL,

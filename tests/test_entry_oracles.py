@@ -61,6 +61,7 @@ REAL_SQL = [
     "corpus_url_param_dedup",
     "crawl_host_triangles",
     "docs_containment_pairs",
+    "warc_revisit_roundtrip",
 ]
 
 
@@ -138,7 +139,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "docs_unigram_logprob",
         "docs_frequent_words",
         "ann_lsh_ivf_topk",  # tagged union of ann_lsh_topk + ann_ivf_topk
-        "warc_roundtrip",
+        # round-5 swap: the revisit round trip subsumes warc_roundtrip's
+        # sink/source coverage (green r01-r04 rows of its own)
+        "warc_revisit_roundtrip",
         "docs_curation_funnel",
         "lang_id_counts",
         "doc_fingerprints",

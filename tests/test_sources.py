@@ -493,3 +493,74 @@ def test_cdxj_sink_tasks_cluster_idx_and_guards(ray_session, tmp_path):
     salj = cdxj_salvage_counts([str(junk)])
     assert salj["total_lines"].tolist() == [2]
     assert salj["salvaged"].tolist() == [1]
+
+
+def test_warc_revisit_write_and_resolve(ray_session, tmp_path):
+    """Revisit storage dedup is FILE-LOCAL (the writer is one sink task):
+    a repeated body within a file becomes a zero-payload revisit record
+    whose payload the resolving reader restores via the digest exchange;
+    the same body in a DIFFERENT file stays a full response. A revisit
+    with no referent anywhere keeps html NULL (salvage, not drop)."""
+    import pyarrow as pa
+
+    from crawler_ray.sources.warc import (
+        iter_warc_records,
+        read_warc_resolving,
+        write_warc_file,
+    )
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "url": pa.array([u for u, _ in rows], pa.string()),
+                "warc_ts": pa.array(
+                    [1_600_000_000_000_000 + i for i in range(len(rows))],
+                    pa.int64(),
+                ).cast(pa.timestamp("us")),
+                "html": pa.array([b for _, b in rows], pa.binary()),
+            }
+        )
+
+    # file A: body X twice (second becomes revisit), body Y once
+    write_warc_file(
+        tbl([("http://h/a1", b"XX"), ("http://h/a2", b"XX"), ("http://h/a3", b"YY")]),
+        str(tmp_path / "a.warc"),
+        dedup_digests=True,
+    )
+    # file B: body X again -> full response (file-local scope)
+    write_warc_file(
+        tbl([("http://h/b1", b"XX")]), str(tmp_path / "b.warc"), dedup_digests=True
+    )
+
+    raw_a = (tmp_path / "a.warc").read_bytes()
+    kinds = [h.get("warc-type") for h, _ in iter_warc_records(raw_a)]
+    assert kinds == ["response", "revisit", "response"]
+    # the revisit record carries the profile + pointer headers, no payload
+    rev_hdr = [h for h, p in iter_warc_records(raw_a) if h["warc-type"] == "revisit"][0]
+    assert "identical-payload-digest" in rev_hdr["warc-profile"]
+    assert rev_hdr["warc-refers-to-target-uri"] == "http://h/a1"
+    assert rev_hdr["content-length"] == "0"
+    raw_b = (tmp_path / "b.warc").read_bytes()
+    assert [h.get("warc-type") for h, _ in iter_warc_records(raw_b)] == ["response"]
+
+    back = read_warc_resolving([str(tmp_path / "a.warc"), str(tmp_path / "b.warc")])
+    by_url = {r.url: (r.html, r.was_revisit) for r in back.itertuples()}
+    assert by_url["http://h/a1"] == (b"XX", False)
+    assert by_url["http://h/a2"] == (b"XX", True)   # payload restored
+    assert by_url["http://h/a3"] == (b"YY", False)
+    assert by_url["http://h/b1"] == (b"XX", False)  # file-local scope
+
+    # orphan revisit: hand-write a revisit whose digest has no response
+    orphan = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: revisit\r\n"
+        b"WARC-Target-URI: http://h/orphan\r\n"
+        b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+        b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n"
+        b"WARC-Payload-Digest: sha1:NOSUCHDIGEST\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n\r\n\r\n"
+    )
+    (tmp_path / "c.warc").write_bytes(orphan)
+    sal = read_warc_resolving([str(tmp_path / "c.warc")])
+    assert len(sal) == 1 and sal["html"][0] is None and bool(sal["was_revisit"][0])

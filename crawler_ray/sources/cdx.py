@@ -397,6 +397,51 @@ def cdxj_salvage_counts(paths: "str | list[str]") -> pd.DataFrame:
     )
 
 
+def prefix_lookup_indexed(out_dir: str, prefix: str) -> pd.DataFrame:
+    """Prefix scan that uses ``cluster.idx`` to open ONLY the shards whose
+    key range can contain the prefix — the pywb-ZipNum access path, and
+    the reason ``write_cdxj`` emits the secondary index: a host lookup
+    against a petabyte archive reads a handful of shards, not the index.
+    Shard i's range is [first_key_i, first_key_{i+1}); a shard overlaps
+    the prefix query iff first_key_i < prefix+MAX and the NEXT shard's
+    first key is > prefix (binary search over the driver-resident,
+    shard-count-sized manifest). Falls back to all shards when
+    cluster.idx is absent (pre-round-5 output dirs)."""
+    import bisect
+    from pathlib import Path
+
+    out = Path(out_dir)
+    idx = out / "cluster.idx"
+    if not idx.exists():
+        import glob
+
+        paths = sorted(glob.glob(str(out / "cdx-*.cdxj")))
+        return prefix_lookup(read_cdxj(paths), prefix)
+    names: list[str] = []
+    first_keys: list[str] = []
+    for ln in idx.read_text(encoding="utf-8").splitlines():
+        if not ln.strip():
+            continue
+        first_key, _ts, name, _n = ln.rsplit(" ", 3)
+        first_keys.append(first_key)
+        names.append(name)
+    # last shard whose first key <= prefix could still contain it; shards
+    # after the first whose first key >= prefix+"￿" cannot
+    lo = max(0, bisect.bisect_right(first_keys, prefix) - 1)
+    hi = bisect.bisect_left(first_keys, prefix + "￿")
+    selected = [str(out / n) for n in names[lo:hi]]
+    if not selected:
+        return pa.table(
+            {
+                "urlkey": pa.array([], pa.string()),
+                "ts": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "digest": pa.array([], pa.string()),
+            }
+        ).to_pandas()
+    return prefix_lookup(read_cdxj(selected), prefix)
+
+
 def prefix_lookup(index_ds, prefix: str) -> pd.DataFrame:
     """All captures whose urlkey starts with ``prefix`` (the index's
     reason to exist: a host/domain/path-subtree scan). Pushdown-shaped:
@@ -410,8 +455,15 @@ def prefix_lookup(index_ds, prefix: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    return (
-        out.sort_values(["urlkey", "ts"]).reset_index(drop=True)
-        if len(out)
-        else out
-    )
+    if len(out):
+        return out.sort_values(["urlkey", "ts"]).reset_index(drop=True)
+    # keep the index schema on an empty result (an empty filter over an
+    # empty-block dataset can otherwise surface a column-less frame)
+    return pa.table(
+        {
+            "urlkey": pa.array([], pa.string()),
+            "ts": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "digest": pa.array([], pa.string()),
+        }
+    ).to_pandas()

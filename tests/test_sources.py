@@ -564,3 +564,46 @@ def test_warc_revisit_write_and_resolve(ray_session, tmp_path):
     (tmp_path / "c.warc").write_bytes(orphan)
     sal = read_warc_resolving([str(tmp_path / "c.warc")])
     assert len(sal) == 1 and sal["html"][0] is None and bool(sal["was_revisit"][0])
+
+
+def test_prefix_lookup_indexed_prunes_shards(ray_session, tmp_path):
+    """The cluster.idx access path must return exactly what the full scan
+    returns while opening only the shards whose range can overlap the
+    prefix — including prefixes before the first shard, past the last,
+    and spanning a shard boundary."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawler_ray.sources.cdx import (
+        build_cdx_index,
+        prefix_lookup,
+        prefix_lookup_indexed,
+        read_cdxj,
+        write_cdxj,
+    )
+
+    urls = [f"http://h{i % 9}.example/p{i}" for i in range(90)]
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array(list(range(90)), pa.int64()),
+            "digest": pa.array([f"d{i}" for i in range(90)], pa.string()),
+        }
+    )
+    out = tmp_path / "cdx"
+    paths = write_cdxj(
+        build_cdx_index(rd.from_arrow(t).repartition(4)), str(out), shard_rows=10
+    )
+    assert len(paths) > 3
+    for prefix in ("example,h4)", "example,h0)", "example,", "zzz", "aaa"):
+        want = prefix_lookup(read_cdxj(paths), prefix)
+        got = prefix_lookup_indexed(str(out), prefix)
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), prefix
+    # pruning actually happens: a single-host prefix needs < all shards
+    import bisect
+
+    idx_lines = (out / "cluster.idx").read_text().splitlines()
+    firsts = [ln.rsplit(" ", 3)[0] for ln in idx_lines]
+    lo = max(0, bisect.bisect_right(firsts, "example,h4)") - 1)
+    hi = bisect.bisect_left(firsts, "example,h4)" + "￿")
+    assert hi - lo < len(idx_lines)

@@ -1231,7 +1231,7 @@ def _images_phash_dups(sf_dir: str) -> pd.DataFrame:
     skip-if-absent tested. Deterministic either way: text payloads are
     not decodable images, so a present PIL falls back to the same fake
     grid."""
-    from crawler_ray.functions.multimodal import PHashImage, phash_dup_pairs
+    from crawler_ray.functions.multimodal import phash_batch, phash_dup_pairs
 
     def mkimgs(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -1251,12 +1251,14 @@ def _images_phash_dups(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # task form of the hash stage (per-worker cached instance): the fake
+    # codec's setup is microseconds, so an actor pool's spin-up would
+    # dominate this query — the PHashImage actor form stays the right
+    # shape when a real codec/model load makes __init__ expensive
     hashed = (
         _docs_ds(sf_dir, ["doc_id", "text"])
         .map_batches(mkimgs, batch_format="pyarrow")
-        .map_batches(
-            PHashImage, batch_format="pyarrow", concurrency=2, batch_size=256
-        )
+        .map_batches(phash_batch, batch_format="pyarrow", batch_size=256)
     )
     return phash_dup_pairs(hashed, max_hamming=3)
 

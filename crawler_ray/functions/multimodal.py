@@ -528,6 +528,31 @@ class PHashImage:
         )
 
 
+#: per-worker PHashImage instances for the TASK form of the stage —
+#: bounded: one instance per (strict, codec) parameter set, cleared on a
+#: new set (same single-entry discipline as dedup._MINHASHERS)
+_PHASHERS: dict = {}
+
+
+def phash_batch(
+    batch: pa.Table, strict: bool = False, codec: str = "auto"
+) -> pa.Table:
+    """Task-form pHash stage: identical arithmetic to ``PHashImage`` via
+    a per-worker cached instance. Use this with plain
+    ``map_batches(phash_batch)`` when the codec setup is trivial (the
+    fake-codec path, or PIL already resident) — an actor pool's spin-up
+    dominates a stage whose ``__init__`` costs microseconds (the same
+    measurement that moved MinHash signatures from actors to tasks);
+    keep the ``PHashImage`` actor-pool form when construction is
+    genuinely expensive (codec/model load)."""
+    key = (strict, codec)
+    st = _PHASHERS.get(key)
+    if st is None:
+        _PHASHERS.clear()
+        st = _PHASHERS.setdefault(key, PHashImage(strict=strict, codec=codec))
+    return st(batch)
+
+
 #: band-value groups above this size switch from all-pairs to a hub star
 #: (min-id member vs the rest) — same clip MinHash's ``_bucket_pairs_vec``
 #: applies at ``_STAR_CLIP``. A group only grows this large when hundreds

@@ -1735,6 +1735,56 @@ def _warc_revisit_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_mime_sniff(sf_dir: str) -> pd.DataFrame:
+    """Magic-byte MIME sniffing (functions/multimodal.sniff_mime):
+    served Content-Type headers lie constantly at crawl scale, so sinks
+    and decode stages route on sniffed type. Payloads are doc_id
+    arithmetic hitting every branch of the sniffer — PNG/JPEG/PDF/gzip
+    magics, a RIFF container refined on its WAVE format tag, the WHATWG
+    whitespace-then-'<' HTML arm, plain text (octet-stream), and the
+    empty payload (NULL). The prefix table itself is cross-checked
+    case-by-case in pytest (incl. WEBP-vs-WAVE RIFF refinement and GIF);
+    this query drives the vectorized kernel through the driver contract,
+    oracled by the synthesis arithmetic."""
+    from crawler_ray.functions.multimodal import sniff_mime
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        payloads: "list[bytes | None]" = []
+        for i in ids:
+            m = i % 8
+            if m == 0:
+                payloads.append(b"\x89PNG\r\n\x1a\n" + b"x" * (i % 5))
+            elif m == 1:
+                payloads.append(b"\xff\xd8\xff\xe0jfif")
+            elif m == 2:
+                payloads.append(b"%PDF-1.7 " + str(i).encode())
+            elif m == 3:
+                payloads.append(b"\x1f\x8b\x08rest")
+            elif m == 4:
+                payloads.append(b"RIFF\x00\x00\x00\x00WAVEfmt ")
+            elif m == 5:
+                payloads.append(b"  \t\r\n<!DOCTYPE html><p>" + str(i).encode())
+            elif m == 6:
+                payloads.append(b"plain text " + str(i).encode())
+            else:
+                payloads.append(b"")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "mime": sniff_mime(pa.array(payloads, pa.binary())),
+            }
+        )
+
+    return (
+        _docs_ds(sf_dir, ["doc_id"])
+        .map_batches(mk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _corpus_cdx_index(sf_dir: str) -> pd.DataFrame:
     """CDX URL-index build + CDXJ sink/source round trip
     (sources/cdx.py): per-doc capture URLs are synthesized from doc_id
@@ -2155,7 +2205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-checked end to end); warc_roundtrip keeps its green
         # r01-r04 rows below
         "warc_revisit_roundtrip": _warc_revisit_roundtrip,
-        "docs_curation_funnel": _docs_curation_funnel,
+        # round-5 swap: magic-byte MIME sniffing (first driver check)
+        # takes docs_curation_funnel's slot (green r01-r04 rows; the
+        # webtext family keeps webtext_training_set in-window)
+        "corpus_mime_sniff": _corpus_mime_sniff,
         "lang_id_counts": _lang_id_counts,
         "doc_fingerprints": _doc_fingerprints,
         # images_phash_dups took doc_quality_scores's checked slot in
@@ -2325,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_near_dups": _cosine_near_dups,
         "docs_line_dedup": _docs_line_dedup,
         "warc_roundtrip": _warc_roundtrip,
+        "docs_curation_funnel": _docs_curation_funnel,
         "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -3888,6 +3942,24 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: MIME sniffing: synthesis arithmetic restated (the sniffer's prefix
+#: logic is pytest-checked case-by-case; the query drives the vectorized
+#: kernel through the driver window)
+CORPUS_MIME_SNIFF_SQL = """
+SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'application/pdf'
+         WHEN 3 THEN 'application/gzip'
+         WHEN 4 THEN 'audio/wav'
+         WHEN 5 THEN 'text/html'
+         WHEN 6 THEN 'application/octet-stream'
+         ELSE NULL
+       END AS mime
+FROM documents ORDER BY doc_id
+"""
+
 #: WARC revisit storage dedup: the writer turns a record whose body bytes
 #: already appeared EARLIER IN ITS FILE into a revisit; digest equality is
 #: body equality, files are 120 records in doc_id-rank order, bodies are
@@ -4109,6 +4181,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_recrawl_due": SITEMAP_RECRAWL_DUE_SQL,
         "corpus_url_dedup": CORPUS_URL_DEDUP_SQL,
         "corpus_cdx_revisits": CORPUS_CDX_REVISITS_SQL,
+        "corpus_mime_sniff": CORPUS_MIME_SNIFF_SQL,
         "corpus_url_param_dedup": CORPUS_URL_PARAM_DEDUP_SQL,
         "crawl_host_triangles": CRAWL_HOST_TRIANGLES_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:

@@ -62,6 +62,7 @@ REAL_SQL = [
     "crawl_host_triangles",
     "docs_containment_pairs",
     "warc_revisit_roundtrip",
+    "corpus_mime_sniff",
 ]
 
 
@@ -142,7 +143,9 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # round-5 swap: the revisit round trip subsumes warc_roundtrip's
         # sink/source coverage (green r01-r04 rows of its own)
         "warc_revisit_roundtrip",
-        "docs_curation_funnel",
+        # round-5 swap: MIME sniffing took docs_curation_funnel's slot
+        # (webtext family keeps webtext_training_set in-window)
+        "corpus_mime_sniff",
         "lang_id_counts",
         "doc_fingerprints",
         # quality-features family: images_phash_dups took

@@ -2888,3 +2888,32 @@ def test_containment_pairs_quote_detection(ray_session):
         " ".join(quote.split()[i : i + 3]) for i in range(len(quote.split()) - 2)
     )
     assert len(w0 & w1) / len(w0 | w1) < 0.5
+
+
+def test_sniff_mime_magic_table():
+    """Every sniffer branch, case by case: PNG/JPEG/GIF/PDF/gzip/ZIP/Ogg
+    magics, RIFF refined on the format tag (WAVE vs WEBP vs other), the
+    WHATWG whitespace-then-'<' HTML arm, octet-stream fallback, NULL on
+    empty — and magics override the HTML arm when both could match."""
+    from crawler_ray.functions.multimodal import sniff_mime
+
+    cases = [
+        (b"\x89PNG\r\n\x1a\nxxxx", "image/png"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"GIF87a...", "image/gif"),
+        (b"GIF89a...", "image/gif"),
+        (b"%PDF-1.7", "application/pdf"),
+        (b"\x1f\x8b\x08", "application/gzip"),
+        (b"PK\x03\x04zip", "application/zip"),
+        (b"OggSvorbis", "application/ogg"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (b"RIFF\x00\x00\x00\x00AVI LIST", "application/octet-stream"),
+        (b"  \t\r\n<!DOCTYPE html>", "text/html"),
+        (b"<html><body>", "text/html"),
+        (b"plain text here", "application/octet-stream"),
+        (b"", None),
+        (None, None),
+    ]
+    got = sniff_mime(pa.array([c for c, _ in cases], pa.binary())).to_pylist()
+    assert got == [w for _, w in cases]

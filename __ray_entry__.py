@@ -1735,6 +1735,39 @@ def _warc_revisit_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_redirect_resolve(sf_dir: str) -> pd.DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (functions/graph.resolve_redirects — Wyllie's parallel list ranking:
+    each round composes the jump table with itself, so a chain of n hops
+    resolves in O(log n) bucketed exchanges; crawlers collapse 301/302
+    chains to their final target before frontier dedup and drop loops).
+    Edges are doc_id arithmetic: every block of 10 ids forms a 6-hop
+    chain into a terminal (positions 0-5 → +1, position 6 no out-edge)
+    plus a planted 3-cycle (7→8→9→7). The SQL oracle resolves the SAME
+    edges with an independent plan — a recursive CTE walking one hop per
+    recursion step, terminal = NOT EXISTS an outgoing edge, cycle = the
+    walk never reaches a terminal within the hop bound."""
+    from crawler_ray.functions.graph import resolve_redirects
+
+    def mkedges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        p = ids % 10
+        src = ids[p != 6]
+        sp = src % 10
+        dst = np.where(sp == 9, src - 2, src + 1)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
+        mkedges, batch_format="pyarrow"
+    )
+    return resolve_redirects(ds)
+
+
 def _corpus_mime_sniff(sf_dir: str) -> pd.DataFrame:
     """Magic-byte MIME sniffing (functions/multimodal.sniff_mime):
     served Content-Type headers lie constantly at crawl scale, so sinks
@@ -2188,7 +2221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the slot of docs_window_dup_pairs (green r01-r04 rows; near-dup
         # family keeps minhash/line_dedup/spans/text_near_dups in-window)
         "corpus_url_param_dedup": _corpus_url_param_dedup,
-        "docs_perplexity_buckets": _docs_perplexity_buckets,
+        # round-5 swap: redirect-chain resolution by pointer doubling
+        # (first driver check, independent recursive-CTE SQL oracle)
+        # takes docs_perplexity_buckets's slot (green r01-r04 rows; the
+        # LM family keeps unigram_logprob + kn_bigram_logprob in-window)
+        "corpus_redirect_resolve": _corpus_redirect_resolve,
         "docs_unigram_logprob": _docs_unigram_logprob,
         "docs_frequent_words": _docs_frequent_words,
         "ann_lsh_ivf_topk": _ann_lsh_ivf,
@@ -2379,6 +2416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _docs_line_dedup,
         "warc_roundtrip": _warc_roundtrip,
         "docs_curation_funnel": _docs_curation_funnel,
+        "docs_perplexity_buckets": _docs_perplexity_buckets,
         "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -3942,6 +3980,37 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: redirect-chain resolution: same arithmetic edges, INDEPENDENT plan —
+#: a recursive CTE walks ONE hop per recursion step (the engine composes
+#: jumps doubling per round); terminal = no outgoing edge, cycle = no
+#: terminal reached within the hop bound (chains here are ≤ 6 hops)
+CORPUS_REDIRECT_RESOLVE_SQL = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id % 10 = 9 THEN doc_id - 2
+              ELSE doc_id + 1 END AS dst
+  FROM documents WHERE doc_id % 10 <> 6
+),
+walk(node, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM e
+  UNION ALL
+  SELECT w.node, e2.dst, w.hops + 1
+  FROM walk w JOIN e e2 ON e2.src = w.cur
+  WHERE w.hops <= 12
+),
+term AS (
+  SELECT w.node, w.cur AS final_id, w.hops
+  FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.src = w.cur)
+)
+SELECT e.src AS node,
+       CAST(t.final_id AS DOUBLE) AS final_id,
+       CAST(t.hops AS DOUBLE) AS hops,
+       t.node IS NULL AS is_cycle
+FROM e LEFT JOIN term t ON t.node = e.src
+ORDER BY node
+"""
+
 #: MIME sniffing: synthesis arithmetic restated (the sniffer's prefix
 #: logic is pytest-checked case-by-case; the query drives the vectorized
 #: kernel through the driver window)
@@ -4182,6 +4251,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_url_dedup": CORPUS_URL_DEDUP_SQL,
         "corpus_cdx_revisits": CORPUS_CDX_REVISITS_SQL,
         "corpus_mime_sniff": CORPUS_MIME_SNIFF_SQL,
+        "corpus_redirect_resolve": CORPUS_REDIRECT_RESOLVE_SQL,
         "corpus_url_param_dedup": CORPUS_URL_PARAM_DEDUP_SQL,
         "crawl_host_triangles": CRAWL_HOST_TRIANGLES_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:

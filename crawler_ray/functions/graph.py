@@ -921,3 +921,291 @@ def _retag_task():
 
         _RETAG_TASK = retag
     return _RETAG_TASK
+
+
+# ------------------------------------------------ redirect-chain resolution
+
+
+_REDIR_TAG_TASK = None
+
+
+def _redir_tag_task():
+    """Cached remote fn: one per-src-deduped edge block → the tagged
+    union rows of the INIT exchange ('e' rows keyed by src carry the
+    edge; 'p' probe rows keyed by dst ask whether dst redirects again)."""
+    global _REDIR_TAG_TASK
+    if _REDIR_TAG_TASK is None:
+        import ray
+
+        @ray.remote
+        def tag(t) -> pa.Table:
+            if isinstance(t, pa.RecordBatch):
+                t = pa.Table.from_batches([t])
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            n = len(src)
+            return pa.table(
+                {
+                    "kind": pa.array(["e"] * n + ["p"] * n, pa.string()),
+                    "key": pa.array(
+                        np.concatenate([src, dst]), pa.int64()
+                    ),
+                    "node": pa.array(
+                        np.concatenate([src, src]), pa.int64()
+                    ),
+                    "reach": pa.array(
+                        np.concatenate([dst, dst]), pa.int64()
+                    ),
+                }
+            )
+
+        _REDIR_TAG_TASK = tag
+    return _REDIR_TAG_TASK
+
+
+def resolve_redirects(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Redirect-chain resolution by POINTER DOUBLING — the O(log n)-round
+    parallel list-ranking classic (Wyllie 1979; the standard shortcut
+    trick in every Pregel/MapReduce connectivity paper): every crawler
+    must collapse 301/302 chains to their final target before frontier
+    dedup, and chains a million hops of log can still resolve in ~20
+    rounds because each round composes the jump table with itself
+    (reach 2^r steps), not one step.
+
+    Input: an edge Dataset where ``src`` redirects to ``dst`` (int64 ids
+    — key by canonical-URL id/hash upstream); several dsts for one src
+    keep the MIN dst (deterministic; HTTP has one Location, dirty data
+    doesn't). For every src node the output states the chain's terminal
+    target and length, or flags it cyclic:
+    ``(node, final_id, hops, is_cycle)`` sorted by node — final_id/hops
+    NULL on cycles (a redirect loop never lands anywhere; crawlers drop
+    those URLs).
+
+    Physical plan, all hash-bucketed task exchanges (no driver state
+    beyond one remaining-count scalar per round):
+      init — one exchange keyed (src ∪ dst): a probe learns whether its
+      dst redirects again, yielding state(x) = (next(x), 1 hop, done?);
+      round r — two exchanges: (a) every not-done state queries the
+      bucket owning its reach for THAT node's state and composes
+      (reach 2^r ∪ stop-at-terminal), (b) composed answers re-bucket by
+      node to rebuild the state shards; stop when no state changed or
+      after ceil(log2(n))+1 rounds — surviving not-done nodes sit on
+      cycles (a terminal would have been reached within n hops).
+    """
+    import ray
+
+    from ..stages.shuffle import (
+        bucketed_group_map_refs,
+        gather_refs_pd,
+        nrows_refs,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[src_col]), pc.is_valid(t[dst_col]))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "src": t[src_col].cast(pa.int64()),
+                "dst": t[dst_col].cast(pa.int64()),
+            }
+        )
+
+    edge_refs = bucketed_group_map_refs(
+        edges_ds.map_batches(prep, batch_format="pyarrow"),
+        bucket_on="src",
+        fn=lambda df: df.groupby("src", sort=False, as_index=False)["dst"].min(),
+        n_buckets=n_buckets,
+    )
+    empty = pd.DataFrame(
+        {
+            "node": pd.Series([], dtype="int64"),
+            "final_id": pd.Series([], dtype="float64"),
+            "hops": pd.Series([], dtype="float64"),
+            "is_cycle": pd.Series([], dtype="bool"),
+        }
+    )
+    if edge_refs is None:
+        return empty
+    n_src = nrows_refs(edge_refs)
+
+    tag = _redir_tag_task()
+    tagged = [tag.remote(r) for r in edge_refs]
+
+    def init_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e_keys = set(df.loc[df["kind"] == "e", "key"])
+        p = df[df["kind"] == "p"]
+        return pd.DataFrame(
+            {
+                "node": p["node"].to_numpy(),
+                "reach": p["key"].to_numpy(),
+                "hops": np.ones(len(p), dtype=np.int64),
+                # np.array, not a list: an EMPTY list column defaults to
+                # float64 in pandas and poisons the arrow schema
+                "done": np.array(
+                    [k not in e_keys for k in p["key"]], dtype=bool
+                ),
+            }
+        )
+
+    state_refs = bucketed_group_map_refs(
+        tagged, bucket_on="key", fn=init_bucket, n_buckets=n_buckets
+    )
+    if state_refs is None:
+        return empty
+
+    qtag = _redir_round_task()
+    max_rounds = int(np.ceil(np.log2(max(2, n_src)))) + 1
+    for _ in range(max_rounds):
+        # count remaining; also the early-exit signal (one scalar/round)
+        remaining = _count_not_done(state_refs)
+        if remaining == 0:
+            break
+        tagged_round = [qtag.remote(r) for r in state_refs]
+
+        def compose(df: pd.DataFrame) -> pd.DataFrame:
+            q = df[df["kind"] == "q"]
+            s = df[df["kind"] == "s"].drop_duplicates("key")
+            if not len(q):
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "reach": pd.Series([], dtype="int64"),
+                        "hops": pd.Series([], dtype="int64"),
+                        "done": pd.Series([], dtype="bool"),
+                    }
+                )
+            m = q.merge(
+                s[["key", "reach", "hops", "done"]],
+                on="key",
+                how="left",
+                suffixes=("", "_s"),
+            )
+            # a not-done state's reach is a src, so its state row exists;
+            # a missing row would be data corruption — treat as terminal
+            # (conservative: stops the walk, never invents a hop)
+            hit = m["reach_s"].notna()
+            out = pd.DataFrame(
+                {
+                    "node": m["node"].to_numpy(),
+                    "reach": np.where(
+                        hit, m["reach_s"].fillna(0), m["key"]
+                    ).astype(np.int64),
+                    "hops": np.where(
+                        hit, m["hops"] + m["hops_s"].fillna(0), m["hops"]
+                    ).astype(np.int64),
+                    "done": np.where(
+                        hit, m["done_s"].fillna(True), True
+                    ).astype(bool),
+                }
+            )
+            return out
+
+        answer_refs = bucketed_group_map_refs(
+            tagged_round, bucket_on="key", fn=compose, n_buckets=n_buckets
+        )
+        # rebuild state shards: done states pass through, answers replace
+        # the not-done ones — both already carry the state schema
+        keep = _redir_keep_done_task()
+        done_refs = [keep.remote(r) for r in state_refs]
+        state_refs = bucketed_group_map_refs(
+            done_refs + (answer_refs or []),
+            bucket_on="node",
+            fn=lambda df: df,
+            n_buckets=n_buckets,
+        )
+        if state_refs is None:
+            return empty
+
+    final = gather_refs_pd(state_refs)
+    out = pd.DataFrame(
+        {
+            "node": final["node"].astype("int64"),
+            "final_id": np.where(final["done"], final["reach"], np.nan),
+            "hops": np.where(final["done"], final["hops"], np.nan),
+            "is_cycle": ~final["done"].to_numpy(),
+        }
+    )
+    return out.sort_values("node").reset_index(drop=True)
+
+
+_REDIR_ROUND_TASK = None
+_REDIR_KEEP_DONE_TASK = None
+_REDIR_COUNT_TASK = None
+
+
+def _redir_round_task():
+    """State block → tagged union for the compose exchange: each state
+    row serves lookups as 's' (keyed by its node); each NOT-done row also
+    queries as 'q' (keyed by its reach)."""
+    global _REDIR_ROUND_TASK
+    if _REDIR_ROUND_TASK is None:
+        import ray
+
+        @ray.remote
+        def rtag(t) -> pa.Table:
+            if isinstance(t, pa.RecordBatch):
+                t = pa.Table.from_batches([t])
+            df = t.to_pandas()
+            nd = df[~df["done"]]
+            s = pd.DataFrame(
+                {
+                    "kind": "s",
+                    "key": df["node"],
+                    "node": df["node"],
+                    "reach": df["reach"],
+                    "hops": df["hops"],
+                    "done": df["done"],
+                }
+            )
+            q = pd.DataFrame(
+                {
+                    "kind": "q",
+                    "key": nd["reach"],
+                    "node": nd["node"],
+                    "reach": nd["reach"],
+                    "hops": nd["hops"],
+                    "done": nd["done"],
+                }
+            )
+            return pa.Table.from_pandas(
+                pd.concat([s, q], ignore_index=True), preserve_index=False
+            )
+
+        _REDIR_ROUND_TASK = rtag
+    return _REDIR_ROUND_TASK
+
+
+def _redir_keep_done_task():
+    global _REDIR_KEEP_DONE_TASK
+    if _REDIR_KEEP_DONE_TASK is None:
+        import ray
+
+        @ray.remote
+        def keep_done(t) -> pa.Table:
+            if isinstance(t, pa.RecordBatch):
+                t = pa.Table.from_batches([t])
+            return t.filter(t["done"])
+
+        _REDIR_KEEP_DONE_TASK = keep_done
+    return _REDIR_KEEP_DONE_TASK
+
+
+def _count_not_done(state_refs) -> int:
+    global _REDIR_COUNT_TASK
+    import ray
+
+    if _REDIR_COUNT_TASK is None:
+
+        @ray.remote
+        def cnt(t) -> int:
+            if isinstance(t, pa.RecordBatch):
+                t = pa.Table.from_batches([t])
+            return int(pc.sum(pc.invert(t["done"])).as_py() or 0)
+
+        _REDIR_COUNT_TASK = cnt
+    return int(sum(ray.get([_REDIR_COUNT_TASK.remote(r) for r in state_refs])))

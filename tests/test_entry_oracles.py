@@ -63,6 +63,7 @@ REAL_SQL = [
     "docs_containment_pairs",
     "warc_revisit_roundtrip",
     "corpus_mime_sniff",
+    "corpus_redirect_resolve",
 ]
 
 
@@ -136,7 +137,10 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         "embeddings_semantic_dedup",
         "docs_dsir_sample",
         "docs_bpe_subwords",
-        "docs_perplexity_buckets",
+        # round-5 swap: pointer-doubling redirect resolution took
+        # docs_perplexity_buckets's slot (LM family keeps unigram +
+        # kn_bigram logprob in-window)
+        "corpus_redirect_resolve",
         "docs_unigram_logprob",
         "docs_frequent_words",
         "ann_lsh_ivf_topk",  # tagged union of ann_lsh_topk + ann_ivf_topk

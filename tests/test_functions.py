@@ -2917,3 +2917,70 @@ def test_sniff_mime_magic_table():
     ]
     got = sniff_mime(pa.array([c for c, _ in cases], pa.binary())).to_pylist()
     assert got == [w for _, w in cases]
+
+
+def test_resolve_redirects_matches_brute_force(ray_session):
+    """Random functional graph + planted structures: a 70-hop chain
+    (forces multiple doubling rounds), a 2-cycle, a 3-cycle, a chain
+    FEEDING a cycle (cyclic too), duplicate edges with conflicting dsts
+    (min-dst rule). Engine vs Python walk-with-visited-set."""
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import resolve_redirects
+
+    edges = []
+    # long chain 1000 -> 1001 -> ... -> 1070 (terminal)
+    edges += [(1000 + i, 1001 + i) for i in range(70)]
+    # 2-cycle and 3-cycle
+    edges += [(1, 2), (2, 1), (10, 11), (11, 12), (12, 10)]
+    # chain feeding the 3-cycle: 20 -> 21 -> 10 (cyclic)
+    edges += [(20, 21), (21, 10)]
+    # conflicting dsts for one src: min wins (30 -> 31, not 30 -> 99)
+    edges += [(30, 99), (30, 31)]
+    rng = np.random.default_rng(5)
+    srcs = rng.choice(np.arange(2000, 2400), size=120, replace=False)
+    dsts = rng.integers(2000, 2500, size=120)
+    edges += list(zip(srcs.tolist(), dsts.tolist()))
+
+    t = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = resolve_redirects(rd.from_arrow(t).repartition(7))
+
+    nxt: dict = {}
+    for a, b in edges:
+        nxt[a] = min(nxt.get(a, b), b)
+    import pandas as pd
+
+    rows = []
+    for s in sorted(nxt):
+        seen = set()
+        cur, hops, cyc = s, 0, False
+        while cur in nxt:
+            if cur in seen:
+                cyc = True
+                break
+            seen.add(cur)
+            cur = nxt[cur]
+            hops += 1
+        rows.append(
+            (
+                s,
+                (np.nan if cyc else float(cur)),
+                (np.nan if cyc else float(hops)),
+                cyc,
+            )
+        )
+    want = pd.DataFrame(rows, columns=["node", "final_id", "hops", "is_cycle"])
+    want["node"] = want["node"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # the planted structures resolved as designed
+    by = {r.node: r for r in got.itertuples()}
+    assert by[1000].final_id == 1070 and by[1000].hops == 70
+    assert by[1].is_cycle and by[12].is_cycle and by[20].is_cycle
+    assert by[30].final_id == 31 or not np.isnan(by[30].final_id)

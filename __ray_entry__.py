@@ -1735,6 +1735,55 @@ def _warc_revisit_roundtrip(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _corpus_registered_domains(sf_dir: str) -> pd.DataFrame:
+    """Hostname → registered domain (eTLD+1;
+    functions/urlfilter.registered_domain): politeness budgets, mirror
+    detection and host stats group at the registered domain, not the
+    hostname — shop.example.co.uk and www.example.co.uk are one
+    crawl-budget principal. Kernel recognizes a documented subset of the
+    Public Suffix List's multi-label suffixes (the full ~9k-rule list is
+    the data swap point), passes IPv4 literals and single-label hosts
+    through, lowercases. Synthesized hosts cover www/deep subdomains,
+    co.uk/com.au suffixes, mixed case, localhost and IPv4. The SQL
+    oracle re-derives with independent kernels (string_split +
+    list_slice tails + IN list + regexp)."""
+    from crawler_ray.functions.urlfilter import registered_domain
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        hosts = []
+        for i in ids:
+            m = i % 6
+            if m == 0:
+                hosts.append(f"www.shop{i % 7}.co.uk")
+            elif m == 1:
+                hosts.append(f"a.b.site{i % 5}.com")
+            elif m == 2:
+                hosts.append(f"site{i % 5}.com")
+            elif m == 3:
+                hosts.append("localhost")
+            elif m == 4:
+                hosts.append(f"10.0.{i % 3}.1")
+            else:
+                hosts.append(f"Sub.Tree.App{i % 4}.com.au")
+        ha = pa.array(hosts, pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "host": ha,
+                "reg_domain": registered_domain(ha),
+            }
+        )
+
+    return (
+        _docs_ds(sf_dir, ["doc_id"])
+        .map_batches(mk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _corpus_redirect_resolve(sf_dir: str) -> pd.DataFrame:
     """Redirect-chain resolution by pointer doubling
     (functions/graph.resolve_redirects — Wyllie's parallel list ranking:
@@ -2227,7 +2276,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM family keeps unigram_logprob + kn_bigram_logprob in-window)
         "corpus_redirect_resolve": _corpus_redirect_resolve,
         "docs_unigram_logprob": _docs_unigram_logprob,
-        "docs_frequent_words": _docs_frequent_words,
+        # round-5 swap: registered-domain (eTLD+1) extraction (first
+        # driver check, independent-kernel SQL oracle) takes
+        # docs_frequent_words's slot (green r01-r04 rows; the sketch/topk
+        # family keeps approx_distinct_users + the quantile sketch
+        # in-window)
+        "corpus_registered_domains": _corpus_registered_domains,
         "ann_lsh_ivf_topk": _ann_lsh_ivf,
         # round-5 swap: degree-ordered distributed triangle counting +
         # clustering coefficients over the host graph (first driver check,
@@ -2417,6 +2471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         "docs_curation_funnel": _docs_curation_funnel,
         "docs_perplexity_buckets": _docs_perplexity_buckets,
+        "docs_frequent_words": _docs_frequent_words,
         "q3_segment_top_orders": R.q3_segment_top_orders,
         "part_type_stats": R.part_type_stats,
         "events_by_type": R.events_by_type,
@@ -3980,6 +4035,47 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: registered-domain extraction: same host synthesis, INDEPENDENT
+#: kernels (string_split + list_slice tails + IN + regexp IPv4)
+CORPUS_REGISTERED_DOMAINS_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'www.shop' || (doc_id % 7) || '.co.uk'
+           WHEN 1 THEN 'a.b.site' || (doc_id % 5) || '.com'
+           WHEN 2 THEN 'site' || (doc_id % 5) || '.com'
+           WHEN 3 THEN 'localhost'
+           WHEN 4 THEN '10.0.' || (doc_id % 3) || '.1'
+           ELSE 'Sub.Tree.App' || (doc_id % 4) || '.com.au'
+         END AS host
+  FROM documents
+),
+calc AS (
+  SELECT doc_id, host, lower(host) AS lh,
+         string_split(lower(host), '.') AS l,
+         len(string_split(host, '.')) AS n,
+         regexp_matches(
+           lower(host), '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$'
+         ) AS is_ip
+  FROM raw
+)
+SELECT doc_id, host,
+       CASE
+         WHEN is_ip OR n <= 1 THEN lh
+         WHEN array_to_string(
+                list_slice(l, greatest(1, n - 1), n), '.')
+              IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                  'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                  'co.in','co.kr','com.mx','co.nz','co.za')
+           THEN CASE WHEN n >= 3
+                THEN array_to_string(
+                       list_slice(l, greatest(1, n - 2), n), '.')
+                ELSE lh END
+         ELSE array_to_string(list_slice(l, greatest(1, n - 1), n), '.')
+       END AS reg_domain
+FROM calc ORDER BY doc_id
+"""
+
 #: redirect-chain resolution: same arithmetic edges, INDEPENDENT plan —
 #: a recursive CTE walks ONE hop per recursion step (the engine composes
 #: jumps doubling per round); terminal = no outgoing edge, cycle = no
@@ -4252,6 +4348,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cdx_revisits": CORPUS_CDX_REVISITS_SQL,
         "corpus_mime_sniff": CORPUS_MIME_SNIFF_SQL,
         "corpus_redirect_resolve": CORPUS_REDIRECT_RESOLVE_SQL,
+        "corpus_registered_domains": CORPUS_REGISTERED_DOMAINS_SQL,
         "corpus_url_param_dedup": CORPUS_URL_PARAM_DEDUP_SQL,
         "crawl_host_triangles": CRAWL_HOST_TRIANGLES_SQL,
         # real stdlib WAV decode of doc_id-parameterized synthesized sines:

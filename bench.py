@@ -491,6 +491,49 @@ def run_bench() -> dict:
                 "docs_unimax_budget"
             ](SF_DIR),
         ),
+        # round-5 operators
+        (
+            "cdx_revisits",
+            lambda: __import__("__ray_entry__").queries()[
+                "corpus_cdx_revisits"
+            ](SF_DIR),
+        ),
+        (
+            "url_param_dedup",
+            lambda: __import__("__ray_entry__").queries()[
+                "corpus_url_param_dedup"
+            ](SF_DIR),
+        ),
+        (
+            "host_triangles",
+            lambda: __import__("__ray_entry__").queries()[
+                "crawl_host_triangles"
+            ](SF_DIR),
+        ),
+        (
+            "containment_pairs",
+            lambda: __import__("__ray_entry__").queries()[
+                "docs_containment_pairs"
+            ](SF_DIR),
+        ),
+        (
+            "warc_revisit",
+            lambda: __import__("__ray_entry__").queries()[
+                "warc_revisit_roundtrip"
+            ](SF_DIR),
+        ),
+        (
+            "mime_sniff",
+            lambda: __import__("__ray_entry__").queries()[
+                "corpus_mime_sniff"
+            ](SF_DIR),
+        ),
+        (
+            "redirect_resolve",
+            lambda: __import__("__ray_entry__").queries()[
+                "corpus_redirect_resolve"
+            ](SF_DIR),
+        ),
     ]:
         reps = []
         for _ in range(2):  # best-of-2: see the page-fault note above

@@ -334,3 +334,66 @@ def url_param_dedup(
         .reset_index(drop=True)
         .astype({"n_urls": "int64", "keep_id": "int64"})
     )
+
+
+# --------------------------------------------- registered-domain grouping
+
+#: multi-label public suffixes recognized by this kernel — a DOCUMENTED
+#: SUBSET of Mozilla's Public Suffix List (publicsuffix.org; the full
+#: list is ~9k rules and ships as data in production — the kernel shape
+#: is identical, this constant is the swap point). Politeness budgets,
+#: mirror detection and host stats all group at the REGISTERED domain,
+#: not the hostname: shop.example.co.uk and www.example.co.uk are one
+#: crawl-budget principal.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx", "co.nz", "co.za",
+)
+
+
+def registered_domain(hosts: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Vectorized hostname → registered domain (eTLD+1): the last public-
+    suffix label run plus one label. Lowercases; IPv4 literals and
+    single-label hosts pass through unchanged; a host that IS a public
+    suffix passes through (nothing is registered under it to name); NULL
+    stays NULL. Pure polars list algebra — split, tail-join, set
+    membership — no per-row Python."""
+    import polars as pl
+
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    s = pl.from_arrow(hosts).str.to_lowercase()
+    labels = s.str.split(".")
+    n = labels.list.len()
+    last2 = labels.list.tail(2).list.join(".")
+    last3 = labels.list.tail(3).list.join(".")
+    is_ip = s.str.contains(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    is_multi = last2.is_in(list(MULTI_PART_SUFFIXES))
+    out = (
+        pl.DataFrame(
+            {
+                "host": s,
+                "n": n,
+                "last2": last2,
+                "last3": last3,
+                "ip": is_ip,
+                "multi": is_multi,
+            }
+        )
+        .select(
+            pl.when(pl.col("host").is_null())
+            .then(pl.lit(None, dtype=pl.String))
+            .when(pl.col("ip") | (pl.col("n") <= 1))
+            .then(pl.col("host"))
+            .when(pl.col("multi") & (pl.col("n") >= 3))
+            .then(pl.col("last3"))
+            .when(pl.col("multi"))
+            .then(pl.col("host"))  # the host IS the suffix
+            .otherwise(pl.col("last2"))
+            .alias("reg")
+        )["reg"]
+        .to_arrow()
+    )
+    out = out.cast(pa.string())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

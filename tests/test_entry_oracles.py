@@ -64,6 +64,7 @@ REAL_SQL = [
     "warc_revisit_roundtrip",
     "corpus_mime_sniff",
     "corpus_redirect_resolve",
+    "corpus_registered_domains",
 ]
 
 
@@ -142,7 +143,10 @@ def test_driver_window_covers_every_oracled_family(entry_mod):
         # kn_bigram logprob in-window)
         "corpus_redirect_resolve",
         "docs_unigram_logprob",
-        "docs_frequent_words",
+        # round-5 swap: registered-domain extraction took
+        # docs_frequent_words's slot (sketch/topk family keeps
+        # approx_distinct + quantile sketch in-window)
+        "corpus_registered_domains",
         "ann_lsh_ivf_topk",  # tagged union of ann_lsh_topk + ann_ivf_topk
         # round-5 swap: the revisit round trip subsumes warc_roundtrip's
         # sink/source coverage (green r01-r04 rows of its own)

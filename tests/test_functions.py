@@ -2984,3 +2984,23 @@ def test_resolve_redirects_matches_brute_force(ray_session):
     assert by[1000].final_id == 1070 and by[1000].hops == 70
     assert by[1].is_cycle and by[12].is_cycle and by[20].is_cycle
     assert by[30].final_id == 31 or not np.isnan(by[30].final_id)
+
+
+def test_registered_domain_cases():
+    """eTLD+1 kernel: multi-label public suffixes, deep subdomains,
+    mixed case, a host that IS a suffix, IPv4, single label, NULL."""
+    from crawler_ray.functions.urlfilter import registered_domain
+
+    cases = {
+        "www.Example.COM": "example.com",
+        "a.b.example.com": "example.com",
+        "shop.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": "co.uk",
+        "localhost": "localhost",
+        "192.168.0.1": "192.168.0.1",
+        "sub.deep.tree.company.com.au": "company.com.au",
+        None: None,
+    }
+    got = registered_domain(pa.array(list(cases), pa.string())).to_pylist()
+    assert got == list(cases.values())

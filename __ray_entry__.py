@@ -1814,7 +1814,10 @@ def _corpus_redirect_resolve(sf_dir: str) -> pd.DataFrame:
     ds = _docs_ds(sf_dir, ["doc_id"]).map_batches(
         mkedges, batch_format="pyarrow"
     )
-    return resolve_redirects(ds)
+    # chains here are <= 6 hops by construction; cap 16 (comfortably
+    # above any real client's redirect limit) keeps the doubling at 5
+    # rounds instead of scaling the round count with corpus size
+    return resolve_redirects(ds, max_chain=16)
 
 
 def _corpus_mime_sniff(sf_dir: str) -> pd.DataFrame:

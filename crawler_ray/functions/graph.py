@@ -968,6 +968,7 @@ def resolve_redirects(
     src_col: str = "src",
     dst_col: str = "dst",
     n_buckets: int = 64,
+    max_chain: int = 128,
 ) -> pd.DataFrame:
     """Redirect-chain resolution by POINTER DOUBLING — the O(log n)-round
     parallel list-ranking classic (Wyllie 1979; the standard shortcut
@@ -981,10 +982,20 @@ def resolve_redirects(
     — key by canonical-URL id/hash upstream); several dsts for one src
     keep the MIN dst (deterministic; HTTP has one Location, dirty data
     doesn't). For every src node the output states the chain's terminal
-    target and length, or flags it cyclic:
+    target and length, or flags it non-resolving:
     ``(node, final_id, hops, is_cycle)`` sorted by node — final_id/hops
-    NULL on cycles (a redirect loop never lands anywhere; crawlers drop
-    those URLs).
+    NULL on non-resolving chains (a redirect loop never lands anywhere;
+    crawlers drop those URLs).
+
+    ``max_chain`` bounds the guaranteed resolution length — every HTTP
+    client does this (browsers abort after ~20 redirects; RFC 9110 §15.4
+    tells clients to detect and intervene in cycles): chains of at most
+    ``max_chain`` hops ALWAYS resolve; longer ones resolve iff they fit
+    the round bound's 2^rounds reach, else they are flagged ``is_cycle``
+    like a loop (the same drop class a client's redirect cap produces).
+    The round count becomes ceil(log2(min(max_chain, n)))+1 instead of
+    growing with corpus size; raise the cap (≤ number of srcs) if
+    genuinely longer chains must deterministically resolve.
 
     Physical plan, all hash-bucketed task exchanges (no driver state
     beyond one remaining-count scalar per round):
@@ -993,9 +1004,9 @@ def resolve_redirects(
       round r — two exchanges: (a) every not-done state queries the
       bucket owning its reach for THAT node's state and composes
       (reach 2^r ∪ stop-at-terminal), (b) composed answers re-bucket by
-      node to rebuild the state shards; stop when no state changed or
-      after ceil(log2(n))+1 rounds — surviving not-done nodes sit on
-      cycles (a terminal would have been reached within n hops).
+      node to rebuild the state shards; stop when nothing is left
+      unresolved or the round bound is hit — surviving not-done nodes
+      sit on cycles or over-cap chains.
     """
     import ray
 
@@ -1059,7 +1070,7 @@ def resolve_redirects(
         return empty
 
     qtag = _redir_round_task()
-    max_rounds = int(np.ceil(np.log2(max(2, n_src)))) + 1
+    max_rounds = int(np.ceil(np.log2(max(2, min(max_chain, n_src))))) + 1
     for _ in range(max_rounds):
         # count remaining; also the early-exit signal (one scalar/round)
         remaining = _count_not_done(state_refs)

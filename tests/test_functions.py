@@ -2985,6 +2985,17 @@ def test_resolve_redirects_matches_brute_force(ray_session):
     assert by[1].is_cycle and by[12].is_cycle and by[20].is_cycle
     assert by[30].final_id == 31 or not np.isnan(by[30].final_id)
 
+    # the redirect cap: with max_chain=16 the 70-hop chain is flagged
+    # like a loop (the drop class an HTTP client's redirect limit
+    # produces), while short chains and true-cycle flags are unchanged
+    capped = resolve_redirects(
+        rd.from_arrow(t).repartition(7), max_chain=16
+    )
+    byc = {r.node: r for r in capped.itertuples()}
+    assert byc[1000].is_cycle
+    assert byc[1069].final_id == 1070 and byc[1069].hops == 1
+    assert byc[1].is_cycle and byc[20].is_cycle
+
 
 def test_registered_domain_cases():
     """eTLD+1 kernel: multi-label public suffixes, deep subdomains,

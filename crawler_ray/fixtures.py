@@ -413,6 +413,9 @@ def main() -> None:
     ap.add_argument("--no-edge-cases", action="store_true")
     args = ap.parse_args()
     tbl = gen_corpus(args.hosts, args.pages, args.seed, not args.no_edge_cases)
+    from pathlib import Path
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     pq.write_table(tbl, args.out)
     print(f"wrote {tbl.num_rows} rows to {args.out}")
 

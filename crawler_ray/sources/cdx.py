@@ -295,7 +295,9 @@ def read_cdxj(paths: "str | list[str]"):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
-def cdx_revisits(index_ds, n_buckets: int = 64) -> pd.DataFrame:
+def cdx_revisits(
+    index_ds, n_buckets: int = 64, out_path: "str | None" = None
+) -> pd.DataFrame:
     """WARC ``revisit`` resolution over a CDX index: within each urlkey's
     capture history (ordered by ts), a capture whose payload digest
     equals the PREVIOUS capture's digest is a revisit — the archive
@@ -311,9 +313,11 @@ def cdx_revisits(index_ds, n_buckets: int = 64) -> pd.DataFrame:
     key land in one bucket — stages/shuffle.bucketed_group_map_refs),
     then a vectorized sort + shift-compare per bucket; no global sort,
     no driver-side history. Output ``(urlkey, ts, digest, is_revisit)``
-    sorted by (urlkey, ts) — corpus-sized, so real consumers write it
-    back as index shards; the driver gather here serves the
-    query-contract form at test scale.
+    sorted by (urlkey, ts) — corpus-sized: pass ``out_path`` for the
+    corpus-scale contract (the marked buckets stream straight to
+    partitioned parquet from the workers, only a one-row stats frame
+    reaches the driver — stages/output.sink_parquet); the default
+    driver gather serves the query-contract form at test scale.
     """
     from ..stages.shuffle import bucketed_group_map_refs, gather_refs_pd
 
@@ -337,6 +341,17 @@ def cdx_revisits(index_ds, n_buckets: int = 64) -> pd.DataFrame:
     refs = bucketed_group_map_refs(
         index_ds, bucket_on="urlkey", fn=mark, n_buckets=n_buckets
     )
+    if out_path is not None:
+        import ray.data as rd
+
+        from ..stages.output import sink_parquet
+
+        ds = (
+            rd.from_arrow_refs(refs)
+            if refs is not None
+            else rd.from_arrow(empty)
+        )
+        return sink_parquet(ds, out_path)
     got = gather_refs_pd(refs, empty=empty) if refs is not None else empty.to_pandas()
     return (
         got.sort_values(["urlkey", "ts"])

@@ -251,7 +251,11 @@ def parse_warc_file_full(data: bytes) -> pa.Table:
     )
 
 
-def read_warc_resolving(paths: str | list[str], n_buckets: int = 64):
+def read_warc_resolving(
+    paths: str | list[str],
+    n_buckets: int = 64,
+    out_path: "str | None" = None,
+):
     """WARC file(s) → fully RESOLVED capture rows: revisit records get
     their payload back from the response record sharing their digest.
     One hash-bucketed exchange on digest (a digest's response and all its
@@ -262,7 +266,10 @@ def read_warc_resolving(paths: str | list[str], n_buckets: int = 64):
     dropped). Scale note: response bodies cross the exchange once; at
     archive scale the same resolution runs shard-local when revisits are
     file-local (the ``write_warc_file`` contract), making the exchange a
-    no-op partition-wise."""
+    no-op partition-wise. The result is corpus-sized: pass ``out_path``
+    for the corpus-scale contract (resolved buckets stream straight to
+    partitioned parquet from the workers, one stats row on the driver);
+    the default gather serves test scale."""
     import pandas as pd
     import ray.data as rd
 
@@ -299,5 +306,14 @@ def read_warc_resolving(paths: str | list[str], n_buckets: int = 64):
             "was_revisit": pa.array([], pa.bool_()),
         }
     )
+    if out_path is not None:
+        from ..stages.output import sink_parquet
+
+        out_ds = (
+            rd.from_arrow_refs(refs)
+            if refs is not None
+            else rd.from_arrow(empty)
+        )
+        return sink_parquet(out_ds, out_path)
     got = gather_refs_pd(refs, empty=empty) if refs is not None else empty.to_pandas()
     return got.sort_values(["url", "warc_ts"]).reset_index(drop=True)

@@ -607,3 +607,58 @@ def test_prefix_lookup_indexed_prunes_shards(ray_session, tmp_path):
     lo = max(0, bisect.bisect_right(firsts, "example,h4)") - 1)
     hi = bisect.bisect_left(firsts, "example,h4)" + "￿")
     assert hi - lo < len(idx_lines)
+
+
+def test_corpus_scale_out_path_sinks(ray_session, tmp_path):
+    """The out_path contract on the round-5 corpus-sized operators: the
+    result streams to partitioned parquet from the workers (only a
+    one-row stats frame reaches the driver), the written rows equal the
+    gathered form, and re-running skips via _SUCCESS."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from crawler_ray.sources.cdx import cdx_revisits
+    from crawler_ray.sources.warc import read_warc_resolving, write_warc_file
+
+    idx = pa.table(
+        {
+            "urlkey": pa.array(["k1", "k1", "k2"], pa.string()),
+            "ts": pa.array([0, 1, 2], pa.int64()),
+            "digest": pa.array(["A", "A", "B"], pa.string()),
+        }
+    )
+    gathered = cdx_revisits(rd.from_arrow(idx))
+    stats = cdx_revisits(rd.from_arrow(idx), out_path=str(tmp_path / "rev"))
+    assert int(stats["rows"].iloc[0]) == 3
+    back = (
+        pq.read_table(str(tmp_path / "rev"))
+        .to_pandas()
+        .sort_values(["urlkey", "ts"])
+        .reset_index(drop=True)
+    )
+    assert back.equals(gathered)
+    # resume: a second call with _SUCCESS present skips the write
+    stats2 = cdx_revisits(rd.from_arrow(idx), out_path=str(tmp_path / "rev"))
+    assert int(stats2["rows"].iloc[0]) == 3
+
+    write_warc_file(
+        pa.table(
+            {
+                "url": pa.array(["http://h/a", "http://h/b"], pa.string()),
+                "warc_ts": pa.array(
+                    [1_600_000_000_000_000] * 2, pa.int64()
+                ).cast(pa.timestamp("us")),
+                "html": pa.array([b"X", b"X"], pa.binary()),
+            }
+        ),
+        str(tmp_path / "w.warc"),
+        dedup_digests=True,
+    )
+    wstats = read_warc_resolving(
+        [str(tmp_path / "w.warc")], out_path=str(tmp_path / "resolved")
+    )
+    assert int(wstats["rows"].iloc[0]) == 2
+    wback = pq.read_table(str(tmp_path / "resolved")).to_pandas()
+    assert sorted(wback["url"]) == ["http://h/a", "http://h/b"]
+    assert set(wback["html"]) == {b"X"}
